@@ -1,0 +1,199 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Headline analytical queries (TPC-H-shaped) over the corpus.
+  *
+  * The reference has no SQL layer — each of these would be a hand-assembled
+  * chain of MapReduce jobs with temp dirs (cf. the gridmix2 "monsterQuery"
+  * 3-stage chain, reference: src/benchmarks/gridmix2/.../GridMixRunner.java:230-275).
+  * Here each is ONE declarative plan: Catalyst does predicate pushdown,
+  * column pruning and join ordering; AQE picks broadcast vs shuffle join at
+  * runtime from actual sizes — at 100 TB the dimension tables stop being
+  * broadcastable and the same plan degrades gracefully to shuffle joins.
+  *
+  * Numeric policy for oracle parity: every floating aggregate is rounded in
+  * BOTH engines; rounding scales are chosen so the mathematically exact
+  * value has strictly fewer decimals than the rounding scale (sums of
+  * 2-decimal money values rounded at 2, of 4-decimal products at 4), so a
+  * few ULPs of summation-order noise cannot flip the rounded digit.
+  */
+object Analytics extends QueryModule {
+
+  /** TPC-H Q1 shape: single scan, 2-key hash aggregate; partial aggregation
+    * (the reference's "combiner", mapred/MapTask.java:1271) is automatic.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: selective dimension filter → 3-way join → agg → top-k.
+    * Top-k ordering is on the ROUNDED revenue with a unique tie-break key so
+    * both engines cut the same 10 rows.
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: snowflake join (region→nation→{customer,supplier}) with
+    * the c_nationkey = s_nationkey correlation, grouped revenue per nation.
+    * region/nation/supplier are tiny → Catalyst broadcasts them; the
+    * orders⋈lineitem spine stays a shuffle join that scales out.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    region.join(nation, col("r_regionkey") === col("n_regionkey"))
+      .join(cust, col("n_nationkey") === col("c_nationkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                  col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |  JOIN customer ON n_nationkey = c_nationkey
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** Tumbling 1-hour window aggregate over the events log, computed directly
+    * on the epoch-nanos long (see [[Tables.events]]). Batch twin of the
+    * Structured Streaming windowed agg in graft.streaming.
+    */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // Integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
+    // exact range, so float division would mis-bucket boundary events.
+    Tables.events(spark, dir)
+      .groupBy(expr(s"ts div ${hourNs}L").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  private val eventsWindowSql =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): per-user ordered lag →
+    * session-start flags → running sum. One shuffle on user_id; all window
+    * functions share the same partitioning.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    // Work in epoch-MICROseconds: DuckDB truncates the corpus' ns timestamps
+    // to µs on read, so µs is the finest granularity both engines agree on.
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val newSess = when(
+      col("ts_us") - lag(col("ts_us"), 1).over(byUser) > lit(gapUs), 1).otherwise(0)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("is_new", when(lag(col("ts_us"), 1).over(byUser).isNull, lit(1))
+        .otherwise(newSess))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"))
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+      |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+      |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
+    QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
+    QueryDef("events_window_agg", eventsWindowAgg, Some(eventsWindowSql)),
+    QueryDef("sessionize", sessionize, Some(sessionizeSql)),
+  )
+}
