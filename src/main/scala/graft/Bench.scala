@@ -1,11 +1,22 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import graft.core.GraftSession
 
 /** Benchmark main: times each headline query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver (BENCH_r{N}.json). Each query is
-  * fully materialized via count() after a shared-session warm JVM; per-query
-  * wall seconds are reported individually plus the total. */
+  * prints ONE JSON line for the driver (BENCH_r{N}.json), also written to
+  * target/bench.json as a fallback in case stdout is wrapped by a logger.
+  *
+  * Materialization is a noop-format write, not count(): count() lets
+  * Catalyst prune unreferenced expressions, so projection/window-shaped
+  * queries (field_selection, secondary_sort) would degrade to parquet
+  * count-stars and measure nothing. The noop sink consumes every row and
+  * column while writing no bytes.
+  *
+  * A query that throws is reported with -1.0 and listed in "errors" — a
+  * crashing query must be distinguishable from a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,16 +25,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest corpus so measured times reflect
     // steady-state execution, not first-query classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -15,6 +15,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     Analytics,
     MrExamples,
+    LlmPipeline,
+    TextAnalysis,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -169,11 +169,16 @@ object Analytics extends QueryModule {
            max(col("ts_us")).as("session_end_us"))
   }
 
+  // DuckDB's windowed sum(int) yields HUGEINT (arrow decimal128) while Spark
+  // writes int64 — CAST to BIGINT so the value-level hash compare agrees.
+  // event_id is carried through `flagged` and into the `sess` window's ORDER
+  // BY to mirror the Spark plan's tie-break: without it, duplicate per-user
+  // µs timestamps would make the ROWS-frame running sum nondeterministic.
   private val sessionizeSql =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
       |), flagged AS (
-      |  SELECT user_id, ts_us,
+      |  SELECT user_id, event_id, ts_us,
       |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
       |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
       |         ELSE 0 END AS is_new
@@ -181,8 +186,8 @@ object Analytics extends QueryModule {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |), sess AS (
       |  SELECT user_id, ts_us,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged
       |)
       |SELECT user_id, session_seq, count(*) AS n_events,

@@ -1,0 +1,237 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{MinHashLsh, Multimodal, SimHash, VectorOps}
+
+/** Training-data-pipeline operators over `documents` and `embeddings`:
+  * deduplication (exact, MinHash-LSH, SimHash, exact n-gram Jaccard,
+  * embedding-cosine) and similarity search (brute-force + LSH ANN).
+  *
+  * These are additive capability (no reference analog — the reference corpus
+  * work is wordcount-shaped); scale rationale lives on each operator
+  * ([[MinHashLsh]], [[SimHash]], [[VectorOps]]).
+  */
+object LlmPipeline extends QueryModule {
+
+  // ---- exact dedup: hash-groupBy on normalized content --------------------
+  /** Per-doc canonical mapping: docs sharing a normalized-content key
+    * collapse to the min doc_id. One shuffle on the content hash; at scale
+    * this is the standard exact-dedup pass (hash, shuffle, keep-first).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val w = Window.partitionBy(col("content_key"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("content_key"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+  }
+
+  private val dedupExactSql =
+    """SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
+      |  min(doc_id) OVER w AS canonical_id,
+      |  count(*) OVER w AS n_copies
+      |FROM documents
+      |WINDOW w AS (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin
+
+  // ---- MinHash-LSH near-dup ----------------------------------------------
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.5
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+      ShingleN, JaccardThreshold)
+
+  private val dedupMinhashSql =
+    MinHashLsh.nearDupSql("documents", "doc_id", "text", ShingleN, JaccardThreshold)
+
+  // ---- SimHash near-dup ---------------------------------------------------
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.nearPairs(
+      SimHash.fingerprints(Tables.documents(spark, dir), "doc_id", "text"))
+
+  private val dedupSimhashSql = SimHash.nearPairsSql("documents", "doc_id", "text")
+
+  // ---- exact n-gram Jaccard via inverted index (no LSH, still no all-pairs)
+  private val ExactJaccardThreshold = 0.2
+
+  /** Exact Jaccard-threshold pairs: candidates from the shingle inverted
+    * index (docs sharing ≥1 shingle), so the join is an equi-join on the
+    * shingle, never a cartesian. Known scale hazard: ultra-common shingles
+    * create hot join keys — mitigations are stopword-shingle removal or
+    * prefix filtering; AQE skew splitting covers moderate skew.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = MinHashLsh.explodeShingles(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    val pairs = ex.select(col("id").as("a"), col("shingle"))
+      .join(ex.select(col("id").as("b"), col("shingle")), "shingle")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    MinHashLsh.verifyJaccard(pairs, ex)
+      .where(col("jaccard_raw") >= ExactJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+
+  private val ngramJaccardSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", ShingleN)
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $ShingleN
+       |), e AS (
+       |  SELECT id, unnest(shingles) AS shingle, len(shingles) AS n FROM sh
+       |), shared AS (
+       |  SELECT a.id AS a, b.id AS b, count(*) AS shared,
+       |         any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |)
+       |SELECT a AS doc_a, b AS doc_b,
+       |       round(shared::DOUBLE / (na + nb - shared), 6) AS jaccard
+       |FROM shared
+       |WHERE shared::DOUBLE / (na + nb - shared) >= $ExactJaccardThreshold""".stripMargin
+  }
+
+  // ---- embedding-cosine near-dup (exact baseline) -------------------------
+  private val CosineThreshold = 0.4
+  private val Dim = 64
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      CosineThreshold)
+
+  private val embedNearDupSql = {
+    val cos = VectorOps.cosineQSql("a.qv", "b.qv", Dim)
+    s"""WITH v AS (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS cosine
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE $cos >= $CosineThreshold""".stripMargin
+  }
+
+  // ---- ANN: brute-force exact top-k (baseline) ----------------------------
+  private val TopK = 5
+  private val QueryMod = 50 // queries = vectors with vec_id % QueryMod == 0
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.bruteForceTopK(emb, emb.where(col("vec_id") % QueryMod === 0),
+      "vec_id", "embedding", TopK)
+  }
+
+  private val annTopKSql = {
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", Dim)
+    s"""WITH v AS (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id % $QueryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, v.vec_id AS cand_id, round($cos, 6) AS score
+       |  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
+       |)
+       |SELECT query_id, cand_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
+  // ---- ANN: sign-bucket LSH (scale path) ----------------------------------
+  private val LshBits = 8
+  private val LshK = 3
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.lshTopK(emb, emb.where(col("vec_id") % QueryMod === 0),
+      "vec_id", "embedding", LshBits, LshK)
+  }
+
+  private val annLshSql = {
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", Dim)
+    val bucket = VectorOps.signBucketSql("embedding", LshBits)
+    s"""WITH v AS (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv,
+       |         $bucket AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, qv AS qq, bucket FROM v
+       |  WHERE vec_id % $QueryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, v.vec_id AS cand_id, round($cos, 6) AS score
+       |  FROM q JOIN v ON q.bucket = v.bucket AND v.vec_id <> q.query_id
+       |)
+       |SELECT query_id, cand_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $LshK""".stripMargin
+  }
+
+  // ---- multimodal: binary payload → mapPartitions feature extraction ------
+  /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
+    * The oracle recomputes the stub's byte math from `text` — valid because
+    * this corpus is pure ASCII (bytes == codepoints); the engine side works
+    * on real bytes and handles arbitrary binary.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, dir))).toDF()
+
+  private val multimodalSql =
+    """WITH b AS (
+      |  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes,
+      |    list_sum(list_transform(range(1, len(text) + 1),
+      |      i -> ascii(substr(text, i, 1))))::BIGINT AS sum_bytes
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, n_bytes,
+      |  64 + n_bytes % 577 AS width, 64 + sum_bytes % 479 AS height, sum_bytes
+      |FROM b""".stripMargin
+
+  /** Frame sampling: each media row expands to a controlled number of frame
+    * rows (video → frames). Pure column fan-out via explode(sequence) — the
+    * pattern that keeps frame extraction distributed instead of per-driver.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nBytes = length(encode(col("text"), "UTF-8"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nBytes.as("n_bytes"))
+      .withColumn("n_frames", col("n_bytes") % 4 + 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_key",
+        substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 8))
+  }
+
+  private val frameSampleSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    unnest(range(octet_length(encode(text)) % 4 + 1)) AS frame_idx
+      |  FROM documents
+      |)
+      |SELECT doc_id, frame_idx,
+      |  substr(md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR), 1, 8) AS frame_key
+      |FROM f""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashSql)),
+    QueryDef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    // brute-force baseline: quadratic by design, excluded from the bench
+    // headline mix (the scale path is ann_lsh / the banded dedups)
+    QueryDef("embed_neardup", embedNearDup, Some(embedNearDupSql), headline = false),
+    QueryDef("ann_topk", annTopK, Some(annTopKSql)),
+    QueryDef("ann_lsh", annLsh, Some(annLshSql)),
+    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
+    QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
+  )
+}

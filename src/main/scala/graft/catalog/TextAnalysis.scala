@@ -1,0 +1,190 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators for training-data curation: language ID
+  * (stopword-overlap heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and min-k document fingerprinting.
+  *
+  * All pure column expressions — whole-stage codegen'd, one scan of
+  * `documents`, no UDFs — so each op is a map-only pass at any scale.
+  */
+object TextAnalysis extends QueryModule {
+
+  // ---- language ID --------------------------------------------------------
+  /** Tiny per-language stopword profiles; langId scores each doc by the
+    * fraction of its tokens found in each profile and predicts the argmax
+    * (ties broken alphabetically — deterministic). An n-gram character
+    * model would be the production upgrade; the plumbing (per-doc scoring,
+    * argmax, confusion-matrix rollup) is identical.
+    */
+  private val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "von"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "on"),
+    "es" -> Seq("el", "los", "las", "y", "una", "por", "con", "para", "como", "del"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du", "dans", "pour", "au", "vous"),
+  )
+
+  private def stopFrac(toks: Column, words: Seq[String]): Column = {
+    val inList = (t: Column) =>
+      words.map(w => t === lit(w)).reduce(_ || _)
+    when(size(toks) > 0,
+      size(filter(toks, inList)).cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        StopwordProfiles.map { case (l, ws) => stopFrac(col("w"), ws).as(s"s_$l") }: _*)
+    val best = greatest(StopwordProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    // first-alphabetical language reaching the max score wins the tie
+    val predictedAlpha = StopwordProfiles.reverse.foldLeft(lit("und"): Column) {
+      case (rest, (l, _)) => when(col(s"s_$l") === best, lit(l)).otherwise(rest)
+    }
+    scored.select(col("lang"), predictedAlpha.as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val langIdSql = {
+    def frac(words: Seq[String]) = {
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CASE WHEN len(w) > 0 THEN len(list_filter(w, t -> list_contains($lst, t)))::DOUBLE / len(w) ELSE 0.0 END"
+    }
+    val scores = StopwordProfiles.map { case (l, ws) => s"${frac(ws)} AS s_$l" }.mkString(",\n    ")
+    val best = "greatest(" + StopwordProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pred = StopwordProfiles.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${TextFns.tokensSql("text")} AS w FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM toks
+       |)
+       |SELECT lang, $pred AS predicted, count(*) AS n_docs
+       |FROM scored GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- quality scoring ----------------------------------------------------
+  /** Per-doc quality signals: token count, mean token length, punctuation
+    * ratio, English-stopword ratio, and a blended [0,1] score. The blend is
+    * a deterministic stand-in for a learned quality model; the signals are
+    * the standard pretraining-corpus filters (C4/Gopher-style length and
+    * symbol heuristics).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nChars = length(col("text"))
+    val nPunct = nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+    val en = StopwordProfiles.toMap.apply("en")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        round(aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / greatest(size(col("w")), lit(1)), 6).as("mean_tok_len"),
+        round(nPunct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+        round(stopFrac(col("w"), en), 6).as("stop_ratio"),
+        round(
+          least(size(col("w")).cast("double") / 100, lit(1.0)) * 0.4 +
+            (lit(1.0) - nPunct.cast("double") / greatest(nChars, lit(1))) * 0.3 +
+            least(stopFrac(col("w"), en) * 5, lit(1.0)) * 0.3,
+          6).as("quality"))
+  }
+
+  private val qualityScoreSql = {
+    val en = StopwordProfiles.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${TextFns.tokensSql("text")} AS w,
+       |    len(text) AS n_chars,
+       |    len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, w, n_chars, n_punct,
+       |    CASE WHEN len(w) > 0
+       |      THEN len(list_filter(w, x -> list_contains($en, x)))::DOUBLE / len(w)
+       |      ELSE 0.0 END AS stop_frac
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  len(w) AS n_tokens,
+       |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+       |        / greatest(len(w), 1), 6) AS mean_tok_len,
+       |  round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+       |  round(stop_frac, 6) AS stop_ratio,
+       |  round(least(len(w)::DOUBLE / 100, 1.0) * 0.4 +
+       |        (1.0 - n_punct::DOUBLE / greatest(n_chars, 1)) * 0.3 +
+       |        least(stop_frac * 5, 1.0) * 0.3, 6) AS quality
+       |FROM s""".stripMargin
+  }
+
+  // ---- token counting -----------------------------------------------------
+  /** Corpus token statistics per source: whitespace tokens and a BPE-ish
+    * regex segmentation (alpha runs | digit runs | single symbols) — the
+    * usual quick token-budget estimate before running a real tokenizer.
+    */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("bpe"),
+        length(col("text")).as("chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"), sum(col("chars")).as("n_chars"))
+
+  private val tokenCountSql =
+    s"""SELECT source, count(*) AS n_docs,
+       |  sum(len(${TextFns.tokensSql("text")})) AS ws_tokens,
+       |  sum(len(regexp_extract_all(text, '$BpePattern'))) AS bpe_tokens,
+       |  sum(len(text)) AS n_chars
+       |FROM documents GROUP BY source""".stripMargin
+
+  // ---- document fingerprinting (min-k sketch) -----------------------------
+  /** Content fingerprint: md5 over the k smallest md5s of the doc's word
+    * 5-gram shingles (a min-k sketch — robust to small edits at the doc
+    * tail, unlike a full-content hash). Docs with fewer than 5 tokens fall
+    * back to the normalized-content hash.
+    */
+  private val FpShingleN = 5
+  private val FpK = 3
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val hashes = array_sort(transform(TextFns.shingles(toks, FpShingleN), s => md5(s)))
+    val fallback = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(size(toks) >= FpShingleN,
+          md5(concat_ws("|", slice(hashes, 1, FpK))))
+          .otherwise(fallback).as("fingerprint"))
+  }
+
+  private val docFingerprintSql = {
+    val w = TextFns.tokensSql("text")
+    val sh = TextFns.shinglesSql("w", FpShingleN)
+    s"""WITH t AS (SELECT doc_id, text, $w AS w FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN len(w) >= $FpShingleN
+       |    THEN md5(array_to_string(list_sort(list_transform($sh, s -> md5(s)))[1:$FpK], '|'))
+       |    ELSE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |  END AS fingerprint
+       |FROM t""".stripMargin
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+  )
+}
