@@ -17,6 +17,7 @@ object SparkEntry {
     MrExamples,
     LlmPipeline,
     TextAnalysis,
+    AggregateFramework,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)
