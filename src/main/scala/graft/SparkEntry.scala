@@ -18,6 +18,7 @@ object SparkEntry {
     LlmPipeline,
     TextAnalysis,
     AggregateFramework,
+    IoCatalog,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,130 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Scratch, Tables}
+import graft.sources.{JdbcIO, MultiSink, SequenceFileIO, TextIO}
+
+/** The non-parquet I/O surface, proven by write→read-back round trips:
+  * every query here WRITES through a sink, READS the result back through
+  * the matching source, and the oracle recomputes the same answer straight
+  * from the parquet corpus — green means the round trip preserved the data
+  * byte-for-byte.
+  */
+object IoCatalog extends QueryModule {
+
+  // ---- text lines round trip (TextInputFormat/TextOutputFormat) -----------
+  /** documents → `doc_id\tn_chars` text lines → read back → parse. */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("text_roundtrip", dir)
+    TextIO.writeKv(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", "\t", path)
+    TextIO.readKv(spark, path, "\t")
+      .select(col("k").cast("long").as("doc_id"),
+        col("v").cast("long").as("n_chars"))
+  }
+
+  private val textRoundtripSql =
+    "SELECT doc_id, n_chars FROM documents"
+
+  // ---- KV-text first-separator semantics (KeyValueLineRecordReader) -------
+  /** Values CONTAIN the separator — proves the split is at the first
+    * occurrence only (reference: mapred/KeyValueLineRecordReader.java:87).
+    */
+  def kvTextSeparator(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("kv_text_separator", dir)
+    val lines = Tables.documents(spark, dir)
+      .select(col("source"),
+        concat_ws("\t", col("lang"), col("doc_id")).as("payload"))
+    TextIO.writeKv(lines, "source", "payload", "\t", path)
+    TextIO.readKv(spark, path, "\t")
+  }
+
+  private val kvTextSeparatorSql =
+    "SELECT source AS k, lang || chr(9) || doc_id AS v FROM documents"
+
+  // ---- SequenceFile round trip --------------------------------------------
+  /** (doc_id, text) through the reference's own binary container format. */
+  def seqfileRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("seqfile_roundtrip", dir)
+    SequenceFileIO.write(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), path)
+    SequenceFileIO.read(spark, path)
+      .select(col("key").as("doc_id"), length(col("value")).as("n_chars"))
+  }
+
+  private val seqfileRoundtripSql =
+    "SELECT doc_id, len(text) AS n_chars FROM documents"
+
+  // ---- CSV sink round trip (TextOutputFormat csv flavor) ------------------
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("csv_roundtrip", dir)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.option("header", "true").csv(path)
+      .select(col("o_orderstatus"), col("cnt").cast("long"),
+        col("total").cast("double"))
+  }
+
+  private val csvRoundtripSql =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ---- MultipleOutputFormat physical routed write -------------------------
+  /** lineitem routed by return flag via partitionBy; the read-back frame
+    * aggregates per route directory — green proves the on-disk routing.
+    */
+  def multipleOutputsWrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("multiple_outputs_write", dir)
+    val routed = MultiSink.writeRouted(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag")),
+      "l_returnflag", path)
+    routed.groupBy(col("l_returnflag").as("route"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
+  private val multipleOutputsWriteSql =
+    """SELECT l_returnflag AS route, count(*) AS cnt,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- JDBC round trip (DBInputFormat/DBOutputFormat via Derby) -----------
+  /** The reference's dbcount made real: aggregate pageviews, write them to
+    * a JDBC table, read them back PARTITIONED (bounded-range queries), and
+    * apply DBCountPageView's self-check invariant
+    * (reference: examples/DBCountPageView.java:239-245 —
+    * Σ pageview == total events) before returning.
+    */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val db = Scratch.dir("jdbc_roundtrip", dir) + "/db"
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("pageview"))
+    JdbcIO.write(counts, db, "pageview")
+    val upper = 1L.max(counts.agg(max(col("pageview"))).head().getLong(0) + 1)
+    val back = JdbcIO.readPartitioned(spark, db, "pageview",
+      "pageview", 0L, upper, 4)
+    val total = Tables.events(spark, dir).count()
+    val sumBack = back.agg(sum(col("pageview"))).head().getLong(0)
+    require(sumBack == total,
+      s"DBCountPageView self-check failed: sum(pageview)=$sumBack != total=$total")
+    back.select(col("event_type"), col("pageview"))
+  }
+
+  private val jdbcRoundtripSql =
+    "SELECT event_type, count(*) AS pageview FROM events GROUP BY event_type"
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
+    QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
+    QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
+    QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("multiple_outputs_write", multipleOutputsWrite, Some(multipleOutputsWriteSql)),
+    QueryDef("jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
+  )
+}

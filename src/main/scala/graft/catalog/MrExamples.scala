@@ -182,8 +182,9 @@ object MrExamples extends QueryModule {
 
   // ---- MultipleOutputs routing (mapred/lib/MultipleOutputFormat.java:51) --
   /** Row→output-file routing function (generateFileNameForKeyValue); the
-    * physical partitioned write lives in graft.sources.MultiSink — this query
-    * checks the routing logic itself.
+    * physical partitioned write is [[graft.sources.MultiSink]], exercised by
+    * IoCatalog's multiple_outputs_write — this query checks the routing
+    * logic itself.
     */
   def multipleOutputsRoute(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -195,9 +196,9 @@ object MrExamples extends QueryModule {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // ---- dbcount (examples/DBCountPageView.java) ----------------------------
-  /** Pageview counting; the JDBC in/out surface is graft.sources.JdbcIO, and
-    * the reference's self-check invariant (sum(pageview) == count(*)) is
-    * asserted in the spec.
+  /** Pageview counting (aggregation shape only); the real JDBC in/out round
+    * trip with the reference's self-check invariant is IoCatalog's
+    * jdbc_roundtrip via [[graft.sources.JdbcIO]].
     */
   def dbcountPageview(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
