@@ -19,6 +19,7 @@ object SparkEntry {
     TextAnalysis,
     AggregateFramework,
     IoCatalog,
+    MiscOps,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)
