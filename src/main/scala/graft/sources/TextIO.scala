@@ -38,8 +38,10 @@ object TextIO {
     */
   def kvSplit(line: Column, sep: String): (Column, Column) = {
     val parts = split(line, java.util.regex.Pattern.quote(sep), 2)
+    // try_element_at: a line with no separator has a 1-element array, and
+    // plain element_at THROWS on the missing index under ANSI semantics
     (element_at(parts, 1).as("k"),
-      coalesce(element_at(parts, 2), lit("")).as("v"))
+      coalesce(try_element_at(parts, lit(2)), lit("")).as("v"))
   }
 
   /** Read `key<sep>value` lines (missing separator → value = ""). */

@@ -1,0 +1,75 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("MinHash-LSH finds a planted near-duplicate and reports exact Jaccard") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " x"), // one extra token → high but <1 Jaccard
+      (2L, "completely different words entirely unrelated content here now then"),
+    ).toDF("doc_id", "text")
+    val out = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    val (a, b, j) = out.head
+    assert((a, b) == (0L, 1L))
+    // exact Jaccard of the 3-shingle sets, rounded to 6 decimals in output
+    assert(math.abs(j - 11.0 / 12.0) < 1e-6)
+  }
+
+  test("identical token sequences get identical signatures (Jaccard 1.0)") {
+    val docs = Seq((0L, base), (1L, base.replace(" ", "   "))).toDF("doc_id", "text")
+    val out = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3, 0.99).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("signatures are deterministic across runs") {
+    val docs = Seq((0L, base)).toDF("doc_id", "text")
+    def sig() = MinHashLsh.signatures(
+      MinHashLsh.explodeShingles(docs, "doc_id", "text", 3)).head().toSeq
+    assert(sig() == sig())
+  }
+
+  test("LSH candidates never include docs sharing no shingle (precision of buckets)") {
+    val rnd = new Random(11)
+    val vocabA = (0 until 30).map(i => s"a$i")
+    val vocabB = (0 until 30).map(i => s"b$i")
+    def doc(v: Seq[String]) = (1 to 20).map(_ => v(rnd.nextInt(v.size))).mkString(" ")
+    val docs = ((0 until 5).map(i => (i.toLong, doc(vocabA))) ++
+      (5 until 10).map(i => (i.toLong, doc(vocabB)))).toDF("doc_id", "text")
+    val cands = MinHashLsh.candidates(MinHashLsh.bandKeys(MinHashLsh.signatures(
+      MinHashLsh.explodeShingles(docs, "doc_id", "text", 3))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // disjoint vocabularies → disjoint shingles → no shared minhash band
+    assert(cands.forall { case (a, b) => (a < 5) == (b < 5) })
+  }
+
+  test("SimHash: same token set → Hamming 0; banded pairs equal brute force") {
+    val rnd = new Random(5)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0L until 14L).map { i =>
+      (i, (1 to 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (14L -> base) :+ (15L -> (base + " "))
+    val df = docs.toDF("doc_id", "text")
+    val fps = SimHash.fingerprints(df, "doc_id", "text")
+    val banded = SimHash.nearPairs(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over collected fingerprints
+    val fp = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == brute)
+    assert(banded.exists { case (a, b, h) => a == 14L && b == 15L && h == 0 })
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine of a vector with itself is 1 (post-quantization)") {
+    val df = vecs(0L -> Seq(0.5f, -0.25f, 0.8f))
+    val c = df.select(VectorOps.cosineQ(
+      VectorOps.quantize(col("embedding")),
+      VectorOps.quantize(col("embedding"))).as("c")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine matches an independent double computation within quantization error") {
+    val rnd = new Random(3)
+    val a = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val b = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val df = vecs(0L -> a, 1L -> b)
+    val got = VectorOps.cosinePairs(df, "vec_id", "embedding", -1.0)
+      .head().getDouble(2)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(got - dot / (na * nb)) < 1e-4)
+  }
+
+  test("brute-force top-k ranks by score desc with id tie-break") {
+    val q = Seq(1.0f, 0.0f)
+    val df = vecs(
+      0L -> q,
+      1L -> Seq(0.9f, 0.1f),   // closest
+      2L -> Seq(0.5f, 0.5f),
+      3L -> Seq(-1.0f, 0.0f))  // opposite
+    val out = VectorOps.bruteForceTopK(df, df.where(col("vec_id") === 0), "vec_id",
+      "embedding", 2).collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("sign-bucket LSH only scores candidates in the query's bucket") {
+    val df = vecs(
+      0L -> Seq(1.0f, 1.0f, 1.0f, 1.0f),
+      1L -> Seq(0.5f, 0.5f, 0.5f, 0.5f),   // same sign bucket
+      2L -> Seq(-1.0f, 1.0f, 1.0f, 1.0f))  // different bucket
+    val out = VectorOps.lshTopK(df, df.where(col("vec_id") === 0), "vec_id",
+      "embedding", 4, 10).collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L))
+  }
+}
