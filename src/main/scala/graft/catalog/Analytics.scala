@@ -126,8 +126,8 @@ object Analytics extends QueryModule {
       |GROUP BY n_name""".stripMargin
 
   /** Tumbling 1-hour window aggregate over the events log, computed directly
-    * on the epoch-nanos long (see [[Tables.events]]). Batch twin of the
-    * Structured Streaming windowed agg in graft.streaming.
+    * on the epoch-nanos long (see [[Tables.events]]). Batch twin of
+    * [[graft.streaming.StreamingOps.windowedAgg]].
     */
   def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val hourNs = 3600L * 1000 * 1000 * 1000

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — additive capability (the reference has
+  * no streaming runtime; SURVEY §2.6): the same transforms serve batch and
+  * streaming frames, which is the point of the unified Dataset API.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data past it is dropped and its state evicted); sessionization
+  * state is per-active-user and evicted on event-time timeout, so state
+  * size tracks concurrent activity, not history.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregate with a watermark. Works on a
+    * batch frame identically (watermark is a no-op there) — the batch twin
+    * is Analytics.eventsWindowAgg.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, windowDur: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** `ts` mirrors ts_us as a TimestampType column: the streaming path must
+    * keep the WATERMARKED column itself flowing into the stateful operator
+    * (the analyzer rejects event-time timeout if no watermarked attribute
+    * reaches it); batch callers may leave it null.
+    */
+  final case class Ev(user_id: Long, ts_us: Long, value: Double,
+                      ts: java.sql.Timestamp = null)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState (the reference-free
+    * custom-state surface): sessions CLOSED by a gap within the arriving
+    * data emit immediately; the trailing open session parks in state and
+    * emits when the event-time timeout fires (watermark > last event + gap).
+    * Batch mode runs the same code with all data in one invocation.
+    */
+  /** Streaming entry: define the watermark on the timestamp column, project
+    * to the typed event, sessionize. (The watermark node survives the
+    * projection — timeouts read the global per-batch watermark.)
+    */
+  def sessionizeStream(df: DataFrame, tsCol: String, gapUs: Long,
+                       watermark: String): Dataset[SessionOut] = {
+    import df.sparkSession.implicits._
+    val evs = df.withWatermark(tsCol, watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col("value").cast("double").as("value"),
+        col(tsCol).as("ts"))
+      .as[Ev]
+    sessionize(evs, gapUs)
+  }
+
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(user, s.start_us, s.end_us, s.n)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.end_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start_us, s.end_us, s.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            if (streaming) {
+              cur.foreach { s =>
+                state.update(s)
+                // fire once the watermark passes the session end + gap
+                state.setTimeoutTimestamp(s.end_us / 1000 + gapUs / 1000)
+              }
+            } else {
+              // batch: no further data can arrive — the trailing session is
+              // complete by definition, emit it now
+              cur.foreach(s => closed += SessionOut(user, s.start_us, s.end_us, s.n))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

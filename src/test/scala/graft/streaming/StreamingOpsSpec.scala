@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("windowedAgg aggregates tumbling event-time windows from a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedAgg(df, "ts", "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", "/root/repo/target/scratch/ckpt-win")
+      .start()
+    try {
+      in.addData((ts(1), "view", 1.0), (ts(3), "view", 2.0), (ts(12), "view", 4.0),
+        (ts(2), "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select(unix_seconds(col("window_start")), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set(
+        (0L, "view", 2L, 3.0), (10L, "view", 1L, 4.0), (0L, "click", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("batch sessionize splits on gaps and emits the trailing session") {
+    val evs = spark.createDataset(Seq(
+      StreamingOps.Ev(1L, 1000000L, 1.0),
+      StreamingOps.Ev(1L, 2000000L, 1.0),       // same session (1s gap)
+      StreamingOps.Ev(1L, 100000000L, 1.0),     // new session (98s > 60s gap)
+      StreamingOps.Ev(2L, 5000000L, 1.0)))
+    val out = StreamingOps.sessionize(evs, gapUs = 60L * 1000000)
+      .collect().map(s => (s.user_id, s.session_start_us, s.n_events)).toSet
+    assert(out == Set((1L, 1000000L, 2L), (1L, 100000000L, 1L), (2L, 5000000L, 1L)))
+  }
+
+  test("streaming sessionize: gap-closed sessions emit on arrival, idle ones on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingOps.sessionizeStream(df, "ts", gapUs = 60L * 1000000,
+      watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", "/root/repo/target/scratch/ckpt-sess")
+      .start()
+    try {
+      // batch 1: user 1 two events (one session), user 2 one event
+      in.addData((ts(100), 1L, 1.0), (ts(110), 1L, 1.0), (ts(105), 2L, 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 far-future event → closes user 1's first session by
+      // gap and advances the watermark far past user 2's timeout
+      in.addData((ts(10000), 1L, 1.0))
+      q.processAllAvailable()
+      // batch 3: unrelated user — its arrival lets the timeout sweep run
+      in.addData((ts(20000), 3L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000, r.getLong(3))).toSet
+      assert(got.contains((1L, 100L, 2L)), s"user 1 first session: $got")
+      assert(got.contains((2L, 105L, 1L)), s"user 2 timed-out session: $got")
+    } finally q.stop()
+  }
+}
