@@ -43,11 +43,13 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    println(line)
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), line + "\n")
     } catch { case _: Throwable => () }
+    // stop FIRST so no shutdown logging lands after the JSON — the driver
+    // reads the tail of stdout and the JSON line must be last
     spark.stop()
+    println(line)
   }
 }

@@ -57,26 +57,19 @@ object LlmPipeline extends QueryModule {
 
   private val dedupSimhashSql = SimHash.nearPairsSql("documents", "doc_id", "text")
 
-  // ---- exact n-gram Jaccard via inverted index (no LSH, still no all-pairs)
-  private val ExactJaccardThreshold = 0.2
+  // ---- exact n-gram Jaccard with prefix filtering (no LSH, no all-pairs) -
+  private val ExactJaccardThreshold = 0.5
 
-  /** Exact Jaccard-threshold pairs: candidates from the shingle inverted
-    * index (docs sharing ≥1 shingle), so the join is an equi-join on the
-    * shingle, never a cartesian. Known scale hazard: ultra-common shingles
-    * create hot join keys — mitigations are stopword-shingle removal or
-    * prefix filtering; AQE skew splitting covers moderate skew.
+  /** Exact Jaccard-threshold pairs via [[graft.operators.SetSimJoin]]:
+    * prefix filtering joins only on each doc's rarest shingles (lossless
+    * for J ≥ t), so hot common shingles never become join keys — the
+    * scalable exact counterpart to the probabilistic dedup_minhash_lsh.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = MinHashLsh.explodeShingles(
-      Tables.documents(spark, dir), "doc_id", "text", ShingleN)
-    val pairs = ex.select(col("id").as("a"), col("shingle"))
-      .join(ex.select(col("id").as("b"), col("shingle")), "shingle")
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
-    MinHashLsh.verifyJaccard(pairs, ex)
-      .where(col("jaccard_raw") >= ExactJaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
-  }
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin.jaccardPairs(
+      MinHashLsh.explodeShingles(
+        Tables.documents(spark, dir), "doc_id", "text", ShingleN),
+      ExactJaccardThreshold)
 
   private val ngramJaccardSql = {
     val w = graft.functions.TextFns.tokensSql("text")

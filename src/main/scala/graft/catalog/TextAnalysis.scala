@@ -159,12 +159,15 @@ object TextAnalysis extends QueryModule {
   private val FpK = 3
 
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val hashes = array_sort(transform(TextFns.shingles(toks, FpShingleN), s => md5(s)))
+    // tokens materialize as a column first — see MinHashLsh.explodeShingles
+    // for why inlining the token expression into the lambdas is O(tokens²)
+    val hashes = array_sort(transform(
+      TextFns.shingles(col("toks"), FpShingleN), s => md5(s)))
     val fallback = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        when(size(toks) >= FpShingleN,
+        when(size(col("toks")) >= FpShingleN,
           md5(concat_ws("|", slice(hashes, 1, FpK))))
           .otherwise(fallback).as("fingerprint"))
   }

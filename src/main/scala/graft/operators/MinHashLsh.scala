@@ -39,11 +39,19 @@ object MinHashLsh {
   val RowsPerBand = 3
   require(Bands * RowsPerBand == NumHashes)
 
-  /** (id, shingle): distinct word n-gram shingles per document. */
+  /** (id, shingle): distinct word n-gram shingles per document.
+    *
+    * Two-step projection on purpose: the token array materializes as a
+    * column BEFORE the shingle lambda touches it. Passing `tokens(text)`
+    * straight into [[TextFns.shingles]] would capture the split+filter
+    * expression tree inside the transform lambda, re-tokenizing the whole
+    * text for every element_at — O(tokens²) per document (measured: ~2×
+    * the whole dedup pipeline's cost at sf0.1).
+    */
   def explodeShingles(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(TextFns.shingles(TextFns.tokens(col(textCol)), n)).as("shingle"))
+    docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(TextFns.shingles(col("toks"), n)).as("shingle"))
 
   /** Per-id signature columns h0..h{NumHashes-1}. */
   def signatures(exploded: DataFrame): DataFrame = {

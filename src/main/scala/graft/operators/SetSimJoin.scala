@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact Jaccard-threshold self-join with PPJoin-style prefix filtering
+  * (no reference analog — the scalable exact path for near-dup joins).
+  *
+  * A naive inverted-index join pairs every two docs sharing ANY shingle —
+  * Σ_s df(s)² pairs, quadratic under hot shingles. Prefix filtering keeps
+  * exactness while joining only on each doc's RAREST shingles: order all
+  * shingles by (document frequency asc, shingle asc) — any consistent
+  * total order works, rarest-first minimizes join fan-out — and keep each
+  * doc's first |S| − ⌈t·|S|⌉ + 1 shingles. If J(A,B) ≥ t, the two prefixes
+  * must share a shingle (pigeonhole on the ⌈t·|S|⌉ overlap a qualifying
+  * pair needs), so no qualifying pair is lost; candidates then verify with
+  * the exact inverted-index Jaccard.
+  *
+  * Cost shape at scale: one df-count aggregate, one window for prefix
+  * ranks, one equi-join on rare shingles (AQE-skew-splittable), then
+  * verification proportional to the candidate count.
+  */
+object SetSimJoin {
+
+  /** (doc_a, doc_b, jaccard) pairs with exact Jaccard ≥ threshold, from an
+    * (id, shingle) exploded frame (distinct shingles per id).
+    */
+  def jaccardPairs(exploded: DataFrame, threshold: Double): DataFrame = {
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
+    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val prefix = exploded.join(docFreq, "shingle").join(sizes, "id")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "shingle")
+    val a = prefix.select(col("id").as("a"), col("shingle"))
+    val b = prefix.select(col("id").as("b"), col("shingle"))
+    val cand = a.join(b, "shingle").where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    MinHashLsh.verifyJaccard(cand, exploded)
+      .where(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+}
