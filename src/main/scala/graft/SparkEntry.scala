@@ -20,6 +20,7 @@ object SparkEntry {
     AggregateFramework,
     IoCatalog,
     MiscOps,
+    MrFacade,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)
