@@ -21,6 +21,7 @@ object SparkEntry {
     IoCatalog,
     MiscOps,
     MrFacade,
+    Extras,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

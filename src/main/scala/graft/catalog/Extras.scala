@@ -1,0 +1,127 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Scratch, Tables}
+import graft.functions.PortableHash
+import graft.operators.TotalOrderSort
+
+/** Remaining example-catalog entries: the multi-job DAG, the pi estimator,
+  * and the MapFile point-lookup idiom.
+  */
+object Extras extends QueryModule {
+
+  // ---- monsterQuery: the 3-stage chained-MR DAG ---------------------------
+  /** gridmix2's "monsterQuery" is three chained MapReduce jobs, each
+    * materializing to HDFS before the next starts
+    * (reference: gridmix2/.../GridMixRunner.java:230-275; multi-job DAGs via
+    * mapred/jobcontrol/JobControl.java). Here the whole DAG is ONE
+    * declarative plan — stage 1 (per-customer aggregate), stage 2 (join to
+    * orders + filter), stage 3 (re-aggregate + global top-k) — with zero
+    * intermediate materialization: Catalyst pipelines all three stages and
+    * the only barriers are the two shuffles the semantics require.
+    */
+  def monsterQuery(spark: SparkSession, dir: String): DataFrame = {
+    // stage 1: per-customer order stats
+    val stage1 = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+    // stage 2: join back to customers, keep the busy ones
+    val stage2 = stage1
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("n_orders") >= 10)
+    // stage 3: per-segment rollup + deterministic top-5 by spend
+    stage2.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_busy_customers"),
+        round(sum(col("total_spend")), 2).as("segment_spend"))
+      .orderBy(col("segment_spend").desc, col("c_mktsegment"))
+      .limit(5)
+  }
+
+  private val monsterQuerySql =
+    """WITH stage1 AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    round(sum(o_totalprice), 2) AS total_spend
+      |  FROM orders GROUP BY o_custkey
+      |), stage2 AS (
+      |  SELECT * FROM stage1 JOIN customer ON o_custkey = c_custkey
+      |  WHERE n_orders >= 10
+      |)
+      |SELECT c_mktsegment, count(*) AS n_busy_customers,
+      |  round(sum(total_spend), 2) AS segment_spend
+      |FROM stage2 GROUP BY c_mktsegment
+      |ORDER BY segment_spend DESC, c_mktsegment
+      |LIMIT 5""".stripMargin
+
+  // ---- pi estimator -------------------------------------------------------
+  private val PiSamples = 100000L
+
+  /** Monte-Carlo pi (reference: examples/PiEstimator.java:75-138 — Halton
+    * quasi-random points, map counts inside/outside, one reducer sums).
+    * Points here derive from the portable hash so the oracle reproduces the
+    * sample stream exactly; generation is `spark.range` — embarrassingly
+    * parallel, one partial-sum aggregate, no reducer bottleneck.
+    */
+  def piEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val denom = lit((1L << 48).toDouble)
+    val x = PortableHash.h48(concat_ws(":", lit("pix"), col("id"))).cast("double") / denom
+    val y = PortableHash.h48(concat_ws(":", lit("piy"), col("id"))).cast("double") / denom
+    spark.range(PiSamples)
+      .select(when(x * x + y * y <= 1.0, 1L).otherwise(0L).as("inside"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("inside")).as("n_inside"),
+        round(sum(col("inside")).cast("double") * 4 / count(lit(1)), 6).as("pi_estimate"))
+  }
+
+  private val piEstimateSql = {
+    val hx = PortableHash.h48Sql("'pix:' || i")
+    val hy = PortableHash.h48Sql("'piy:' || i")
+    s"""WITH v AS (
+       |  SELECT $hx::DOUBLE / 281474976710656.0 AS x,
+       |         $hy::DOUBLE / 281474976710656.0 AS y
+       |  FROM generate_series(0, ${PiSamples - 1}) t(i)
+       |), pts AS (
+       |  SELECT CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END AS inside
+       |  FROM v
+       |)
+       |SELECT count(*) AS n_samples, sum(inside)::BIGINT AS n_inside,
+       |  round(sum(inside)::DOUBLE * 4 / count(*), 6) AS pi_estimate
+       |FROM pts""".stripMargin
+  }
+
+  // ---- MapFile: sorted+indexed sink with point lookup ---------------------
+  private val LookupKeys = Seq(42L, 4242L, 424242L)
+
+  /** The MapFile idiom (reference: io/MapFile.java sorted data + index;
+    * mapred/MapFileOutputFormat.getEntry:82-107 picks the partition by the
+    * job's partitioner and binary-searches it): write range-partitioned
+    * globally-SORTED parquet (each file covers a contiguous key range —
+    * parquet row-group min/max stats are the "index"), then point-lookup a
+    * key set; the filter prunes to the one file and row groups whose range
+    * covers each key.
+    */
+  def mapfileLookup(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("mapfile_lookup", dir)
+    TotalOrderSort.sort(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")),
+      Seq(col("o_orderkey")))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .where(col("o_orderkey").isin(LookupKeys: _*))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  private val mapfileLookupSql =
+    s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+       |FROM orders WHERE o_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("monster_query", monsterQuery, Some(monsterQuerySql)),
+    QueryDef("pi_estimate", piEstimate, Some(piEstimateSql)),
+    QueryDef("mapfile_lookup", mapfileLookup, Some(mapfileLookupSql)),
+  )
+}
