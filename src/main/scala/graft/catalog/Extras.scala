@@ -119,9 +119,36 @@ object Extras extends QueryModule {
     s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
        |FROM orders WHERE o_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
 
+  // ---- bloom filter (util/bloom/BloomFilter.java; BloomMapFile) -----------
+  /** Build a bloom filter over customer keys, probe every order's customer
+    * — the reference's BloomMapFile / DynamicBloomFilter membership idiom
+    * (reference: src/core/org/apache/hadoop/util/bloom/BloomFilter.java).
+    * The oracle checks the no-false-negative invariant (every true member
+    * probes positive — the bloom contract); the false-positive RATE is
+    * implementation-defined and asserted in the ScalaTest spec instead.
+    * The one-row filter broadcasts to the probe side — at 100 TB this is
+    * the shippable-side-structure pattern (a semi-join reduced to a scan).
+    */
+  def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    // df.stat.bloomFilter is the public sketch builder (a distributed
+    // aggregate under the hood); the built filter broadcasts to probes
+    val bf = Tables.customer(spark, dir).stat
+      .bloomFilter("c_custkey", expectedNumItems = 200000, fpp = 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+      .select(when(mightContain(col("o_custkey")), 1L).otherwise(0L).as("hit"))
+      .agg(count(lit(1)).as("n_probed"), sum(col("hit")).as("n_positive"))
+  }
+
+  private val bloomFilterSql =
+    """SELECT count(*) AS n_probed, count(*) AS n_positive
+      |FROM (SELECT DISTINCT o_custkey FROM orders)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("monster_query", monsterQuery, Some(monsterQuerySql)),
     QueryDef("pi_estimate", piEstimate, Some(piEstimateSql)),
     QueryDef("mapfile_lookup", mapfileLookup, Some(mapfileLookupSql)),
+    QueryDef("bloom_filter", bloomFilter, Some(bloomFilterSql)),
   )
 }
