@@ -1,0 +1,63 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the scale-design invariants the DuckDB oracle
+  * cannot see. Each checks the optimized/physical plan TEXT for the
+  * property that makes (or would break) the operator at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("banded dedup candidates come from equi-joins — never a cartesian") {
+    val p = plan(LlmPipeline.dedupMinhashLsh(spark, dir))
+    assert(!p.contains("CartesianProduct"), "minhash LSH plan has a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "minhash LSH plan has a nested loop")
+    val p2 = plan(LlmPipeline.dedupSimhash(spark, dir))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "simhash plan is not bucket-joined")
+  }
+
+  test("prefix-filtered jaccard joins on shingles, not all pairs") {
+    val p = plan(LlmPipeline.ngramJaccard(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ann_lsh is an equi-join on buckets; brute force is the only nested loop") {
+    assert(!plan(LlmPipeline.annLsh(spark, dir)).contains("NestedLoop"))
+    // the brute-force baseline is EXPECTED to broadcast-nested-loop
+    assert(plan(LlmPipeline.annTopK(spark, dir)).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("selective filters reach the parquet scan (pushdown)") {
+    val p = plan(Analytics.q3TopRevenue(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in q3 scan")
+  }
+
+  test("column pruning: token_count reads only the columns it uses") {
+    val p = plan(TextAnalysis.tokenCount(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text") && readSchema.contains("source"))
+    assert(!readSchema.contains("lang"), "token_count scan reads unused column lang")
+  }
+
+  test("total-order sort range-partitions (no single-reducer funnel)") {
+    // assert on the sorted frame itself: rank()'s zipWithIndex pass crosses
+    // an RDD boundary, so the final frame's plan shows only the RDD scan
+    import org.apache.spark.sql.functions.col
+    val sorted = graft.operators.TotalOrderSort.sort(
+      graft.core.Tables.lineitem(spark, dir), Seq(col("l_orderkey")))
+    assert(plan(sorted).toLowerCase.contains("rangepartitioning"),
+      "total-order sort is not range partitioned")
+  }
+
+  test("q1 aggregates partially before the shuffle (combiner analog)") {
+    val p = plan(Analytics.q1Agg(spark, dir))
+    assert(p.contains("HashAggregate"), "q1 lost hash aggregation")
+    assert(p.contains("Exchange hashpartitioning"), "q1 missing keyed exchange")
+  }
+}
