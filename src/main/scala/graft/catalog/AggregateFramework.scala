@@ -99,6 +99,29 @@ object AggregateFramework extends QueryModule {
        |  top AS top_items
        |FROM stats""".stripMargin
 
+  // ---- double/string aggregator types -------------------------------------
+  /** The remaining builtin aggregator types over events: DoubleValueSum of
+    * the metric, StringValueMax/Min of the (stringified) user id — the
+    * types aggregate_wordcount's long-only dispatch doesn't reach.
+    */
+  def aggregateDoubleString(spark: SparkSession, dir: String): DataFrame = {
+    val b = ValueAggregators.builtins
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("user_id"),
+        col("user_id").cast("string").as("u"))
+      .groupBy("event_type")
+      .agg(round(b("DoubleValueSum")(col("value")), 2).as("double_sum"),
+        b("StringValueMax")(col("u")).as("str_max"),
+        b("StringValueMin")(col("u")).as("str_min"),
+        b("LongValueMax")(col("user_id")).as("long_max"))
+  }
+
+  private val aggregateDoubleStringSql =
+    """SELECT event_type, round(sum(value), 2) AS double_sum,
+      |  max(user_id::VARCHAR) AS str_max, min(user_id::VARCHAR) AS str_min,
+      |  max(user_id) AS long_max
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- uniq_value_count ---------------------------------------------------
   private val UniqCap = 10
 
@@ -151,6 +174,7 @@ object AggregateFramework extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("aggregate_wordcount", aggregateWordcount, Some(aggregateWordcountSql)),
+    QueryDef("aggregate_double_string", aggregateDoubleString, Some(aggregateDoubleStringSql)),
     QueryDef("aggregate_wordhist", aggregateWordhist, Some(aggregateWordhistSql)),
     QueryDef("uniq_value_count", uniqValueCount, Some(uniqValueCountSql)),
     QueryDef("value_histogram", valueHistogram, Some(valueHistogramSql)),

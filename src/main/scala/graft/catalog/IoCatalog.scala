@@ -94,6 +94,33 @@ object IoCatalog extends QueryModule {
       |  round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- MultipleOutputs named side outputs ---------------------------------
+  /** Two named, independently-filtered side outputs from one cached pass
+    * (reference: mapred/lib/MultipleOutputs.java:283 addNamedOutput), read
+    * back per name and summarized — green proves both physical outputs.
+    */
+  def multipleOutputsNamed(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("multiple_outputs_named", dir)
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val outs = MultiSink.writeNamed(src, Map(
+      "open" -> (col("o_orderstatus") === "O"),
+      "final" -> (col("o_orderstatus") === "F")), path)
+    outs.toSeq.sortBy(_._1).map { case (name, p) =>
+      spark.read.parquet(p)
+        .agg(lit(name).as("output"), count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val multipleOutputsNamedSql =
+    """SELECT 'final' AS output, count(*) AS cnt,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT 'open', count(*), round(sum(o_totalprice), 2)
+      |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
   // ---- JDBC round trip (DBInputFormat/DBOutputFormat via Derby) -----------
   /** The reference's dbcount made real: aggregate pageviews, write them to
     * a JDBC table, read them back PARTITIONED (bounded-range queries), and
@@ -125,6 +152,7 @@ object IoCatalog extends QueryModule {
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("multiple_outputs_write", multipleOutputsWrite, Some(multipleOutputsWriteSql)),
+    QueryDef("multiple_outputs_named", multipleOutputsNamed, Some(multipleOutputsNamedSql)),
     QueryDef("jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
   )
 }

@@ -33,10 +33,14 @@ object SetSimJoin {
     val prefix = exploded.join(docFreq, "shingle").join(sizes, "id")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "shingle")
-    val a = prefix.select(col("id").as("a"), col("shingle"))
-    val b = prefix.select(col("id").as("b"), col("shingle"))
-    val cand = a.join(b, "shingle").where(col("a") < col("b"))
+      .select("id", "shingle", "n")
+    val a = prefix.select(col("id").as("a"), col("shingle"), col("n").as("na"))
+    val b = prefix.select(col("id").as("b"), col("shingle"), col("n").as("nb"))
+    // size filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t — prunes
+    // mismatched-size candidates before the expensive verification join
+    val cand = a.join(b, "shingle").where(col("a") < col("b") &&
+        col("nb") >= ceil(lit(threshold) * col("na")) &&
+        col("na") >= ceil(lit(threshold) * col("nb")))
       .select("a", "b").distinct()
     MinHashLsh.verifyJaccard(cand, exploded)
       .where(col("jaccard_raw") >= threshold)

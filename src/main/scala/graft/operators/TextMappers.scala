@@ -10,10 +10,10 @@ object TextMappers {
 
   /** Whitespace tokenization, dropping empty tokens — StringTokenizer
     * semantics (reference: examples/WordCount.java:25-33,
-    * mapred/lib/TokenCountMapper.java:41).
+    * mapred/lib/TokenCountMapper.java:41). One definition engine-wide:
+    * delegates to [[graft.functions.TextFns.tokens]].
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), w => w =!= lit(""))
+  def tokens(text: Column): Column = graft.functions.TextFns.tokens(text)
 
   /** WordCount: tokenize → per-token count. Partial aggregation (the
     * reference's combiner, mapred/MapTask.java:1271) happens automatically
