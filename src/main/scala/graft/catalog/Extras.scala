@@ -145,7 +145,75 @@ object Extras extends QueryModule {
     """SELECT count(*) AS n_probed, count(*) AS n_positive
       |FROM (SELECT DISTINCT o_custkey FROM orders)""".stripMargin
 
+  // ---- set operations (additive: absent in the reference, SURVEY §2.5) ----
+  /** intersect/except over customer-key slices — the set ops the reference
+    * could only hand-roll in reducers.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val fCusts = ord.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val oCusts = ord.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = fCusts.intersect(oCusts).agg(count(lit(1)).as("n")).
+      select(lit("both").as("op"), col("n"))
+    val onlyF = fCusts.except(oCusts).agg(count(lit(1)).as("n"))
+      .select(lit("only_f").as("op"), col("n"))
+    both.unionByName(onlyF)
+  }
+
+  private val setOpsSql =
+    """SELECT 'both' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'only_f', count(*) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin
+
+  // ---- end-to-end curation pipeline ---------------------------------------
+  private val PipeMinChars = 100
+  private val PipeDedupThreshold = 0.9
+
+  /** A full training-data curation pass in ONE declarative plan:
+    * language/length filter → near-dup removal (keep the lower doc_id of
+    * each MinHash-LSH pair) → per-source token budget. The stages the
+    * reference would chain through temp dirs compose here as subplans, so
+    * Catalyst prunes/pushes across stage boundaries.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    import graft.operators.MinHashLsh
+    val docs = Tables.documents(spark, dir)
+    val dupLosers = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 3,
+      PipeDedupThreshold).select(col("doc_b").as("doc_id")).distinct()
+    docs.where(col("lang") === "en" && col("n_chars") >= PipeMinChars)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("tokens"))
+  }
+
+  private val pipelineE2eSql = {
+    import graft.functions.TextFns
+    import graft.operators.MinHashLsh
+    val pairs = MinHashLsh.nearDupSql("documents", "doc_id", "text", 3,
+      PipeDedupThreshold)
+    s"""WITH dup_pairs AS (
+       |$pairs
+       |), keep AS (
+       |  SELECT * FROM documents
+       |  WHERE lang = 'en' AND n_chars >= $PipeMinChars
+       |    AND doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(len(${TextFns.tokensSql("text")}))::BIGINT AS tokens
+       |FROM keep GROUP BY source""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("set_ops", setOps, Some(setOpsSql)),
+    QueryDef("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("monster_query", monsterQuery, Some(monsterQuerySql)),
     QueryDef("pi_estimate", piEstimate, Some(piEstimateSql)),
     QueryDef("mapfile_lookup", mapfileLookup, Some(mapfileLookupSql)),

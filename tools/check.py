@@ -23,7 +23,10 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 9)
+                # round to 12 significant digits, not 9 decimals: for
+                # magnitudes above ~1e7 a 1-ULP engine difference survives
+                # decimal-place rounding and causes a spurious FAIL
+                v = float(f"{v:.12g}")
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
