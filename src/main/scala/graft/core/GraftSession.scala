@@ -22,6 +22,9 @@ object GraftSession {
   def builder(cpus: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      // engine-native Catalyst extensions (SURVEY §4: the one custom
+      // Expression — the fused portable hash, as SQL fn md5_hash48)
+      .withExtensions(_.injectFunction(graft.functions.Md5Hash48.registration))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -23,10 +23,11 @@ object PortableHash {
   /** 48-bit non-negative integer hash: first 12 hex chars of md5.
     * 48 bits keeps every derived product/sum well inside the 2^53 double
     * range, so oracle engines that promote integers through doubles stay
-    * exact.
+    * exact. Computed by the fused codegen expression [[Md5Hash48]]
+    * (value-identical to `conv(substring(md5(c), 1, 12), 16, 10)` — the
+    * equivalence is property-tested).
     */
-  def h48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  def h48(c: Column): Column = call_function("md5_hash48", c)
 
   /** Seeded variant: h48 of "seed:value". */
   def h48(c: Column, seed: Int): Column =
