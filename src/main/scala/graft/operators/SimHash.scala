@@ -7,10 +7,14 @@ import graft.functions.{PortableHash, TextFns}
 
 /** 48-bit SimHash near-duplicate fingerprinting.
   *
-  * fingerprint(doc) = Σ_b 2^b · [ Σ_{t ∈ distinct tokens} (bit_b(h48(t)) ? +1 : −1) ≥ 0 ]
+  * fingerprint(doc) = Σ_b 2^b · [ Σ_{s ∈ distinct 2-gram shingles} (bit_b(h48(s)) ? +1 : −1) ≥ 0 ]
   *
-  * Two docs with the same token set get the same fingerprint; small set
-  * edits flip few bits, so near-dups sit within a small Hamming radius.
+  * Features are word BIGRAMS, not bare tokens: token-set features collapse
+  * on corpora where most documents share a vocabulary (every pair becomes
+  * a near-dup candidate — the degenerate all-pairs case), while bigrams
+  * carry word order, so only genuinely similar texts land within a small
+  * Hamming radius. Two docs with the same bigram set get the same
+  * fingerprint; small edits flip few bits.
   *
   * Scale design: one narrow (id, token) explode, ONE groupBy(id) computing
   * all 48 bit-sums as parallel agg columns (map-side partial agg free), then
@@ -30,10 +34,15 @@ object SimHash {
   val BandBits: Int = Bits / Bands // 12
   val MaxHamming: Int = Bands - 1  // banding is lossless up to this radius
 
-  /** (id, fingerprint): 48-bit SimHash per document. */
+  val FeatureN = 2 // word-bigram features
+
+  /** (id, fingerprint): 48-bit SimHash per document. Docs with fewer than
+    * [[FeatureN]] tokens have no features and drop out (oracle mirrors).
+    */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
+    val toks = docs
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(TextFns.shingles(col("toks"), FeatureN)).as("tok"))
     val h = toks.withColumn("h", PortableHash.h48(col("tok")))
     val bitSums = (0 until Bits).map(b =>
       sum(when(PortableHash.bit(col("h"), b) === 1, 1).otherwise(-1)).as(s"s$b"))
@@ -75,9 +84,13 @@ object SimHash {
   def nearPairsSql(table: String, id: String, text: String,
                    maxDist: Int = MaxHamming): String = {
     val w = TextFns.tokensSql(text)
+    val sh = TextFns.shinglesSql("w", FeatureN)
     val h = PortableHash.h48Sql("tok")
     s"""WITH toks AS (
-       |  SELECT $id AS id, unnest(list_distinct($w)) AS tok FROM $table
+       |  SELECT id, unnest(shingles) AS tok FROM (
+       |    SELECT $id AS id, $sh AS shingles
+       |    FROM (SELECT $id, $w AS w FROM $table)
+       |    WHERE len(w) >= $FeatureN)
        |), hashes AS (
        |  SELECT id, $h AS h FROM toks
        |), bitsums AS (
