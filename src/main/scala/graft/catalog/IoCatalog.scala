@@ -58,6 +58,46 @@ object IoCatalog extends QueryModule {
   private val seqfileRoundtripSql =
     "SELECT doc_id, len(text) AS n_chars FROM documents"
 
+  // ---- binary SequenceFile round trip (SequenceFileAsBinary*Format) -------
+  /** Opaque binary payloads through the container: key = UTF-8 bytes of the
+    * doc id, value = raw text bytes; read back and verified by decoding —
+    * proves the format carries arbitrary bytes uncorrupted.
+    */
+  def seqfileBinaryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("seqfile_binary_roundtrip", dir)
+    SequenceFileIO.writeBinary(
+      Tables.documents(spark, dir).select(
+        encode(col("doc_id").cast("string"), "UTF-8").as("k"),
+        encode(col("text"), "UTF-8").as("v")), path)
+    SequenceFileIO.readBinary(spark, path)
+      .select(decode(col("key"), "UTF-8").cast("long").as("doc_id"),
+        length(col("value")).as("n_bytes"))
+  }
+
+  private val seqfileBinaryRoundtripSql =
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+
+  // ---- many-small-files scan (multifilewc / CombineFileInputFormat) -------
+  /** Wordcount over a directory of MANY small text files: the write fans
+    * out to 40 part files, the read-back scan packs them into few
+    * partitions (`spark.sql.files.openCostInBytes` accounting — the
+    * CombineFileInputFormat behavior, built in). Green proves the packed
+    * scan loses no records (reference: examples/MultiFileWordCount.java).
+    */
+  def multifileWordcount(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("multifile_wordcount", dir)
+    Tables.documents(spark, dir).select(col("text"))
+      .repartition(40)
+      .write.mode("overwrite").text(path)
+    graft.operators.TextMappers.wordCount(spark.read.text(path), "value")
+  }
+
+  private val multifileWordcountSql =
+    s"""SELECT word, count(*) AS cnt
+       |FROM (SELECT unnest(${graft.functions.TextFns.tokensSql("text")}) AS word
+       |      FROM documents)
+       |GROUP BY word""".stripMargin
+
   // ---- CSV sink round trip (TextOutputFormat csv flavor) ------------------
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = Scratch.dir("csv_roundtrip", dir)
@@ -150,6 +190,8 @@ object IoCatalog extends QueryModule {
     QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
+    QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
+    QueryDef("multifile_wordcount", multifileWordcount, Some(multifileWordcountSql)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("multiple_outputs_write", multipleOutputsWrite, Some(multipleOutputsWriteSql)),
     QueryDef("multiple_outputs_named", multipleOutputsNamed, Some(multipleOutputsNamedSql)),

@@ -33,4 +33,23 @@ object SequenceFileIO {
     import spark.implicits._
     spark.sparkContext.sequenceFile[Long, String](path).toDF("key", "value")
   }
+
+  /** Binary passthrough (SequenceFileAsBinaryInput/OutputFormat): raw
+    * (BytesWritable, BytesWritable) records — payloads cross the format
+    * untouched, no charset anywhere.
+    */
+  def writeBinary(df: DataFrame, path: String): Unit = {
+    val rdd = df.rdd.map(r =>
+      (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    rdd.saveAsSequenceFile(path)
+  }
+
+  def readBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[Array[Byte], Array[Byte]](path)
+      .toDF("key", "value")
+  }
 }
