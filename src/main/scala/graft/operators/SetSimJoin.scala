@@ -33,14 +33,23 @@ object SetSimJoin {
     val prefix = exploded.join(docFreq, "shingle").join(sizes, "id")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "shingle", "n")
-    val a = prefix.select(col("id").as("a"), col("shingle"), col("n").as("na"))
-    val b = prefix.select(col("id").as("b"), col("shingle"), col("n").as("nb"))
-    // size filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t — prunes
-    // mismatched-size candidates before the expensive verification join
+      .select("id", "shingle", "n", "pos")
+    val a = prefix.select(col("id").as("a"), col("shingle"),
+      col("n").as("na"), col("pos").as("pa"))
+    val b = prefix.select(col("id").as("b"), col("shingle"),
+      col("n").as("nb"), col("pos").as("pb"))
+    // size filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t; positional filter
+    // (PPJoin): J ≥ t needs overlap ≥ t(|A|+|B|)/(1+t), and a match at
+    // prefix positions (pa, pb) bounds the remaining overlap by
+    // min(na−pa, nb−pb)+1 — lossless, because the pair's FIRST shared
+    // prefix element always carries the loosest bound (ties in the global
+    // order can't reorder shared elements between the two docs)
+    val posBound = (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+      lit(1.0 + threshold) >= lit(threshold) * (col("na") + col("nb")) - lit(1e-9)
     val cand = a.join(b, "shingle").where(col("a") < col("b") &&
         col("nb") >= ceil(lit(threshold) * col("na")) &&
-        col("na") >= ceil(lit(threshold) * col("nb")))
+        col("na") >= ceil(lit(threshold) * col("nb")) &&
+        posBound)
       .select("a", "b").distinct()
     MinHashLsh.verifyJaccard(cand, exploded)
       .where(col("jaccard_raw") >= threshold)
