@@ -134,6 +134,70 @@ object IoCatalog extends QueryModule {
       |  round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- compressed text round trip (io/compress codecs) --------------------
+  /** Gzip-compressed line sink + transparent decompressing scan — the
+    * reference's codec factory surface (reference:
+    * io/compress/CompressionCodecFactory.java, GzipCodec; TextOutputFormat
+    * optional codec). Note gzip files are NOT splittable — one task per
+    * file on read, so writers control read parallelism by file count
+    * (same operational rule as the reference).
+    */
+  def compressedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("compressed_roundtrip", dir)
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang")).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(path)
+    TextIO.readKv(spark, path, "\t")
+      .select(col("k").cast("long").as("doc_id"), col("v").as("lang"))
+  }
+
+  private val compressedRoundtripSql =
+    "SELECT doc_id, lang FROM documents"
+
+  // ---- bucketed co-located join (CompositeInputFormat co-partitioning) ----
+  /** Both sides written bucketed+sorted on the join key, then joined: the
+    * sort-merge join consumes bucket files directly — NO shuffle exchange
+    * on either side (asserted in PlanSpec). This is the reference's
+    * map-side join precondition (reference:
+    * mapred/join/CompositeInputFormat.java:115-118 — co-partitioned,
+    * same-sorted inputs) as Spark bucketed tables, and the pattern that
+    * amortizes one shuffle across every future join at 100 TB.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val (to, tl) = (s"g_orders_$key", s"g_lineitem_$key")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // directories persist — saveAsTable then fails LOCATION_ALREADY_EXISTS
+    // on a fresh session, so drop both catalog entry AND stale location
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(to, tl).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/${t.toLowerCase}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable(to)
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable(tl)
+    bucketedJoinPlan(spark, to, tl)
+  }
+
+  /** The join itself, reusable for plan assertions. */
+  def bucketedJoinPlan(spark: SparkSession, ordersTable: String,
+                       lineitemTable: String): DataFrame =
+    spark.table(ordersTable)
+      .join(spark.table(lineitemTable),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+
+  private val bucketedJoinSql =
+    """SELECT o_orderstatus, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus""".stripMargin
+
   // ---- MultipleOutputs named side outputs ---------------------------------
   /** Two named, independently-filtered side outputs from one cached pass
     * (reference: mapred/lib/MultipleOutputs.java:283 addNamedOutput), read
@@ -193,6 +257,8 @@ object IoCatalog extends QueryModule {
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
     QueryDef("multifile_wordcount", multifileWordcount, Some(multifileWordcountSql)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("compressed_roundtrip", compressedRoundtrip, Some(compressedRoundtripSql)),
+    QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("multiple_outputs_write", multipleOutputsWrite, Some(multipleOutputsWriteSql)),
     QueryDef("multiple_outputs_named", multipleOutputsNamed, Some(multipleOutputsNamedSql)),
     QueryDef("jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),

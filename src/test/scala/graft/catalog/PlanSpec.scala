@@ -55,6 +55,26 @@ class PlanSpec extends SparkSpec {
       "total-order sort is not range partitioned")
   }
 
+  test("bucketed join consumes bucket files with no shuffle on either side") {
+    // write the bucketed tables once (same path the catalog query takes)
+    IoCatalog.bucketedJoin(spark, dir).collect()
+    val key = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    // forbid broadcast so the assertion can't pass vacuously at tiny SF —
+    // the point is the SHUFFLE-free sort-merge join over bucket files
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(s"g_orders_$key")
+        .join(spark.table(s"g_lineitem_$key"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q1 aggregates partially before the shuffle (combiner analog)") {
     val p = plan(Analytics.q1Agg(spark, dir))
     assert(p.contains("HashAggregate"), "q1 lost hash aggregation")
