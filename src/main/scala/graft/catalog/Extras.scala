@@ -119,6 +119,51 @@ object Extras extends QueryModule {
     s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
        |FROM orders WHERE o_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
 
+  // ---- skew mitigation: salting -------------------------------------------
+  private val Salts = 16
+
+  /** Two-phase salted aggregation for hot keys: phase 1 aggregates
+    * (key, salt) — spreading each hot key over `Salts` reducers — phase 2
+    * merges the partials per key. Identical result to a direct groupBy;
+    * at 100 TB this is the fix when one key holds half the data and even
+    * AQE's skew handling can't split a single aggregation key.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
+    val partial = salted.groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 2).as("sum_value"))
+  }
+
+  private val saltedAggSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Salted broadcast-free join for a skewed fact side: the small dimension
+    * replicates once per salt value, the fact side salts deterministically,
+    * and the join key becomes (key, salt) — every hot key's rows spread
+    * over `Salts` tasks. Result identical to the plain join.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")))
+    val dimSalted = dim.crossJoin(
+      spark.range(Salts).select(col("id").cast("int").as("salt")))
+    val factSalted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
+    factSalted.join(dimSalted, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("weight")).as("weight"))
+  }
+
+  private val saltedJoinSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  length(event_type) AS weight
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- bloom filter (util/bloom/BloomFilter.java; BloomMapFile) -----------
   /** Build a bloom filter over customer keys, probe every order's customer
     * — the reference's BloomMapFile / DynamicBloomFilter membership idiom
@@ -218,5 +263,7 @@ object Extras extends QueryModule {
     QueryDef("pi_estimate", piEstimate, Some(piEstimateSql)),
     QueryDef("mapfile_lookup", mapfileLookup, Some(mapfileLookupSql)),
     QueryDef("bloom_filter", bloomFilter, Some(bloomFilterSql)),
+    QueryDef("salted_agg", saltedAgg, Some(saltedAggSql)),
+    QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
   )
 }
