@@ -121,6 +121,9 @@ object MinHashLsh {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double): DataFrame = {
+    // the exploded frame feeds three subplans; measured: persisting it
+    // costs more than recomputing the narrow tokenize+explode (same
+    // finding as SetSimJoin.jaccardPairs), so recompute stands
     val ex = explodeShingles(docs, idCol, textCol, shingleN)
     val cand = candidates(bandKeys(signatures(ex)))
     verifyJaccard(cand, ex).where(col("jaccard_raw") >= threshold)
