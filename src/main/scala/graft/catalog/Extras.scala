@@ -119,6 +119,46 @@ object Extras extends QueryModule {
     s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
        |FROM orders WHERE o_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
 
+  // ---- nested type algebra (record DDL compiler: JRecord/JVector/JMap) ----
+  /** The reference's compiled nested records (SURVEY §1: record compiler
+    * JRecord/JVector/JMap → StructType/ArrayType/MapType) proven by a
+    * build → parquet round trip → navigate pass: per customer a struct of
+    * scalars, an array of order keys, and a map status→count; read back
+    * and flattened through field access, element access, and map lookup.
+    */
+  def nestedTypes(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("nested_types", dir)
+    val ord = Tables.orders(spark, dir)
+    val statusMap = ord.groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("o_orderstatus"), col("c"))))).as("status_counts"))
+    val nested = ord.groupBy(col("o_custkey"))
+      .agg(
+        struct(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("spend")).as("stats"),
+        sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .join(statusMap, "o_custkey")
+    nested.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).select(
+      col("o_custkey").as("custkey"),
+      col("stats.n").as("n_orders"),
+      col("stats.spend").as("spend"),
+      size(col("orderkeys")).as("n_keys"),
+      element_at(col("orderkeys"), 1).as("first_key"),
+      // try_: ANSI element_at throws on a missing map key, and a customer
+      // with no open orders is a legal input
+      try_element_at(col("status_counts"), lit("O")).as("n_open"))
+  }
+
+  private val nestedTypesSql =
+    """SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS spend,
+      |  count(*) AS n_keys, min(o_orderkey) AS first_key,
+      |  nullif(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_open
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   // ---- skew mitigation: salting -------------------------------------------
   private val Salts = 16
 
@@ -265,5 +305,6 @@ object Extras extends QueryModule {
     QueryDef("bloom_filter", bloomFilter, Some(bloomFilterSql)),
     QueryDef("salted_agg", saltedAgg, Some(saltedAggSql)),
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
+    QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
   )
 }

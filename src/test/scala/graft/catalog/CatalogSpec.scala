@@ -1,0 +1,29 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Catalog governance: the invariants the driver contract relies on. */
+class CatalogSpec extends AnyFunSuite {
+
+  private val defs = SparkEntry.modules.flatMap(_.defs)
+
+  test("query names are unique across modules") {
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
+  test("every query has a DuckDB oracle (no weaker rows-only checks)") {
+    val missing = defs.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
+  }
+
+  test("queries and oracleSql expose the same key set") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("headline set is a subset of the query set") {
+    assert(SparkEntry.headlines.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
