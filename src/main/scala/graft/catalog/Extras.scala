@@ -119,6 +119,22 @@ object Extras extends QueryModule {
     s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
        |FROM orders WHERE o_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
 
+  // ---- distributed backtracking search (examples/dancing) -----------------
+  /** Known-answer validation like the reference's own drivers: the puzzle
+    * has exactly one solution, computed by exhausting the search space
+    * across tasks (reference: examples/dancing/Sudoku.java prints it; our
+    * oracle asserts it — the PiEstimator known-constant pattern).
+    */
+  private val SudokuPuzzle =
+    "530070000600195000098000060800060003400803001700020006060000280000419005000080079"
+  private val SudokuSolution =
+    "534678912672195348198342567859761423426853791713924856961537284287419635345286179"
+
+  def sudoku(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSearch.solveSudoku(spark, SudokuPuzzle)
+
+  private val sudokuSql = s"SELECT '$SudokuSolution' AS solution"
+
   // ---- nested type algebra (record DDL compiler: JRecord/JVector/JMap) ----
   /** The reference's compiled nested records (SURVEY §1: record compiler
     * JRecord/JVector/JMap → StructType/ArrayType/MapType) proven by a
@@ -306,5 +322,6 @@ object Extras extends QueryModule {
     QueryDef("salted_agg", saltedAgg, Some(saltedAggSql)),
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
+    QueryDef("sudoku", sudoku, Some(sudokuSql)),
   )
 }
