@@ -119,6 +119,22 @@ object Extras extends QueryModule {
     s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
        |FROM orders WHERE o_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
 
+  // ---- rollup / cube (additive: SURVEY §2.4 "absent in reference") --------
+  /** Hierarchical totals in one pass — the reference would run one MR job
+    * per grouping level and a manual union.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("o_orderstatus"), col("order_year"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  private val rollupAggSql =
+    """SELECT o_orderstatus, year(o_orderdate) AS order_year,
+      |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))""".stripMargin
+
   // ---- distributed backtracking search (examples/dancing) -----------------
   /** Known-answer validation like the reference's own drivers: the puzzle
     * has exactly one solution, computed by exhausting the search space
@@ -323,5 +339,6 @@ object Extras extends QueryModule {
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
     QueryDef("sudoku", sudoku, Some(sudokuSql)),
+    QueryDef("rollup_agg", rollupAgg, Some(rollupAggSql)),
   )
 }
