@@ -144,9 +144,9 @@ object TextAnalysis extends QueryModule {
 
   private val tokenCountSql =
     s"""SELECT source, count(*) AS n_docs,
-       |  sum(len(${TextFns.tokensSql("text")})) AS ws_tokens,
-       |  sum(len(regexp_extract_all(text, '$BpePattern'))) AS bpe_tokens,
-       |  sum(len(text)) AS n_chars
+       |  sum(len(${TextFns.tokensSql("text")}))::BIGINT AS ws_tokens,
+       |  sum(len(regexp_extract_all(text, '$BpePattern')))::BIGINT AS bpe_tokens,
+       |  sum(len(text))::BIGINT AS n_chars
        |FROM documents GROUP BY source""".stripMargin
 
   // ---- document fingerprinting (min-k sketch) -----------------------------

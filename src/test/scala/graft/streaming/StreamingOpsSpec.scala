@@ -1,31 +1,53 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import org.scalatest.BeforeAndAfterAll
+
 import graft.SparkSpec
 
-class StreamingOpsSpec extends SparkSpec {
+class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
 
   private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // A stale checkpoint makes a fresh MemoryStream either throw or silently
+  // no-op (committed offsets past the new data) — every run gets its own dir.
+  private val checkpoints = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+
+  private def freshCheckpoint(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft-ckpt-$tag-")
+    checkpoints += dir
+    dir.toString
+  }
+
+  override def afterAll(): Unit = {
+    checkpoints.foreach { p =>
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    super.afterAll()
+  }
 
   test("windowedAgg aggregates tumbling event-time windows from a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
     val df = in.toDF().toDF("ts", "event_type", "value")
+    val sink = s"win_agg_${System.nanoTime()}"
     val q = StreamingOps.windowedAgg(df, "ts", "10 seconds", "5 seconds")
-      .writeStream.format("memory").queryName("win_agg")
+      .writeStream.format("memory").queryName(sink)
       .outputMode("complete")
-      .option("checkpointLocation", "/root/repo/target/scratch/ckpt-win")
+      .option("checkpointLocation", freshCheckpoint("win"))
       .start()
     try {
       in.addData((ts(1), "view", 1.0), (ts(3), "view", 2.0), (ts(12), "view", 4.0),
         (ts(2), "click", 8.0))
       q.processAllAvailable()
-      val rows = spark.table("win_agg")
+      val rows = spark.table(sink)
         .select(unix_seconds(col("window_start")), col("event_type"),
           col("n_events"), col("sum_value"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -49,11 +71,12 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
     val df = in.toDF().toDF("ts", "user_id", "value")
+    val sink = s"sessions_${System.nanoTime()}"
     val q = StreamingOps.sessionizeStream(df, "ts", gapUs = 60L * 1000000,
       watermark = "10 seconds")
-      .writeStream.format("memory").queryName("sessions")
+      .writeStream.format("memory").queryName(sink)
       .outputMode("append")
-      .option("checkpointLocation", "/root/repo/target/scratch/ckpt-sess")
+      .option("checkpointLocation", freshCheckpoint("sess"))
       .start()
     try {
       // batch 1: user 1 two events (one session), user 2 one event
@@ -66,7 +89,7 @@ class StreamingOpsSpec extends SparkSpec {
       // batch 3: unrelated user — its arrival lets the timeout sweep run
       in.addData((ts(20000), 3L, 1.0))
       q.processAllAvailable()
-      val got = spark.table("sessions")
+      val got = spark.table(sink)
         .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000, r.getLong(3))).toSet
       assert(got.contains((1L, 100L, 2L)), s"user 1 first session: $got")
       assert(got.contains((2L, 105L, 1L)), s"user 2 timed-out session: $got")
