@@ -151,6 +151,16 @@ object Extras extends QueryModule {
 
   private val sudokuSql = s"SELECT '$SudokuSolution' AS solution"
 
+  /** 6×10 pentomino tiling count (reference:
+    * examples/dancing/DistributedPentomino.java) through the same prefix
+    * fan-out; the oracle is the published 2339 distinct-solution constant —
+    * the known-answer pattern the reference's own drivers use.
+    */
+  def pentomino(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSearch.pentominoSolutions(spark)
+
+  private val pentominoSql = "SELECT 2339::BIGINT AS n_solutions"
+
   // ---- nested type algebra (record DDL compiler: JRecord/JVector/JMap) ----
   /** The reference's compiled nested records (SURVEY §1: record compiler
     * JRecord/JVector/JMap → StructType/ArrayType/MapType) proven by a
@@ -248,13 +258,18 @@ object Extras extends QueryModule {
     */
   def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
     // df.stat.bloomFilter is the public sketch builder (a distributed
-    // aggregate under the hood); the built filter broadcasts to probes
+    // aggregate under the hood); the serialized filter rides into the probe
+    // scan as a binary literal, and the probe is Spark's native codegen'd
+    // BloomFilterMightContain expression (no per-row UDF boundary) —
+    // registered as bloom_might_contain in GraftSession's extensions
     val bf = Tables.customer(spark, dir).stat
       .bloomFilter("c_custkey", expectedNumItems = 200000, fpp = 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val probe = call_function("bloom_might_contain",
+      lit(bytes.toByteArray), col("o_custkey"))
     Tables.orders(spark, dir).select(col("o_custkey")).distinct()
-      .select(when(mightContain(col("o_custkey")), 1L).otherwise(0L).as("hit"))
+      .select(when(probe, 1L).otherwise(0L).as("hit"))
       .agg(count(lit(1)).as("n_probed"), sum(col("hit")).as("n_positive"))
   }
 
@@ -339,6 +354,7 @@ object Extras extends QueryModule {
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
     QueryDef("sudoku", sudoku, Some(sudokuSql)),
+    QueryDef("pentomino", pentomino, Some(pentominoSql)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggSql)),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Scratch, Tables}
-import graft.sources.{JdbcIO, MultiSink, SequenceFileIO, TextIO}
+import graft.sources.{JdbcIO, MapFileIO, MultiSink, SequenceFileIO, TextIO}
 
 /** The non-parquet I/O surface, proven by write→read-back round trips:
   * every query here WRITES through a sink, READS the result back through
@@ -76,6 +76,69 @@ object IoCatalog extends QueryModule {
 
   private val seqfileBinaryRoundtripSql =
     "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+
+  // ---- BLOCK-compressed SequenceFile round trip ---------------------------
+  /** (doc_id, text) through a BLOCK-compressed SequenceFile (reference:
+    * io/SequenceFile.java:211 CompressionType.BLOCK): the query self-checks
+    * the on-disk header really says BLOCK before reading back through the
+    * transparent decompressing scan.
+    */
+  def seqfileBlockCompressed(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("seqfile_block_compressed", dir)
+    SequenceFileIO.writeBlockCompressed(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), path)
+    val ct = SequenceFileIO.compressionType(spark, path)
+    require(ct == org.apache.hadoop.io.SequenceFile.CompressionType.BLOCK,
+      s"expected BLOCK compression on disk, found $ct")
+    SequenceFileIO.read(spark, path)
+      .select(col("key").as("doc_id"), length(col("value")).as("n_chars"))
+  }
+
+  private val seqfileBlockCompressedSql =
+    "SELECT doc_id, len(text) AS n_chars FROM documents"
+
+  // ---- BZip2 text round trip (splittable compression) ---------------------
+  /** One bzip2 text file round-tripped (reference:
+    * io/compress/BZip2Codec.java — the one SPLITTABLE codec; gzip reads are
+    * single-task per file). The oracle compare proves decompression lost
+    * nothing; CompressionSpec proves multiple tasks can decode disjoint
+    * ranges of one .bz2 file (the splittability that matters at 100 TB).
+    */
+  def bzip2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("bzip2_roundtrip", dir)
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", col("doc_id"), col("source")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").option("compression", "bzip2").text(path)
+    TextIO.readKv(spark, path, "\t")
+      .select(col("k").cast("long").as("doc_id"), col("v").as("source"))
+  }
+
+  private val bzip2RoundtripSql =
+    "SELECT doc_id, source FROM documents"
+
+  // ---- MapFile on-disk format round trip ----------------------------------
+  private val MapFileKeys = Seq(7L, 42L, 101L)
+
+  /** Real MapFile directories (reference: io/MapFile.java data+index pair,
+    * mapred/MapFileOutputFormat.java one per partition): write customer
+    * through [[MapFileIO.write]], self-check the distributed data-file scan
+    * returns every row, then answer the query via index-seek point lookups
+    * ([[MapFileIO.get]]) — the getEntry() surface.
+    */
+  def mapfileFormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = Scratch.dir("mapfile_format_roundtrip", dir)
+    val src = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    MapFileIO.write(src, path)
+    val (back, total) = (MapFileIO.read(spark, path).count(), src.count())
+    require(back == total, s"MapFile scan returned $back of $total rows")
+    MapFileIO.get(spark, path, MapFileKeys).toDF("c_custkey", "c_name")
+  }
+
+  private val mapfileFormatRoundtripSql =
+    s"""SELECT c_custkey, c_name FROM customer
+       |WHERE c_custkey IN (${MapFileKeys.mkString(", ")})""".stripMargin
 
   // ---- many-small-files scan (multifilewc / CombineFileInputFormat) -------
   /** Wordcount over a directory of MANY small text files: the write fans
@@ -255,6 +318,9 @@ object IoCatalog extends QueryModule {
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
+    QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),
+    QueryDef("bzip2_roundtrip", bzip2Roundtrip, Some(bzip2RoundtripSql)),
+    QueryDef("mapfile_format_roundtrip", mapfileFormatRoundtrip, Some(mapfileFormatRoundtripSql)),
     QueryDef("multifile_wordcount", multifileWordcount, Some(multifileWordcountSql)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("compressed_roundtrip", compressedRoundtrip, Some(compressedRoundtripSql)),

@@ -18,14 +18,19 @@ import graft.sources.SequenceFileIO
 object MiscOps extends QueryModule {
 
   // ---- KeyFieldBasedComparator: -k sort over text fields ------------------
-  private val SortSpec = "3nr,2n" // price numeric desc, orderkey numeric asc
+  /** Full reference grammar incl. END positions
+    * (mapred/lib/KeyFieldHelper.java:31-40): chars 2..6 of the price field,
+    * numeric desc, then the whole orderkey field numeric asc (unique →
+    * deterministic ranks).
+    */
+  private val SortSpec = "-k3.2,3.6nr -k2,2n"
 
   def keyfieldSort(spark: SparkSession, dir: String): DataFrame = {
     val line = concat_ws(":", col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
     val fields = Tables.orders(spark, dir)
       .select(split(line, ":").as("w"))
     val ranked = TotalOrderSort.rank(fields,
-      KeyFieldSort.sortColumns(col("w"), SortSpec))
+      KeyFieldSort.sortColumnsK(col("w"), ":", SortSpec))
     ranked.select(
       element_at(col("w"), 1).cast("long").as("custkey"),
       element_at(col("w"), 2).cast("long").as("orderkey"),
@@ -40,7 +45,7 @@ object MiscOps extends QueryModule {
       |)
       |SELECT w[1]::BIGINT AS custkey, w[2]::BIGINT AS orderkey,
       |  w[3]::DOUBLE AS price,
-      |  row_number() OVER (ORDER BY w[3]::DOUBLE DESC, w[2]::DOUBLE) AS rn
+      |  row_number() OVER (ORDER BY substr(w[3], 2, 5)::DOUBLE DESC, w[2]::DOUBLE) AS rn
       |FROM f""".stripMargin
 
   // ---- KeyFieldBasedPartitioner: hash over selected fields ----------------

@@ -22,9 +22,13 @@ object GraftSession {
   def builder(cpus: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
-      // engine-native Catalyst extensions (SURVEY §4: the one custom
-      // Expression — the fused portable hash, as SQL fn md5_hash48)
-      .withExtensions(_.injectFunction(graft.functions.Md5Hash48.registration))
+      // engine-native Catalyst extensions (SURVEY §4): the one custom
+      // Expression (fused portable hash, SQL fn md5_hash48) plus a SQL
+      // registration for Spark's own BloomFilterMightContain probe
+      .withExtensions { ext =>
+        ext.injectFunction(graft.functions.Md5Hash48.registration)
+        ext.injectFunction(graft.functions.BloomProbe.registration)
+      }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * (sqrt, divide) in the same order everywhere. Quantization error is
   * ~1e-6 per component — far below any similarity threshold's noise floor.
   *
-  * Scale design: top-k broadcasts the (small) query set against the (huge)
-  * corpus — O(n·q) map-side work, one tiny shuffle for the per-query top-k
-  * (TakeOrdered-shaped window over query_id). The LSH variant replaces the
-  * broadcast nested loop with an equi-join on bucket id: candidates are
-  * generated only within buckets, trading recall for a shuffle-join plan
-  * that survives a billion-vector corpus.
+  * Scale design: brute-force top-k broadcasts the (small) query set against
+  * the (huge) corpus — O(n·q) map-side work, one tiny shuffle for the
+  * per-query top-k (TakeOrdered-shaped window over query_id). The SRP
+  * variants ([[srpPairs]], [[srpTopK]]) replace nested loops with equi-joins
+  * on (band, bucket-key): candidates are generated only within hash
+  * buckets, trading recall (the LSH S-curve) for join plans that survive a
+  * billion-vector corpus.
   */
 object VectorOps {
   val Scale = 1000000L
@@ -69,32 +70,95 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Sign-bucket id over the first `bits` components: bit i set iff
-    * component i ≥ 0. This is bit-sampling LSH for cosine — vectors at small
-    * angles agree on most coordinate signs.
-    */
-  def signBucket(vec: Column, bits: Int): Column =
-    (0 until bits).map(i =>
-      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  // ---- signed-random-projection (SRP) banded LSH --------------------------
 
-  def signBucketSql(vec: String, bits: Int): String =
-    "(" + (0 until bits).map(i =>
-      s"CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
-      .mkString(" + ") + ")"
-
-  /** LSH ANN: candidates share the query's sign bucket (equi-join, no
-    * broadcast, no all-pairs), then exact re-score and top-k per query.
+  /** Deterministic ±1 hyperplane components: sign(p, c) = +1 iff the first
+    * byte of md5("srp:p:c") is even. Rademacher (±1) hyperplanes are a
+    * standard sign-LSH family for cosine; the constants are baked into both
+    * the Spark plan and the oracle SQL as literals, so the two engines can't
+    * drift (no runtime hashing).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, bits: Int, k: Int): DataFrame = {
+  def srpSigns(planes: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until planes).map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until dim).map { c =>
+        md.reset()
+        if ((md.digest(s"srp:$p:$c".getBytes("UTF-8"))(0) & 1) == 0) 1L else -1L
+      }
+    }
+
+  /** array<struct<band, key>> of SRP bucket keys for a quantized vector:
+    * bit i of band j is the sign of the integer dot product with plane
+    * j·r + i. Integer math throughout — exact and portable. The caller must
+    * pass a MATERIALIZED qv column (see the HOF-lambda O(n²) trap on
+    * [[graft.operators.MinHashLsh.explodeShingles]]).
+    */
+  def srpBandKeys(qv: Column, r: Int, bands: Int, dim: Int): Column = {
+    val signs = srpSigns(bands * r, dim)
+    val structs = (0 until bands).map { b =>
+      val key = (0 until r).map { i =>
+        val dot = aggregate(
+          zip_with(qv, typedlit(signs(b * r + i)), (x, s) => x * s),
+          lit(0L), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    array(structs: _*)
+  }
+
+  /** Narrow (id, band, key) frame — one row per band per vector. */
+  private def bandFrame(v: DataFrame, id: String, qv: String, r: Int,
+                        bands: Int, dim: Int): DataFrame =
+    v.select(col(id), explode(srpBandKeys(col(qv), r, bands, dim)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Banded SRP threshold-pairs — the ENGINE path for embedding near-dup
+    * ([[cosinePairs]] is the brute-force oracle/test baseline). Candidate
+    * pairs share at least one of `bands` SRP bucket keys (equi-join on
+    * (band, key), never all-pairs), then an exact integer-cosine rescore
+    * keeps pairs ≥ threshold (unrounded). Precision is exact; recall follows
+    * the LSH S-curve 1 − (1 − p^r)^bands with p = 1 − angle/π.
+    *
+    * Parameter policy: put the S-curve midpoint (1/bands)^(1/r) at the
+    * target threshold's sign-agreement probability; r sets the bucket count
+    * (2^r per band) and must grow with log2(corpus size) at production
+    * scale. The catalog instance (r=6, bands=16) centers the curve at
+    * cosine ≈ 0.4 because this synthetic corpus's near-dups sit barely
+    * above random — the same data-pathology note as ngram_jaccard.
+    */
+  def srpPairs(vectors: DataFrame, idCol: String, vecCol: String,
+               r: Int, bands: Int, dim: Int, threshold: Double): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    val banded = bandFrame(v, "id", "qv", r, bands, dim)
+    val cand = banded.select(col("band"), col("key"), col("id").as("a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("b")),
+        Seq("band", "key"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    cand.join(v.select(col("id").as("a"), col("qv").as("va")), "a")
+      .join(v.select(col("id").as("b"), col("qv").as("vb")), "b")
+      .withColumn("cos_raw", cosineQ(col("va"), col("vb")))
+      .where(col("cos_raw") >= threshold)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
+
+  /** Multi-table SRP ANN — `bands` independent hash tables OR-combined:
+    * a candidate shares ≥ 1 bucket key with the query in any band, then
+    * exact rescore and top-k per query. Per-neighbor recall is the same
+    * S-curve as [[srpPairs]]; measured against [[bruteForceTopK]] ground
+    * truth in VectorOpsSpec.
+    */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, r: Int, bands: Int, dim: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = corpus.select(col(idCol).as("cand_id"),
-      quantize(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"),
-      quantize(col(vecCol)).as("qq"), signBucket(col(vecCol), bits).as("bucket"))
-    val scored = cand.join(q, "bucket")
+    val cand = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+    val pairs = bandFrame(cand, "cand_id", "qv", r, bands, dim)
+      .join(bandFrame(q, "query_id", "qq", r, bands, dim), Seq("band", "key"))
       .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val scored = pairs.join(cand, "cand_id").join(q, "query_id")
       .select(col("query_id"), col("cand_id"),
         round(cosineQ(col("qq"), col("qv")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
@@ -102,9 +166,66 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Exact cosine-threshold near-dup pairs; brute force (the baseline —
-    * documents the quadratic cost; the scale path is [[lshTopK]]-style
-    * bucketing). Filter is on the unrounded score.
+  // ---- DuckDB oracle twins for the SRP paths ------------------------------
+
+  /** VALUES rows `(plane_index, [±1, …])` mirroring [[srpSigns]]. */
+  def srpSignsSqlValues(planes: Int, dim: Int): String =
+    srpSigns(planes, dim).zipWithIndex
+      .map { case (s, i) => s"($i, [${s.mkString(", ")}])" }.mkString(", ")
+
+  /** Shared oracle CTE bodies: quantized vectors `v(id, qv)` and band keys
+    * `bk(id, band, key)` over `table`. */
+  private def srpBandSqlCtes(table: String, id: String, vec: String,
+                             r: Int, bands: Int, dim: Int): String =
+    s"""v AS (
+       |  SELECT $id AS id, ${quantizeSql(vec)} AS qv FROM $table
+       |), pl AS (
+       |  SELECT * FROM (VALUES ${srpSignsSqlValues(bands * r, dim)}) p(i, signs)
+       |), bits AS (
+       |  SELECT v.id, pl.i // $r AS band,
+       |    CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |      c -> pl.signs[c] * v.qv[c])) >= 0
+       |      THEN (1::BIGINT << (pl.i % $r)) ELSE 0 END AS bit
+       |  FROM v CROSS JOIN pl
+       |), bk AS (
+       |  SELECT id, band, sum(bit)::BIGINT AS key FROM bits GROUP BY id, band
+       |)""".stripMargin
+
+  /** DuckDB twin of [[srpPairs]]. */
+  def srpPairsSql(table: String, id: String, vec: String, r: Int, bands: Int,
+                  dim: Int, threshold: Double): String =
+    s"""WITH ${srpBandSqlCtes(table, id, vec, r, bands, dim)}, cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+       |), scored AS (
+       |  SELECT c.a, c.b, ${cosineQSql("va.qv", "vb.qv", dim)} AS cos_raw
+       |  FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b
+       |)
+       |SELECT a AS vec_a, b AS vec_b, round(cos_raw, 6) AS cosine
+       |FROM scored WHERE cos_raw >= $threshold""".stripMargin
+
+  /** DuckDB twin of [[srpTopK]] (queries = rows with id % queryMod = 0). */
+  def srpTopKSql(table: String, id: String, vec: String, r: Int, bands: Int,
+                 dim: Int, k: Int, queryMod: Int): String =
+    s"""WITH ${srpBandSqlCtes(table, id, vec, r, bands, dim)}, cand AS (
+       |  SELECT DISTINCT q.id AS query_id, x.id AS cand_id
+       |  FROM bk x JOIN bk q ON x.band = q.band AND x.key = q.key
+       |  WHERE q.id % $queryMod = 0 AND x.id <> q.id
+       |), scored AS (
+       |  SELECT c.query_id, c.cand_id,
+       |    round(${cosineQSql("vq.qv", "vc.qv", dim)}, 6) AS score
+       |  FROM cand c JOIN v vq ON vq.id = c.query_id
+       |              JOIN v vc ON vc.id = c.cand_id
+       |)
+       |SELECT query_id, cand_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** Exact cosine-threshold near-dup pairs; brute force — oracle/test
+    * baseline ONLY (quadratic by design; the engine path is [[srpPairs]]).
+    * Filter is on the unrounded score.
     */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {

@@ -33,6 +33,20 @@ class PlanSpec extends SparkSpec {
     assert(plan(LlmPipeline.annTopK(spark, dir)).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embed_neardup candidates come from SRP bucket equi-joins — no cartesian") {
+    val p = plan(LlmPipeline.embedNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "embed_neardup plan is not bucket-joined")
+  }
+
+  test("bloom probe is the native codegen expression — no Scala UDF in the plan") {
+    // the probe lives in an aggregate's result expressions, which the
+    // physical toString elides — assert on the optimized logical plan
+    val p = Extras.bloomFilter(spark, dir).queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"), "bloom probe expression missing from the plan")
+    assert(!p.contains("UDF"), s"bloom probe still crosses a UDF boundary:\n$p")
+  }
+
   test("selective filters reach the parquet scan (pushdown)") {
     val p = plan(Analytics.q3TopRevenue(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in q3 scan")

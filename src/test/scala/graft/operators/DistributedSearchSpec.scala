@@ -23,6 +23,12 @@ class DistributedSearchSpec extends SparkSpec {
     assert(d0 == d3 && d0 == Seq(solution))
   }
 
+  test("pentomino: the 6x10 board has exactly 2339 distinct tilings") {
+    val n = DistributedSearch.pentominoSolutions(spark)
+      .collect().head.getLong(0)
+    assert(n == 2339L)
+  }
+
   test("an under-constrained grid yields multiple solutions, all valid") {
     // blank out one more cell than the unique puzzle can tolerate? keep it
     // simple: an empty row-constraint-only grid slice is too big, so use a

@@ -36,6 +36,38 @@ class KeyFieldSortSpec extends SparkSpec {
     assert(got == Seq("k1", "k3", "k2"))
   }
 
+  test("parseK: full -k grammar with end positions and flags on either pos") {
+    assert(KeyFieldSort.parseK("-k2.3,4.5nr -k1") == Seq(
+      KeyFieldSort.KeySpec(2, 3, 4, 5, numeric = true, reverse = true),
+      KeyFieldSort.KeySpec(1, 1, 0, 0, numeric = false, reverse = false)))
+    // flags on pos1, default end chars
+    assert(KeyFieldSort.parseK("-k3n,3") == Seq(
+      KeyFieldSort.KeySpec(3, 1, 3, 0, numeric = true, reverse = false)))
+    intercept[IllegalArgumentException](KeyFieldSort.parseK("k2,3"))
+  }
+
+  test("keyText honors end positions, including spans across separators") {
+    val df = Seq("abc:defg:hij").toDF("line")
+      .select(split(col("line"), ":").as("w"))
+    def key(spec: String) =
+      df.select(KeyFieldSort.keyText(col("w"), ":",
+        KeyFieldSort.parseK(spec).head)).as[String].head()
+    assert(key("-k2") == "defg:hij")        // field 2 → end of line
+    assert(key("-k2,2") == "defg")          // field 2 only
+    assert(key("-k2.2,2.3") == "ef")        // chars 2..3 of field 2
+    assert(key("-k1.2,3.1") == "bc:defg:h") // spans separators, as the raw line does
+    assert(key("-k2,3.99") == "defg:hij")   // end char clamps at field end
+  }
+
+  test("end-bounded numeric sort orders by the bounded key only") {
+    // field 2 chars 2..3 numeric: 91x → 91, 190 → 90, 755 → 55
+    val df = Seq("a:191x", "b:1907", "c:7559").toDF("line")
+      .select(split(col("line"), ":").as("w"))
+    val got = df.orderBy(KeyFieldSort.sortColumnsK(col("w"), ":", "-k2.2,2.3n"): _*)
+      .select(element_at(col("w"), 1)).as[String].collect().toSeq
+    assert(got == Seq("c", "b", "a")) // 55 < 90 < 91
+  }
+
   test("partitionId is stable and within range") {
     val df = Seq("a:1", "b:2", "a:1").toDF("line")
       .select(split(col("line"), ":").as("w"))

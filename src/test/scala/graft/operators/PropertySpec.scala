@@ -88,4 +88,33 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("KeyFieldSort.parseK round-trips every well-formed -k spec") {
+    val pos = for {
+      f <- Gen.chooseNum(1, 20)
+      c <- Gen.option(Gen.chooseNum(1, 9))
+    } yield (f, c)
+    val spec = for {
+      p1 <- pos
+      p2 <- Gen.option(pos)
+      n <- Gen.oneOf(true, false)
+      r <- Gen.oneOf(true, false)
+    } yield (p1, p2, n, r)
+    val specs = Gen.nonEmptyListOf(spec).map(_.take(4))
+    check(Prop.forAll(specs) { ss =>
+      val txt = ss.map { case ((f1, c1), p2, n, r) =>
+        "-k" + f1 + c1.map("." + _).getOrElse("") +
+          p2.map { case (f2, c2) => "," + f2 + c2.map("." + _).getOrElse("") }.getOrElse("") +
+          (if (n) "n" else "") + (if (r) "r" else "")
+      }.mkString(" ")
+      KeyFieldSort.parseK(txt) == ss.map { case ((f1, c1), p2, n, r) =>
+        p2 match {
+          case Some((f2, c2)) =>
+            KeyFieldSort.KeySpec(f1, c1.getOrElse(1), f2, c2.getOrElse(0), n, r)
+          case None =>
+            KeyFieldSort.KeySpec(f1, c1.getOrElse(1), 0, 0, n, r)
+        }
+      }
+    })
+  }
 }

@@ -45,13 +45,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
-  test("sign-bucket LSH only scores candidates in the query's bucket") {
+  test("SRP banding: identical vectors always collide, opposite ones never do") {
+    val v = Seq.fill(8)(0.5f)
     val df = vecs(
-      0L -> Seq(1.0f, 1.0f, 1.0f, 1.0f),
-      1L -> Seq(0.5f, 0.5f, 0.5f, 0.5f),   // same sign bucket
-      2L -> Seq(-1.0f, 1.0f, 1.0f, 1.0f))  // different bucket
-    val out = VectorOps.lshTopK(df, df.where(col("vec_id") === 0), "vec_id",
-      "embedding", 4, 10).collect().map(_.getLong(1)).toSet
-    assert(out == Set(1L))
+      0L -> v,
+      1L -> v.map(x => x * 0.5f),  // same direction → same signs, all bands
+      2L -> v.map(x => -x))        // antipodal → no band can match
+    val out = VectorOps.srpPairs(df, "vec_id", "embedding", 4, 6, 8, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("multi-table SRP ANN reaches recall >= 0.9 vs exact top-k at the test geometry") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ground = pairs(VectorOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 3))
+    val got = pairs(VectorOps.srpTopK(emb, queries, "vec_id", "embedding", 4, 24, 64, 3))
+    val recall = (ground intersect got).size.toDouble / ground.size
+    assert(recall >= 0.9, s"SRP ANN recall $recall < 0.9 (${ground.size} truth pairs)")
   }
 }

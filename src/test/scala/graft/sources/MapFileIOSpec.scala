@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.{LongWritable, MapFile, Text}
+
+import graft.SparkSpec
+
+class MapFileIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-mapfile-$tag-").toString
+
+  test("write → read round trip preserves every row; part keys are range-disjoint") {
+    val dir = tmp("rt")
+    val rows = (1L to 200L).map(k => (k, s"v$k"))
+    MapFileIO.write(rows.toDF("key", "value"), s"$dir/mf", partitions = 4)
+    val back = MapFileIO.read(spark, s"$dir/mf")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sorted.toSeq == rows)
+  }
+
+  test("get() answers point lookups through the index, including misses") {
+    val dir = tmp("get")
+    val rows = (0L until 500L).map(k => (k * 2, s"even$k")) // only even keys
+    MapFileIO.write(rows.toDF("key", "value"), s"$dir/mf", partitions = 3)
+    assert(MapFileIO.get(spark, s"$dir/mf", Seq(0L, 404L, 998L)) ==
+      Seq(0L -> "even0", 404L -> "even202", 998L -> "even499"))
+    assert(MapFileIO.get(spark, s"$dir/mf", Seq(7L, 1001L)).isEmpty)
+  }
+
+  test("reads a MapFile written directly through the stock Hadoop writer (reference layout)") {
+    // what reference code produces: ONE MapFile dir, no part- wrapper
+    val dir = tmp("ref")
+    val mf = new Path(s"$dir/part-00000")
+    val w = new MapFile.Writer(new Configuration(), mf,
+      MapFile.Writer.keyClass(classOf[LongWritable]),
+      MapFile.Writer.valueClass(classOf[Text]))
+    try (1L to 50L).foreach(k => w.append(new LongWritable(k), new Text(s"ref$k")))
+    finally w.close()
+    val back = MapFileIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq == (1L to 50L).map(k => (k, s"ref$k")))
+    assert(MapFileIO.get(spark, dir, Seq(25L)) == Seq(25L -> "ref25"))
+  }
+}
