@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Scratch, Tables}
-import graft.sources.{JdbcIO, MapFileIO, MultiSink, SequenceFileIO, TextIO}
+import graft.sources.{JdbcIO, MapFileIO, MultiSink, SequenceFileIO, TextIO, TFileIO}
 
 /** The non-parquet I/O surface, proven by write→read-back round trips:
   * every query here WRITES through a sink, READS the result back through
@@ -137,6 +137,26 @@ object IoCatalog extends QueryModule {
   }
 
   private val mapfileFormatRoundtripSql =
+    s"""SELECT c_custkey, c_name FROM customer
+       |WHERE c_custkey IN (${MapFileKeys.mkString(", ")})""".stripMargin
+
+  // ---- TFile on-disk format round trip ------------------------------------
+  /** Real sorted gzip TFiles (reference: io/file/tfile/TFile.java): write
+    * customer through [[TFileIO.write]], self-check the distributed scan
+    * returns every row, then answer via block-index seeks
+    * ([[TFileIO.get]] / createScannerByKey).
+    */
+  def tfileRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = Scratch.dir("tfile_roundtrip", dir)
+    val src = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    TFileIO.write(src, path)
+    val (back, total) = (TFileIO.read(spark, path).count(), src.count())
+    require(back == total, s"TFile scan returned $back of $total rows")
+    TFileIO.get(spark, path, MapFileKeys).toDF("c_custkey", "c_name")
+  }
+
+  private val tfileRoundtripSql =
     s"""SELECT c_custkey, c_name FROM customer
        |WHERE c_custkey IN (${MapFileKeys.mkString(", ")})""".stripMargin
 
@@ -321,6 +341,7 @@ object IoCatalog extends QueryModule {
     QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),
     QueryDef("bzip2_roundtrip", bzip2Roundtrip, Some(bzip2RoundtripSql)),
     QueryDef("mapfile_format_roundtrip", mapfileFormatRoundtrip, Some(mapfileFormatRoundtripSql)),
+    QueryDef("tfile_roundtrip", tfileRoundtrip, Some(tfileRoundtripSql)),
     QueryDef("multifile_wordcount", multifileWordcount, Some(multifileWordcountSql)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     QueryDef("compressed_roundtrip", compressedRoundtrip, Some(compressedRoundtripSql)),

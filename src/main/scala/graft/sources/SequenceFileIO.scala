@@ -53,25 +53,34 @@ object SequenceFileIO {
       .toDF("key", "value")
   }
 
-  /** BLOCK-compressed write (reference: io/SequenceFile.java CompressionType
-    * {NONE, RECORD, BLOCK}): batches of records compressed together — the
-    * reference's throughput mode for compressible values, and the variant
-    * that stays splittable because sync markers sit between blocks. The
-    * stock [[read]] decompresses transparently via the file header.
+  /** Compressed write (reference: io/SequenceFile.java CompressionType
+    * {NONE, RECORD, BLOCK}): RECORD compresses each value alone, BLOCK
+    * batches records together — the reference's throughput mode for
+    * compressible values, and the variant that stays splittable because
+    * sync markers sit between blocks. The stock [[read]] decompresses
+    * transparently via the file header.
     */
-  def writeBlockCompressed(df: DataFrame, path: String): Unit = {
-    import org.apache.hadoop.io.{LongWritable, SequenceFile, Text}
+  def writeCompressed(df: DataFrame, path: String,
+      ctype: org.apache.hadoop.io.SequenceFile.CompressionType): Unit = {
+    import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
     val rdd = df.rdd.map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
     val job = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
-    SequenceFileOutputFormat.setOutputCompressionType(job,
-      SequenceFile.CompressionType.BLOCK)
+    // configure the codec on the JobConf directly — saveAsHadoopFile's
+    // codec parameter force-overwrites the compression type to BLOCK
+    SequenceFileOutputFormat.setOutputCompressionType(job, ctype)
+    org.apache.hadoop.mapred.FileOutputFormat.setCompressOutput(job, true)
+    org.apache.hadoop.mapred.FileOutputFormat.setOutputCompressorClass(job,
+      classOf[org.apache.hadoop.io.compress.DefaultCodec])
     rdd.saveAsHadoopFile(path, classOf[LongWritable], classOf[Text],
-      classOf[SequenceFileOutputFormat[LongWritable, Text]], job,
-      Some(classOf[org.apache.hadoop.io.compress.DefaultCodec]))
+      classOf[SequenceFileOutputFormat[LongWritable, Text]], job)
   }
+
+  def writeBlockCompressed(df: DataFrame, path: String): Unit =
+    writeCompressed(df, path,
+      org.apache.hadoop.io.SequenceFile.CompressionType.BLOCK)
 
   /** The on-disk compression type of the first part file — lets round-trip
     * checks prove BLOCK actually reached the header.

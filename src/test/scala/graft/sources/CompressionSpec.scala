@@ -21,6 +21,29 @@ class CompressionSpec extends SparkSpec {
     assert(back.sorted.toSeq == rows)
   }
 
+  test("RECORD-compressed SequenceFile round-trips too (per-value compression)") {
+    val dir = tmp("record") + "/sf"
+    val rows = (1L to 300L).map(k => (k, s"rv-$k-" + ("y" * 40)))
+    SequenceFileIO.writeCompressed(rows.toDF("key", "value"), dir,
+      CompressionType.RECORD)
+    assert(SequenceFileIO.compressionType(spark, dir) == CompressionType.RECORD)
+    val back = SequenceFileIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sorted.toSeq == rows)
+  }
+
+  test("TFile: sorted gzip write, distributed scan, and block-index seeks") {
+    val dir = tmp("tfile") + "/tf"
+    val rows = (1L to 400L).map(k => (k * 3, s"tv$k")) // every third key
+    TFileIO.write(rows.toDF("key", "value"), dir, partitions = 3)
+    val back = TFileIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sorted.toSeq == rows)
+    assert(TFileIO.get(spark, dir, Seq(3L, 600L, 1200L)) ==
+      Seq(3L -> "tv1", 600L -> "tv200", 1200L -> "tv400"))
+    assert(TFileIO.get(spark, dir, Seq(4L, 5000L)).isEmpty)
+  }
+
   test("bzip2 is splittable: one .bz2 file decodes across >1 task, losing nothing") {
     val dir = tmp("bz2") + "/txt"
     // ~2 MB of lines in ONE file → several bzip2 blocks (900 KB each raw)
