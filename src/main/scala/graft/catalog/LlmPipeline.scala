@@ -156,6 +156,24 @@ object LlmPipeline extends QueryModule {
     VectorOps.srpTopKSql("embeddings", "vec_id", "embedding",
       AnnRows, AnnBands, Dim, LshK, QueryMod)
 
+  // ---- ANN: IVF inverted lists (cluster-routed scale path) ----------------
+  private val IvfCentroidMod = 25 // nlist = n/25 → 20 lists at sf0.01
+  private val IvfNProbe = 5
+
+  /** [[VectorOps.ivfTopK]]: deterministic seed codebook, inverted lists by
+    * nearest centroid, nprobe-list probing + exact rescore. VectorOpsSpec
+    * asserts full probing equals the exact brute force.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.ivfTopK(emb, emb.where(col("vec_id") % QueryMod === 0),
+      "vec_id", "embedding", IvfCentroidMod, IvfNProbe, LshK)
+  }
+
+  private val annIvfSql =
+    VectorOps.ivfTopKSql("embeddings", "vec_id", "embedding",
+      IvfCentroidMod, IvfNProbe, LshK, Dim, QueryMod)
+
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
   /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
     * The oracle recomputes the stub's byte math from `text` — valid because
@@ -210,6 +228,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
+    QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )

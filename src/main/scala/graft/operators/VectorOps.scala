@@ -40,6 +40,22 @@ object VectorOps {
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
+  /** Integer squared norm of a quantized vector — computed ONCE per vector
+    * and carried alongside it, so pairwise scoring does one dot product
+    * instead of three reductions.
+    */
+  def normQ(vec: Column): Column =
+    aggregate(transform(vec, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** [[cosineQ]] with pre-computed squared norms. The integer sums are
+    * exact, so hoisting them out of the pair loop cannot change the result
+    * — the float tail (sqrt, multiply, divide) is identical.
+    */
+  def cosineQN(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+  }
+
   /** DuckDB twin of [[quantize]] + [[cosineQ]] over list expressions. */
   def quantizeSql(vec: String): String =
     s"list_transform($vec, x -> floor(x::DOUBLE * $Scale)::BIGINT)"
@@ -60,11 +76,13 @@ object VectorOps {
                      vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nv", normQ(col("qv")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .withColumn("nq", normQ(col("qq")))
     val scored = cand.crossJoin(broadcast(q))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosineQ(col("qq"), col("qv")), 6).as("score"))
+        round(cosineQN(col("qq"), col("qv"), col("nq"), col("nv")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -130,14 +148,15 @@ object VectorOps {
   def srpPairs(vectors: DataFrame, idCol: String, vecCol: String,
                r: Int, bands: Int, dim: Int, threshold: Double): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", normQ(col("qv")))
     val banded = bandFrame(v, "id", "qv", r, bands, dim)
     val cand = banded.select(col("band"), col("key"), col("id").as("a"))
       .join(banded.select(col("band"), col("key"), col("id").as("b")),
         Seq("band", "key"))
       .where(col("a") < col("b")).select("a", "b").distinct()
-    cand.join(v.select(col("id").as("a"), col("qv").as("va")), "a")
-      .join(v.select(col("id").as("b"), col("qv").as("vb")), "b")
-      .withColumn("cos_raw", cosineQ(col("va"), col("vb")))
+    cand.join(v.select(col("id").as("a"), col("qv").as("va"), col("n2").as("na")), "a")
+      .join(v.select(col("id").as("b"), col("qv").as("vb"), col("n2").as("nb")), "b")
+      .withColumn("cos_raw", cosineQN(col("va"), col("vb"), col("na"), col("nb")))
       .where(col("cos_raw") >= threshold)
       .select(col("a").as("vec_a"), col("b").as("vec_b"),
         round(col("cos_raw"), 6).as("cosine"))
@@ -153,18 +172,107 @@ object VectorOps {
               vecCol: String, r: Int, bands: Int, dim: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nv", normQ(col("qv")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .withColumn("nq", normQ(col("qq")))
     val pairs = bandFrame(cand, "cand_id", "qv", r, bands, dim)
       .join(bandFrame(q, "query_id", "qq", r, bands, dim), Seq("band", "key"))
       .where(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
     val scored = pairs.join(cand, "cand_id").join(q, "query_id")
       .select(col("query_id"), col("cand_id"),
-        round(cosineQ(col("qq"), col("qv")), 6).as("score"))
+        round(cosineQN(col("qq"), col("qv"), col("nq"), col("nv")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  /** IVF ANN — the cluster-routed counterpart to [[srpTopK]]:
+    *   1. centroids: the corpus rows with `id % centroidMod == 1` — a
+    *      deterministic seed sample standing in for a k-means codebook
+    *      (nlist grows with the corpus, as IVF wants), portable to the
+    *      oracle because it involves no RNG;
+    *   2. inverted lists: every corpus vector is assigned to its nearest
+    *      centroid — a broadcast of the (small) codebook, one map-side
+    *      argmax via partial-aggregated max(struct(score, -id)) — NO
+    *      shuffle of the n×nlist scored frame;
+    *   3. probe: each query scores the codebook, keeps its `nprobe`
+    *      closest lists, equi-joins the inverted lists on centroid id, and
+    *      rescores candidates exactly.
+    * Recall = P(true neighbor's list probed): high when the corpus is
+    * clustered (the IVF assumption); on this synthetic near-uniform corpus
+    * it degrades toward nprobe/nlist — measured in VectorOpsSpec, where
+    * probing every list is asserted EQUAL to the exact brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, centroidMod: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nv", normQ(col("qv")))
+    val cent = corpus.where(col(idCol) % centroidMod === 1)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("nc", normQ(col("cv")))
+    // nearest centroid per corpus vector; ties → smaller cent_id (portable)
+    val best = cand.crossJoin(broadcast(cent))
+      .select(col("cand_id"),
+        struct(cosineQN(col("qv"), col("cv"), col("nv"), col("nc")).as("s"),
+          (-col("cent_id")).as("nid")).as("sc"))
+      .groupBy("cand_id").agg(max(col("sc")).as("m"))
+      .select(col("cand_id"), (-col("m.nid")).as("cent_id"))
+    val assigned = cand.join(best, "cand_id")
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .withColumn("nq", normQ(col("qq")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qscore", cosineQN(col("qq"), col("cv"), col("nq"), col("nc")))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("nq"), col("cent_id"))
+    val scored = probes.join(assigned, "cent_id")
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineQN(col("qq"), col("qv"), col("nq"), col("nv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[ivfTopK]] (queries = rows with id % queryMod = 0). */
+  def ivfTopKSql(table: String, id: String, vec: String, centroidMod: Int,
+                 nprobe: Int, k: Int, dim: Int, queryMod: Int): String =
+    s"""WITH v AS (
+       |  SELECT $id AS id, ${quantizeSql(vec)} AS qv FROM $table
+       |), c AS (
+       |  SELECT id AS cent_id, qv AS cv FROM v WHERE id % $centroidMod = 1
+       |), assign AS (
+       |  SELECT cand_id, cent_id FROM (
+       |    SELECT v.id AS cand_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosineQSql("v.qv", "c.cv", dim)} DESC, c.cent_id) AS rn
+       |    FROM v CROSS JOIN c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT q.id AS query_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cosineQSql("q.qv", "c.cv", dim)} DESC, c.cent_id) AS rn
+       |    FROM v q CROSS JOIN c WHERE q.id % $queryMod = 0)
+       |  WHERE rn <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    round(${cosineQSql("vq.qv", "vc.qv", dim)}, 6) AS score
+       |  FROM probes p
+       |  JOIN assign a ON a.cent_id = p.cent_id AND a.cand_id <> p.query_id
+       |  JOIN v vq ON vq.id = p.query_id
+       |  JOIN v vc ON vc.id = a.cand_id
+       |)
+       |SELECT query_id, cand_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
 
   // ---- DuckDB oracle twins for the SRP paths ------------------------------
 

@@ -60,6 +60,35 @@ object StreamingOps {
     sessionize(evs, gapUs)
   }
 
+  /** Streaming exact dedup on a key: keep the FIRST arrival, drop later
+    * duplicates for as long as the watermark allows — the streaming
+    * counterpart of the batch `dedup_exact` pass, and the idiom an
+    * ingestion pipeline uses to suppress replayed documents. State holds
+    * one entry per distinct key seen within the watermark horizon (bounded,
+    * evicted as event time advances) — `dropDuplicatesWithinWatermark`
+    * rather than plain `dropDuplicates`, whose state never shrinks.
+    */
+  def dedupStream(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream inner join: each side buffers only inside
+    * its watermark horizon, and the time-range condition lets Spark evict
+    * both states — the enrich-clicks-with-impressions shape. Equi-key plus
+    * a bounded event-time band; unbounded-state joins are rejected by
+    * construction.
+    */
+  def streamJoin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String, watermark: String,
+                 bandSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bandSeconds SECONDS"))
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

@@ -56,6 +56,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("IVF ANN with every list probed equals the exact brute force") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // nprobe beyond the list count → every list probed → exhaustive search
+    val full = rows(VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 10, 1000, 3))
+    val exact = rows(VectorOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 3))
+    assert(full == exact)
+    // partial probing returns k rows per query and only true-scored pairs
+    val partial = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding", 10, 2, 3)
+    assert(partial.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("multi-table SRP ANN reaches recall >= 0.9 vs exact top-k at the test geometry") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.where(col("vec_id") % 5 === 0)

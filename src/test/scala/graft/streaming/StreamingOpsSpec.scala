@@ -67,6 +67,58 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out == Set((1L, 1000000L, 2L), (1L, 100000000L, 1L), (2L, 5000000L, 1L)))
   }
 
+  test("streaming dedup keeps first arrivals; state evicts past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "payload")
+    val sink = s"dedup_${System.nanoTime()}"
+    val q = StreamingOps.dedupStream(df, "ts", Seq("doc_id"), "10 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("dedup"))
+      .start()
+    try {
+      in.addData((ts(100), 1L, "a"), (ts(101), 1L, "a-replay"), (ts(102), 2L, "b"))
+      q.processAllAvailable()
+      in.addData((ts(103), 1L, "a-replay-2")) // still inside the horizon
+      q.processAllAvailable()
+      in.addData((ts(10000), 3L, "c")) // advances watermark far past doc 1
+      q.processAllAvailable()
+      in.addData((ts(10001), 1L, "a-after-eviction"))
+      q.processAllAvailable()
+      val perDoc = spark.table(sink).collect()
+        .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+      // docs 2 and 3 once; doc 1 once per watermark horizon (re-emitted
+      // after eviction — the documented dropDuplicatesWithinWatermark bound)
+      assert(perDoc == Map(1L -> 2, 2L -> 1, 3L -> 1), s"got $perDoc")
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches only within the time band, both states bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, Double)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamingOps.streamJoin(
+      imps.toDF().toDF("imp_ts", "ad_id", "cost"),
+      clicks.toDF().toDF("click_ts", "ad_id", "user"),
+      "ad_id", "imp_ts", "click_ts", "30 seconds", bandSeconds = 60)
+    val sink = s"joined_${System.nanoTime()}"
+    val q = joined.select(col("user"), col("cost"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("join"))
+      .start()
+    try {
+      imps.addData((ts(100), 7L, 1.5), (ts(100), 8L, 9.0))
+      clicks.addData((ts(130), 7L, "u1"))  // 30s later → inside the band
+      q.processAllAvailable()
+      clicks.addData((ts(300), 8L, "u2"))  // 200s later → outside the band
+      q.processAllAvailable()
+      val got = spark.table(sink).collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(got.toSeq == Seq(("u1", 1.5)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap-closed sessions emit on arrival, idle ones on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
