@@ -1,6 +1,6 @@
 package graft.operators
 
-import scala.collection.immutable.TreeMap
+import scala.collection.immutable.{TreeMap, TreeSet}
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -51,17 +51,20 @@ object ValueAggregators {
     * merge-order-independent way).
     */
   final case class UniqValueCount(cap: Int)
-      extends Aggregator[String, List[String], UniqOut] {
-    def zero: List[String] = Nil
-    def reduce(buf: List[String], v: String): List[String] = insert(buf, v)
-    def merge(a: List[String], b: List[String]): List[String] =
+      extends Aggregator[String, TreeSet[String], UniqOut] {
+    def zero: TreeSet[String] = TreeSet.empty
+    def reduce(buf: TreeSet[String], v: String): TreeSet[String] = insert(buf, v)
+    def merge(a: TreeSet[String], b: TreeSet[String]): TreeSet[String] =
       b.foldLeft(a)(insert)
-    def finish(buf: List[String]): UniqOut =
+    def finish(buf: TreeSet[String]): UniqOut =
       UniqOut(buf.size.toLong, buf.mkString("|"))
-    private def insert(buf: List[String], v: String): List[String] =
-      if (buf.contains(v)) buf
-      else (v :: buf).sorted.take(cap)
-    def bufferEncoder: Encoder[List[String]] = Encoders.kryo[List[String]]
+    // O(log cap) per record (the List.contains + sorted variant was
+    // O(cap²) — fine at cap 10, not at a real cap)
+    private def insert(buf: TreeSet[String], v: String): TreeSet[String] = {
+      val added = buf + v
+      if (added.size > cap) added - added.last else added
+    }
+    def bufferEncoder: Encoder[TreeSet[String]] = Encoders.kryo[TreeSet[String]]
     def outputEncoder: Encoder[UniqOut] = Encoders.product[UniqOut]
   }
 

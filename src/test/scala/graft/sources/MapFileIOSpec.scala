@@ -30,6 +30,29 @@ class MapFileIOSpec extends SparkSpec {
     assert(MapFileIO.get(spark, s"$dir/mf", Seq(7L, 1001L)).isEmpty)
   }
 
+  test("BloomMapFile layout: stock writer, fast negative probes, data scans as a MapFile") {
+    val dir = tmp("bloom")
+    val mf = new Path(s"$dir/part-00000")
+    val conf = new Configuration()
+    val w = new org.apache.hadoop.io.BloomMapFile.Writer(conf, mf,
+      MapFile.Writer.keyClass(classOf[LongWritable]),
+      MapFile.Writer.valueClass(classOf[Text]))
+    try (1L to 100L).foreach(k => w.append(new LongWritable(k * 2), new Text(s"b${k * 2}")))
+    finally w.close()
+    val r = new org.apache.hadoop.io.BloomMapFile.Reader(mf, conf)
+    try {
+      assert(r.probablyHasKey(new LongWritable(100L)))
+      val v = new Text()
+      assert(r.get(new LongWritable(100L), v) != null && v.toString == "b100")
+      // no false negatives by contract; most absent (odd) keys are rejected
+      // by the bloom alone — the format's fast-negative-lookup point
+      val rejected = (1L to 199L by 2).count(k => !r.probablyHasKey(new LongWritable(k)))
+      assert(rejected > 80, s"bloom rejected only $rejected of 100 misses")
+    } finally r.close()
+    val back = MapFileIO.read(spark, dir).collect()
+    assert(back.length == 100)
+  }
+
   test("reads a MapFile written directly through the stock Hadoop writer (reference layout)") {
     // what reference code produces: ONE MapFile dir, no part- wrapper
     val dir = tmp("ref")
