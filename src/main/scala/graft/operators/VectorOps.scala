@@ -30,31 +30,33 @@ object VectorOps {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * Scale).cast("long"))
 
+  /** All integer dots go through the native codegen expression
+    * ([[graft.functions.DotQ]]) — the HOF composition
+    * `aggregate(zip_with(...))` computes the same value through interpreted
+    * per-element lambdas.
+    */
+  private def dotQ(a: Column, b: Column): Column = call_function("dot_q", a, b)
+
   /** Exact cosine between two quantized vectors (integer dot and norms,
     * identical float tail everywhere).
     */
-  def cosineQ(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0L), (acc, v) => acc + v)
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-  }
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
   /** Integer squared norm of a quantized vector — computed ONCE per vector
     * and carried alongside it, so pairwise scoring does one dot product
     * instead of three reductions.
     */
-  def normQ(vec: Column): Column =
-    aggregate(transform(vec, x => x * x), lit(0L), (acc, v) => acc + v)
+  def normQ(vec: Column): Column = dotQ(vec, vec)
 
   /** [[cosineQ]] with pre-computed squared norms. The integer sums are
     * exact, so hoisting them out of the pair loop cannot change the result
     * — the float tail (sqrt, multiply, divide) is identical.
     */
-  def cosineQN(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-  }
+  def cosineQN(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** DuckDB twin of [[quantize]] + [[cosineQ]] over list expressions. */
   def quantizeSql(vec: String): String =
@@ -115,9 +117,7 @@ object VectorOps {
     val signs = srpSigns(bands * r, dim)
     val structs = (0 until bands).map { b =>
       val key = (0 until r).map { i =>
-        val dot = aggregate(
-          zip_with(qv, typedlit(signs(b * r + i)), (x, s) => x * s),
-          lit(0L), (acc, v) => acc + v)
+        val dot = dotQ(qv, typedlit(signs(b * r + i)))
         when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
