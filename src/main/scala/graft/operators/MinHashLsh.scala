@@ -74,7 +74,9 @@ object MinHashLsh {
 
   /** Per-id signature columns h0..h{NumHashes-1}. */
   def signatures(exploded: DataFrame): DataFrame = {
-    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    // first 8 hex chars of md5 = first 4 digest bytes = top 32 of the fused
+    // 48-bit codegen hash — one digest, no hex/substring/conv string churn
+    val base = shiftrightunsigned(graft.functions.PortableHash.h48(col("shingle")), 16)
     val withBase = exploded.withColumn("h32", base)
     val mins = (0 until NumHashes).map(i =>
       min((lit(PermA(i)) * col("h32") + lit(PermB(i))) % P).as(s"h$i"))
