@@ -53,6 +53,30 @@ object Analytics extends QueryModule {
       |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6 shape: the pure pushdown query — three selective predicates
+    * and a one-row aggregate, no join, no wide columns. At 100 TB this is
+    * the query whose cost is ENTIRELY scan-bound: the predicates reach the
+    * parquet reader (PushedFilters) and row-group stats skip most of the
+    * file; the plan must stay a single scan + partial/final agg.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q3 shape: selective dimension filter → 3-way join → agg → top-k.
     * Top-k ordering is on the ROUNDED revenue with a unique tie-break key so
     * both engines cut the same 10 rows.
@@ -196,6 +220,7 @@ object Analytics extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
     QueryDef("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
     QueryDef("events_window_agg", eventsWindowAgg, Some(eventsWindowSql)),

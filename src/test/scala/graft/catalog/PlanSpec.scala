@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in q3 scan")
   }
 
+  test("q6 is scan-bound: every predicate pushed, no join, two-phase agg") {
+    val p = plan(Analytics.q6Revenue(spark, dir))
+    // the PushedFilters list is elided in plan text — assert its prefix
+    // covers the filter columns and the range predicates started pushing
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)") &&
+      p.contains("GreaterThanOrEqual(l_shipda"), s"q6 predicates not pushed:\n$p")
+    assert(!p.contains("Join"), "q6 plan grew a join")
+    assert(p.contains("partial_sum"), "q6 lost map-side partial aggregation")
+  }
+
   test("column pruning: token_count reads only the columns it uses") {
     val p = plan(TextAnalysis.tokenCount(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString

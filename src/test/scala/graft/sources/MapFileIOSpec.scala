@@ -53,6 +53,35 @@ class MapFileIOSpec extends SparkSpec {
     assert(back.length == 100)
   }
 
+  test("SetFile and ArrayFile (the rest of the MapFile family) round-trip via stock classes") {
+    import org.apache.hadoop.fs.FileSystem
+    import org.apache.hadoop.io.{ArrayFile, SequenceFile, SetFile, WritableComparator}
+    val conf = new Configuration()
+    val fs = FileSystem.getLocal(conf)
+    val dir = tmp("family")
+    // SetFile: a MapFile of keys only — membership via seek
+    val sw = new SetFile.Writer(conf, fs, s"$dir/set",
+      WritableComparator.get(classOf[LongWritable]),
+      SequenceFile.CompressionType.NONE)
+    try (1L to 50L).foreach(k => sw.append(new LongWritable(k * 2)))
+    finally sw.close()
+    val sr = new SetFile.Reader(fs, s"$dir/set", conf)
+    try {
+      assert(sr.seek(new LongWritable(10L)))
+      assert(!sr.seek(new LongWritable(11L)))
+    } finally sr.close()
+    // ArrayFile: a MapFile keyed by record index — positional get
+    val aw = new ArrayFile.Writer(conf, fs, s"$dir/arr", classOf[Text])
+    try (0 until 50).foreach(i => aw.append(new Text(s"v$i")))
+    finally aw.close()
+    val ar = new ArrayFile.Reader(fs, s"$dir/arr", conf)
+    try {
+      val t = new Text()
+      ar.get(7, t)
+      assert(t.toString == "v7")
+    } finally ar.close()
+  }
+
   test("reads a MapFile written directly through the stock Hadoop writer (reference layout)") {
     // what reference code produces: ONE MapFile dir, no part- wrapper
     val dir = tmp("ref")
