@@ -61,7 +61,9 @@ object SequenceFileIO {
     * transparently via the file header.
     */
   def writeCompressed(df: DataFrame, path: String,
-      ctype: org.apache.hadoop.io.SequenceFile.CompressionType): Unit = {
+      ctype: org.apache.hadoop.io.SequenceFile.CompressionType,
+      codec: Class[_ <: org.apache.hadoop.io.compress.CompressionCodec] =
+        classOf[org.apache.hadoop.io.compress.DefaultCodec]): Unit = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
     val rdd = df.rdd.map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
@@ -72,8 +74,7 @@ object SequenceFileIO {
     // codec parameter force-overwrites the compression type to BLOCK
     SequenceFileOutputFormat.setOutputCompressionType(job, ctype)
     org.apache.hadoop.mapred.FileOutputFormat.setCompressOutput(job, true)
-    org.apache.hadoop.mapred.FileOutputFormat.setOutputCompressorClass(job,
-      classOf[org.apache.hadoop.io.compress.DefaultCodec])
+    org.apache.hadoop.mapred.FileOutputFormat.setOutputCompressorClass(job, codec)
     rdd.saveAsHadoopFile(path, classOf[LongWritable], classOf[Text],
       classOf[SequenceFileOutputFormat[LongWritable, Text]], job)
   }

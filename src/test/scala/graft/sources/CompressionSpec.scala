@@ -44,6 +44,17 @@ class CompressionSpec extends SparkSpec {
     assert(TFileIO.get(spark, dir, Seq(4L, 5000L)).isEmpty)
   }
 
+  test("BZip2-codec SequenceFile (reference BZip2Codec) round-trips losslessly") {
+    val dir = tmp("sfbz2") + "/sf"
+    val rows = (1L to 200L).map(k => (k, s"bz-$k-" + ("z" * 30)))
+    SequenceFileIO.writeCompressed(rows.toDF("key", "value"), dir,
+      CompressionType.BLOCK, classOf[org.apache.hadoop.io.compress.BZip2Codec])
+    assert(SequenceFileIO.compressionType(spark, dir) == CompressionType.BLOCK)
+    val back = SequenceFileIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.sorted.toSeq == rows)
+  }
+
   test("bzip2 is splittable: one .bz2 file decodes across >1 task, losing nothing") {
     val dir = tmp("bz2") + "/txt"
     // ~2 MB of lines in ONE file → several bzip2 blocks (900 KB each raw)
