@@ -179,6 +179,46 @@ object LlmPipeline extends QueryModule {
     VectorOps.ivfTopKSql("embeddings", "vec_id", "embedding",
       IvfCentroidMod, IvfNProbe, LshK, Dim, QueryMod)
 
+  // ---- domain mixture sampling -------------------------------------------
+  private val MixSeed = 7
+  private val H48Range = 281474976710656.0 // 2^48
+
+  /** Training-data mixing: downsample each source to a target rate with a
+    * DETERMINISTIC keep rule — keep doc iff seeded h48(doc_id) < rate·2^48.
+    * Hash-gated sampling (vs `sample()`) is reproducible across runs and
+    * engines, independent of partitioning, and stable under corpus edits
+    * (other docs' arrival never flips this doc's fate) — the properties a
+    * rebuildable training mixture needs. Map-only pass + one aggregation;
+    * at 100 TB the filter runs at scan speed and the output mixture is
+    * exactly re-derivable from the recipe (seed + rate table).
+    * Demo rate table: source index mod 4 → 0.25 / 0.50 / 0.75 / 1.00.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val rate = (lit(1.0) + (srcIdx % 4).cast("double")) / 4.0
+    val keep = graft.functions.PortableHash.h48(col("doc_id").cast("string"), MixSeed)
+      .cast("double") < rate * H48Range
+    Tables.documents(spark, dir)
+      .select(col("source"), rate.as("rate"),
+        when(keep, 1L).otherwise(0L).as("keep"))
+      .groupBy("source")
+      .agg(max(col("rate")).as("target_rate"), count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"))
+  }
+
+  private val domainMixSql = {
+    val rate = s"(1.0 + (regexp_extract(source, '(\\d+)', 1)::INT % 4)) / 4.0"
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR", MixSeed)
+    s"""WITH d AS (
+       |  SELECT source, $rate AS rate,
+       |    CASE WHEN $h::DOUBLE < ($rate) * $H48Range THEN 1 ELSE 0 END AS keep
+       |  FROM documents
+       |)
+       |SELECT source, max(rate) AS target_rate, count(*) AS n_docs,
+       |  sum(keep)::BIGINT AS n_kept
+       |FROM d GROUP BY source""".stripMargin
+  }
+
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
   /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
     * The oracle recomputes the stub's byte math from `text` — valid because
@@ -234,6 +274,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )
