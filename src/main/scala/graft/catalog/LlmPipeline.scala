@@ -179,6 +179,50 @@ object LlmPipeline extends QueryModule {
     VectorOps.ivfTopKSql("embeddings", "vec_id", "embedding",
       IvfCentroidMod, IvfNProbe, LshK, Dim, QueryMod)
 
+  // ---- exact substring-span dedup ----------------------------------------
+  private val SpanN = 8
+
+  /** Exact duplicated-span detection: a doc's word 8-gram is a "duplicated
+    * span" if the same 8-gram occurs in an earlier doc (min-doc_id
+    * ownership — deterministic and portable). This is the exact-substring
+    * dedup pass used for training-data memorization hygiene, at the
+    * sub-document granularity the near-dup passes don't see. Shape: one
+    * exploded shingle frame, one groupBy for owners (partial agg), one
+    * equi-join back — an inverted index, never all-pairs; at 100 TB hot
+    * shingles skew the owner groupBy and AQE skew handling applies.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ex = MinHashLsh.explodeShingles(
+      Tables.documents(spark, dir), "doc_id", "text", SpanN)
+    val owners = ex.groupBy("shingle").agg(min(col("id")).as("owner"))
+    ex.join(owners, "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("owner") < col("id"), 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  private val spanDedupSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", SpanN)
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $SpanN
+       |), e AS (
+       |  SELECT id, unnest(shingles) AS shingle FROM sh
+       |), o AS (
+       |  SELECT shingle, min(id) AS owner FROM e GROUP BY shingle
+       |)
+       |SELECT e.id AS doc_id, count(*) AS n_spans,
+       |  sum(CASE WHEN o.owner < e.id THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       |  round(sum(CASE WHEN o.owner < e.id THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS dup_fraction
+       |FROM e JOIN o ON o.shingle = e.shingle
+       |GROUP BY e.id""".stripMargin
+  }
+
   // ---- domain mixture sampling -------------------------------------------
   private val MixSeed = 7
   private val H48Range = 281474976710656.0 // 2^48
@@ -274,6 +318,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
