@@ -191,9 +191,12 @@ object LlmPipeline extends QueryModule {
     * equi-join back — an inverted index, never all-pairs; at 100 TB hot
     * shingles skew the owner groupBy and AQE skew handling applies.
     */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ex = MinHashLsh.explodeShingles(
-      Tables.documents(spark, dir), "doc_id", "text", SpanN)
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupFrame(Tables.documents(spark, dir), SpanN)
+
+  /** Core pass over any (doc_id, text) frame — unit-tested in DedupSpec. */
+  def spanDedupFrame(docs: DataFrame, n: Int): DataFrame = {
+    val ex = MinHashLsh.explodeShingles(docs, "doc_id", "text", n)
     val owners = ex.groupBy("shingle").agg(min(col("id")).as("owner"))
     ex.join(owners, "shingle")
       .groupBy(col("id").as("doc_id"))

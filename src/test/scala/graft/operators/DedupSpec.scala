@@ -53,6 +53,20 @@ class DedupSpec extends SparkSpec {
     assert(cands.forall { case (a, b) => (a < 5) == (b < 5) })
   }
 
+  test("span dedup charges later docs for 8-grams owned by earlier ones") {
+    val nine = "a b c d e f g h i" // two 8-gram spans: a..h and b..i
+    val docs = Seq(
+      (0L, nine),                    // owns both spans
+      (1L, nine),                    // full duplicate → every span owned earlier
+      (2L, "j k l m n o p q r"))     // disjoint vocabulary → no dup spans
+      .toDF("doc_id", "text")
+    val out = graft.catalog.LlmPipeline.spanDedupFrame(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, 0.0), (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0)))
+  }
+
   test("SimHash: same token set → Hamming 0; banded pairs equal brute force") {
     val rnd = new Random(5)
     val vocab = (0 until 12).map(i => s"w$i")
