@@ -97,6 +97,32 @@ object IoCatalog extends QueryModule {
   private val seqfileBlockCompressedSql =
     "SELECT doc_id, len(text) AS n_chars FROM documents"
 
+  // ---- DefaultCodec (zlib) RECORD-compressed round trip -------------------
+  /** (doc_id, text) through a RECORD-compressed SequenceFile with the
+    * reference's default zlib codec (reference:
+    * io/compress/DefaultCodec.java — the codec every job gets unless it
+    * overrides mapred.output.compression.codec). Completes the codec trio:
+    * gzip (compressed_roundtrip), bzip2 (bzip2_roundtrip), zlib here. The
+    * query self-checks the header really says RECORD + DefaultCodec before
+    * the transparent decompressing read-back.
+    */
+  def seqfileDefaultCodec(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("seqfile_default_codec", dir)
+    SequenceFileIO.writeCompressed(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), path,
+      org.apache.hadoop.io.SequenceFile.CompressionType.RECORD)
+    val ct = SequenceFileIO.compressionType(spark, path)
+    val codec = SequenceFileIO.compressionCodecName(spark, path)
+    require(ct == org.apache.hadoop.io.SequenceFile.CompressionType.RECORD &&
+        codec == "DefaultCodec",
+      s"expected RECORD/DefaultCodec on disk, found $ct/$codec")
+    SequenceFileIO.read(spark, path)
+      .select(col("key").as("doc_id"), length(col("value")).as("n_chars"))
+  }
+
+  private val seqfileDefaultCodecSql =
+    "SELECT doc_id, len(text) AS n_chars FROM documents"
+
   // ---- BZip2 text round trip (splittable compression) ---------------------
   /** One bzip2 text file round-tripped (reference:
     * io/compress/BZip2Codec.java — the one SPLITTABLE codec; gzip reads are
@@ -339,6 +365,7 @@ object IoCatalog extends QueryModule {
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
     QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),
+    QueryDef("seqfile_default_codec", seqfileDefaultCodec, Some(seqfileDefaultCodecSql)),
     QueryDef("bzip2_roundtrip", bzip2Roundtrip, Some(bzip2RoundtripSql)),
     QueryDef("mapfile_format_roundtrip", mapfileFormatRoundtrip, Some(mapfileFormatRoundtripSql)),
     QueryDef("tfile_roundtrip", tfileRoundtrip, Some(tfileRoundtripSql)),

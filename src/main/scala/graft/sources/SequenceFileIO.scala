@@ -88,11 +88,26 @@ object SequenceFileIO {
     */
   def compressionType(spark: SparkSession, path: String): org.apache.hadoop.io.SequenceFile.CompressionType = {
     import org.apache.hadoop.io.SequenceFile
+    val r = firstPartReader(spark, path)
+    try r.getCompressionType finally r.close()
+  }
+
+  /** The codec class recorded in the first part file's header (null codec →
+    * "none") — proves which of the reference's codec trio
+    * (DefaultCodec/GzipCodec/BZip2Codec) actually reached the disk.
+    */
+  def compressionCodecName(spark: SparkSession, path: String): String = {
+    val r = firstPartReader(spark, path)
+    try Option(r.getCompressionCodec).map(_.getClass.getSimpleName).getOrElse("none")
+    finally r.close()
+  }
+
+  private def firstPartReader(spark: SparkSession, path: String): org.apache.hadoop.io.SequenceFile.Reader = {
+    import org.apache.hadoop.io.SequenceFile
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val first = dir.getFileSystem(conf).listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith("part-")).minBy(_.getName)
-    val r = new SequenceFile.Reader(conf, SequenceFile.Reader.file(first))
-    try r.getCompressionType finally r.close()
+    new SequenceFile.Reader(conf, SequenceFile.Reader.file(first))
   }
 }

@@ -27,6 +27,8 @@ class CompressionSpec extends SparkSpec {
     SequenceFileIO.writeCompressed(rows.toDF("key", "value"), dir,
       CompressionType.RECORD)
     assert(SequenceFileIO.compressionType(spark, dir) == CompressionType.RECORD)
+    // the codec parameter's default is the reference's DefaultCodec (zlib)
+    assert(SequenceFileIO.compressionCodecName(spark, dir) == "DefaultCodec")
     val back = SequenceFileIO.read(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(back.sorted.toSeq == rows)
@@ -50,6 +52,7 @@ class CompressionSpec extends SparkSpec {
     SequenceFileIO.writeCompressed(rows.toDF("key", "value"), dir,
       CompressionType.BLOCK, classOf[org.apache.hadoop.io.compress.BZip2Codec])
     assert(SequenceFileIO.compressionType(spark, dir) == CompressionType.BLOCK)
+    assert(SequenceFileIO.compressionCodecName(spark, dir) == "BZip2Codec")
     val back = SequenceFileIO.read(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(back.sorted.toSeq == rows)
