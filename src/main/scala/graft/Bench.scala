@@ -52,10 +52,28 @@ object Bench {
 
   /** Two attempts, timed independently; min/max over the successful ones.
     * One success is a valid measurement even if the other attempt throws.
+    *
+    * When `capturePlan` is set, an untimed third execution captures the
+    * EXECUTED physical plan to target/plans/<name>.txt. Post-execution
+    * capture matters: AQE finalizes join strategies (broadcast-conversion,
+    * skew splits, coalescing) at runtime, so a pre-execution explain would
+    * show placeholder exchanges, not the decisions that produced the
+    * measured time. This is the audit trail for round-over-round
+    * regressions — diff target/plans/ between rounds to separate plan
+    * changes from environment noise.
     */
   private def time2(spark: SparkSession, dir: String,
                     name: String,
-                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Timing = {
+                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                    capturePlan: Boolean = false): Timing = {
+    // Quiesce before measuring: collect the PREVIOUS query's garbage outside
+    // the timed window. Root-caused in round 4: the r3 bench showed a
+    // contiguous run-order window (pentomino → salted_join) inflated 3-6×
+    // with byte-identical code and identical plans — residual heap pressure
+    // from an allocation-heavy query (pentomino's backtracking) bleeding
+    // into the measurements that followed it. An explicit collection pins
+    // each query's number to its own work.
+    System.gc()
     def once(): Double = {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -63,6 +81,17 @@ object Bench {
     }
     val attempts = Seq.fill(2)(
       try Right(once()) catch { case e: Throwable => Left(e) })
+    if (capturePlan) {
+      try {
+        val qe = fn(spark, dir).queryExecution
+        // execute through the df's OWN QueryExecution (df.write would plan a
+        // separate one) so the captured AdaptiveSparkPlan is isFinalPlan=true
+        qe.toRdd.foreachPartition((_: Iterator[_]) => ())
+        Files.createDirectories(Paths.get("target/plans"))
+        Files.writeString(Paths.get(s"target/plans/$name.txt"),
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+      } catch { case _: Throwable => () }
+    }
     attempts.collect { case Right(s) => s } match {
       case ok if ok.nonEmpty => Timing(name, ok.min, ok.max, ok = true)
       case _ =>
@@ -87,7 +116,7 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
-      time2(spark, sfDir, name, fn)
+      time2(spark, sfDir, name, fn, capturePlan = true)
     }
     val timed = results.map(t => t.name -> t.min).toMap
     val qs = jsonMap(results.map(t => t.name -> secs(t.min)))

@@ -184,10 +184,73 @@ object TextAnalysis extends QueryModule {
        |FROM t""".stripMargin
   }
 
+  // ---- repetition signals (Gopher-style quality filters) ------------------
+  /** Per-doc repetition signals — the canonical curation filters for
+    * machine-generated / boilerplate text that length and stopword ratios
+    * miss: `dup_word_frac` (fraction of token occurrences that repeat an
+    * earlier token) and `top_bigram_frac` (fraction of word-bigram
+    * occurrences taken by the single most frequent bigram). `flagged`
+    * applies the usual thresholds.
+    *
+    * Scale shape: the per-doc bigram mode is computed by explode →
+    * groupBy(doc, bigram) → groupBy(doc) — two partial-aggregating shuffles
+    * keyed by doc_id, never a per-doc O(n²) array lambda, so a 100 TB
+    * corpus spreads by document exactly like [[spanDedup]]'s inverted index.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[repetitionSignals]] — takes any (doc_id, text)
+    * frame so the spec can assert exact fractions on handcrafted docs.
+    */
+  def repetitionFrame(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), TextFns.ngrams(col("toks"), 2).as("bg"))
+    val base = docs.select(col("doc_id"),
+      size(col("toks")).as("n_toks"),
+      size(array_distinct(col("toks"))).as("n_uniq"))
+    val top = docs.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    val dupFrac = when(col("n_toks") > 0,
+      (col("n_toks") - col("n_uniq")).cast("double") / col("n_toks")).otherwise(0.0)
+    val topFrac = when(col("n_bg").isNotNull && col("n_bg") > 0,
+      col("top_c").cast("double") / col("n_bg")).otherwise(0.0)
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(dupFrac, 6).as("dup_word_frac"),
+        round(topFrac, 6).as("top_bigram_frac"))
+      .withColumn("flagged",
+        (col("dup_word_frac") > 0.3 || col("top_bigram_frac") > 0.18).cast("int"))
+  }
+
+  private val repetitionSignalsSql = {
+    val w = TextFns.tokensSql("text")
+    val sh = TextFns.ngramsSql("w", 2)
+    s"""WITH t AS (SELECT doc_id, $w AS w FROM documents),
+       |b AS (SELECT doc_id, unnest($sh) AS bg FROM t),
+       |cnt AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+       |tb AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM cnt GROUP BY 1),
+       |j AS (
+       |  SELECT t.doc_id,
+       |    round(CASE WHEN len(w) > 0
+       |      THEN (len(w) - len(list_distinct(w)))::DOUBLE / len(w)
+       |      ELSE 0.0 END, 6) AS dup_word_frac,
+       |    round(CASE WHEN n_bg > 0 THEN top_c::DOUBLE / n_bg ELSE 0.0 END, 6)
+       |      AS top_bigram_frac
+       |  FROM t LEFT JOIN tb ON t.doc_id = tb.doc_id
+       |)
+       |SELECT doc_id, dup_word_frac, top_bigram_frac,
+       |  (dup_word_frac > 0.3 OR top_bigram_frac > 0.18)::INT AS flagged
+       |FROM j""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    QueryDef("repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
   )
 }

@@ -42,4 +42,24 @@ object TextFns {
     val gram = (0 until n).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(1, len($w) - ${n - 2}), i -> $gram))"
   }
+
+  /** Word n-grams WITH multiplicity (contrast [[shingles]], which
+    * deduplicates for set-similarity) — repetition statistics need every
+    * occurrence. Empty when the doc has fewer than n tokens.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[ngrams]]; `range` is empty when len(w) < n, so no
+    * guard is needed on the SQL side.
+    */
+  def ngramsSql(w: String, n: Int): String = {
+    val gram = (0 until n).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($w) - ${n - 2}), i -> $gram)"
+  }
 }

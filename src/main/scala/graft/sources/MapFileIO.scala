@@ -59,21 +59,65 @@ object MapFileIO {
   }
 
   /** Index-seek point lookup (reference:
-    * mapred/MapFileOutputFormat.java getEntry): part dirs hold disjoint
-    * sorted ranges, so probe each reader's in-memory index until one hits.
+    * mapred/MapFileOutputFormat.java:82-107 getEntry — one reader picked by
+    * the partitioner, never a probe of every part). The write path range-
+    * partitions, so the partitioner analog is a binary search over part
+    * first-keys: each key maps to the single part whose range covers it,
+    * and only THAT MapFile.Reader is opened (lazily, memoized across keys).
+    * First keys come from the first record of each part's `index` file — a
+    * header-sized read, not a full index load — so a lookup against a
+    * 10k-part directory opens 10k tiny headers once plus exactly one full
+    * reader per distinct owning part.
     */
-  def get(spark: SparkSession, path: String, keys: Seq[Long]): Seq[(Long, String)] = {
+  def get(spark: SparkSession, path: String, keys: Seq[Long]): Seq[(Long, String)] =
+    getInstrumented(spark, path, keys)._1
+
+  /** [[get]] plus the number of MapFile.Readers actually opened — lets the
+    * spec assert the one-reader-per-key contract.
+    */
+  private[graft] def getInstrumented(spark: SparkSession, path: String,
+      keys: Seq[Long]): (Seq[(Long, String)], Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val parts = root.getFileSystem(conf).listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val readers = parts.map(p => new MapFile.Reader(p, conf))
-    try keys.flatMap { k =>
-      val kw = new LongWritable(k)
-      val v = new Text()
-      readers.iterator
-        .map(r => Option(r.get(kw, v)).map(_ => k -> v.toString))
-        .collectFirst { case Some(kv) => kv }
-    } finally readers.foreach(_.close())
+    // (firstKey, part) ascending; empty parts own no range and drop out
+    val ranges = parts.flatMap(p => firstKey(conf, p).map(_ -> p))
+    val firsts = ranges.map(_._1)
+    val opened = scala.collection.mutable.Map.empty[String, MapFile.Reader]
+    try {
+      val hits = keys.flatMap { k =>
+        // owning part = greatest firstKey <= k (ranges are disjoint, sorted)
+        val i = {
+          val raw = java.util.Arrays.binarySearch(firsts, k)
+          if (raw >= 0) raw else -raw - 2 // insertion point minus one
+        }
+        if (i < 0) None
+        else {
+          val part = ranges(i)._2
+          val r = opened.getOrElseUpdate(part.toString, new MapFile.Reader(part, conf))
+          val v = new Text()
+          Option(r.get(new LongWritable(k), v)).map(_ => k -> v.toString)
+        }
+      }
+      (hits, opened.size)
+    } finally opened.values.foreach(_.close())
+  }
+
+  /** First key of one part, read from the first `index` record — the index
+    * is (key, position) pairs over the sorted data file, so record one IS
+    * the partition's minimum indexed key, and reading it avoids
+    * MapFile.Reader's full index materialization.
+    */
+  private def firstKey(conf: Configuration, part: Path): Option[Long] = {
+    import org.apache.hadoop.io.SequenceFile
+    val idx = new Path(part, MapFile.INDEX_FILE_NAME)
+    if (!idx.getFileSystem(conf).exists(idx)) return None
+    val r = new SequenceFile.Reader(conf, SequenceFile.Reader.file(idx))
+    try {
+      val k = new LongWritable()
+      val pos = new LongWritable()
+      if (r.next(k, pos)) Some(k.get) else None
+    } finally r.close()
   }
 }

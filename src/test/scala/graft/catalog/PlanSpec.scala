@@ -104,4 +104,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "q1 lost hash aggregation")
     assert(p.contains("Exchange hashpartitioning"), "q1 missing keyed exchange")
   }
+
+  /** AQE-final plan: execute through the df's own QueryExecution so the
+    * AdaptiveSparkPlan's runtime join decisions are locked in before the
+    * assertion reads them.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.toRdd.foreachPartition((_: Iterator[_]) => ())
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial plan;
+    // assertions must only count operators the final plan actually ran
+    qe.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q5 snowflake pin: every dim joins broadcast; the only shuffle is the agg") {
+    // regression pin from the round-3 bench audit: q5's time moved 3.9→6.0s
+    // round-over-round with identical code; the captured plans proved the
+    // plan never changed (environmental GC pressure did). This asserts the
+    // good plan stays locked: broadcast dims, no nested loop, and at this SF
+    // nothing shuffles except the final aggregation exchange.
+    val p = finalPlan(Analytics.q5RegionRevenue(spark, dir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"q5 lost its broadcast dims ($bhj BroadcastHashJoins):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q5 plan grew a nested loop:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"q5 has $shuffles shuffle exchanges (want ≤2):\n$p")
+  }
+
+  test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
+    val p = finalPlan(Extras.saltedJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
+    // the dim×salt replication is a broadcast cross of a 16-row range — the
+    // ONLY permissible nested loop; the fact join itself must be hash-based
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"salted_join has $bnlj nested loops (want ≤1 salt-replication):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"salted_join fact join is not hash/merge based:\n$p")
+  }
 }

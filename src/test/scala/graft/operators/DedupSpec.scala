@@ -86,4 +86,24 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
     assert(banded.exists { case (a, b, h) => a == 14L && b == 15L && h == 0 })
   }
+
+  test("repetition signals: exact dup-word and top-bigram fractions, short-doc edge") {
+    val docs = Seq(
+      // toks = [a,a,a,b]: dup = (4-2)/4 = 0.5; bigrams [a a, a a, a b] → 2/3
+      (0L, "a a a b"),
+      // all-distinct tokens: dup 0; 4 distinct bigrams → top 1/4
+      (1L, "one two three four five"),
+      // single token: no bigrams → both fractions 0, unflagged
+      (2L, "solo"),
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    val out = graft.catalog.TextAnalysis.repetitionFrame(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 0.5, 0.666667, 1),
+      (1L, 0.0, 0.25, 1), // top_bigram 0.25 > 0.18 — tiny docs trip the ratio
+      (2L, 0.0, 0.0, 0),
+      (3L, 0.0, 0.0, 0)))
+  }
 }

@@ -30,6 +30,27 @@ class MapFileIOSpec extends SparkSpec {
     assert(MapFileIO.get(spark, s"$dir/mf", Seq(7L, 1001L)).isEmpty)
   }
 
+  test("get() opens only the owning reader per key (reference getEntry contract)") {
+    val dir = tmp("one-reader")
+    val rows = (0L until 600L).map(k => (k, s"v$k"))
+    MapFileIO.write(rows.toDF("key", "value"), s"$dir/mf", partitions = 6)
+    // keys spread over the full range → every lookup must still touch ONE
+    // part each; 3 keys landing in ≤3 distinct parts open ≤3 of 6 readers
+    val (hits, openedSpread) =
+      MapFileIO.getInstrumented(spark, s"$dir/mf", Seq(1L, 300L, 599L))
+    assert(hits == Seq(1L -> "v1", 300L -> "v300", 599L -> "v599"))
+    assert(openedSpread <= 3, s"opened $openedSpread readers for 3 keys (6 parts)")
+    // keys from one range-partition → exactly one reader for all of them
+    val (hits2, openedOne) =
+      MapFileIO.getInstrumented(spark, s"$dir/mf", Seq(2L, 3L, 5L))
+    assert(hits2.map(_._1) == Seq(2L, 3L, 5L))
+    assert(openedOne == 1, s"co-located keys opened $openedOne readers")
+    // a missing key inside a covered range opens that one reader and misses
+    val (misses, openedMiss) =
+      MapFileIO.getInstrumented(spark, s"$dir/mf", Seq(10_000L))
+    assert(misses.isEmpty && openedMiss <= 1)
+  }
+
   test("BloomMapFile layout: stock writer, fast negative probes, data scans as a MapFile") {
     val dir = tmp("bloom")
     val mf = new Path(s"$dir/part-00000")
