@@ -192,10 +192,14 @@ object TextAnalysis extends QueryModule {
     * occurrences taken by the single most frequent bigram). `flagged`
     * applies the usual thresholds.
     *
-    * Scale shape: the per-doc bigram mode is computed by explode →
-    * groupBy(doc, bigram) → groupBy(doc) — two partial-aggregating shuffles
-    * keyed by doc_id, never a per-doc O(n²) array lambda, so a 100 TB
-    * corpus spreads by document exactly like [[spanDedup]]'s inverted index.
+    * Scale shape: both signals are PER-DOCUMENT statistics, so the whole
+    * operator is one map-only projection — no shuffle anywhere. The bigram
+    * mode is the longest equal-run of the doc's sorted bigram array
+    * (array_sort + one linear `aggregate` lambda, O(n log n) per row): an
+    * earlier explode → groupBy(doc, bigram) → groupBy(doc) draft shuffled
+    * every bigram occurrence in the corpus twice and benched 13.4 s at
+    * sf0.1 against 0.5 s for this shape — per-key statistics should never
+    * leave their row.
     */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
     repetitionFrame(Tables.documents(spark, dir))
@@ -204,20 +208,26 @@ object TextAnalysis extends QueryModule {
     * frame so the spec can assert exact fractions on handcrafted docs.
     */
   def repetitionFrame(documents: DataFrame): DataFrame = {
-    val docs = documents
+    // longest equal-run over the sorted bigrams = max bigram multiplicity;
+    // "" never equals a real token pair, so the first element starts run=1
+    val topC = aggregate(
+      array_sort(col("bg")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val dupFrac = when(size(col("toks")) > 0,
+      (size(col("toks")) - size(array_distinct(col("toks")))).cast("double") /
+        size(col("toks"))).otherwise(0.0)
+    val topFrac = when(size(col("bg")) > 0,
+      topC.cast("double") / size(col("bg"))).otherwise(0.0)
+    documents
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), TextFns.ngrams(col("toks"), 2).as("bg"))
-    val base = docs.select(col("doc_id"),
-      size(col("toks")).as("n_toks"),
-      size(array_distinct(col("toks"))).as("n_uniq"))
-    val top = docs.select(col("doc_id"), explode(col("bg")).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
-    val dupFrac = when(col("n_toks") > 0,
-      (col("n_toks") - col("n_uniq")).cast("double") / col("n_toks")).otherwise(0.0)
-    val topFrac = when(col("n_bg").isNotNull && col("n_bg") > 0,
-      col("top_c").cast("double") / col("n_bg")).otherwise(0.0)
-    base.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(dupFrac, 6).as("dup_word_frac"),
         round(topFrac, 6).as("top_bigram_frac"))
@@ -228,18 +238,20 @@ object TextAnalysis extends QueryModule {
   private val repetitionSignalsSql = {
     val w = TextFns.tokensSql("text")
     val sh = TextFns.ngramsSql("w", 2)
+    // the oracle's bigram mode is an O(n²) list comprehension — fine for
+    // correctness checking at sf0.01, NOT the engine shape
     s"""WITH t AS (SELECT doc_id, $w AS w FROM documents),
-       |b AS (SELECT doc_id, unnest($sh) AS bg FROM t),
-       |cnt AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
-       |tb AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM cnt GROUP BY 1),
+       |g AS (SELECT doc_id, w, $sh AS bg FROM t),
        |j AS (
-       |  SELECT t.doc_id,
+       |  SELECT doc_id,
        |    round(CASE WHEN len(w) > 0
        |      THEN (len(w) - len(list_distinct(w)))::DOUBLE / len(w)
        |      ELSE 0.0 END, 6) AS dup_word_frac,
-       |    round(CASE WHEN n_bg > 0 THEN top_c::DOUBLE / n_bg ELSE 0.0 END, 6)
-       |      AS top_bigram_frac
-       |  FROM t LEFT JOIN tb ON t.doc_id = tb.doc_id
+       |    round(CASE WHEN len(bg) > 0
+       |      THEN list_max(list_transform(list_distinct(bg),
+       |             x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg)
+       |      ELSE 0.0 END, 6) AS top_bigram_frac
+       |  FROM g
        |)
        |SELECT doc_id, dup_word_frac, top_bigram_frac,
        |  (dup_word_frac > 0.3 OR top_bigram_frac > 0.18)::INT AS flagged

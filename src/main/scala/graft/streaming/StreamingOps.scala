@@ -89,6 +89,17 @@ object StreamingOps {
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bandSeconds SECONDS"))
   }
 
+  /** Stream-static enrichment join: the static dimension re-plans per
+    * micro-batch and broadcasts — NO join state at all, unlike
+    * stream-stream joins, so it's the first choice whenever one side is a
+    * slowly-changing lookup (domain metadata, license flags). This is the
+    * reference's DistributedCache/broadcast side-file idiom applied to a
+    * stream; because the dimension is re-read each batch, updates to its
+    * backing table surface without restarting the query.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

@@ -132,6 +132,42 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"q5 has $shuffles shuffle exchanges (want ≤2):\n$p")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the no-salt hot-key path)") {
+    // Complements the explicit salting ops (Extras.saltedAgg/saltedJoin):
+    // when skew lives in a JOIN key, AQE's OptimizeSkewedJoin splits the
+    // oversized partition at runtime with no query rewrite. Thresholds are
+    // lowered to make a unit-sized corpus trip the same machinery a 100 TB
+    // hot key would.
+    import org.apache.spark.sql.functions.{col, lit, md5, when => sqlWhen}
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "65536")   // 64 KB counts as skewed
+      spark.conf.set(keys(1), "16384")   // split target 16 KB
+      spark.conf.set(keys(2), "-1")      // force a shuffle join
+      spark.conf.set(keys(3), "2")       // 2× median is already skew here
+      // 90% of fact rows share key 0 → one shuffle partition dwarfs the rest
+      val fact = spark.range(200000L).select(
+        sqlWhen(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 1000L).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(1000L).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("dpay"))
+      // no aggregation downstream: reusing the join's hash partitioning
+      // would make OptimizeSkewedJoin decline (the split breaks it)
+      val joined = fact.join(dim, "k").select(col("k"), col("payload"), col("dpay"))
+      val p = finalPlan(joined)
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not split the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")

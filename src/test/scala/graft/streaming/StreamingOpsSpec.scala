@@ -67,6 +67,29 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out == Set((1L, 1000000L, 2L), (1L, 100000000L, 1L), (2L, 5000000L, 1L)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("domain_id", "url")
+    val dim = Seq((1L, "news", true), (2L, "blog", false))
+      .toDF("domain_id", "category", "licensed")
+    val sink = s"enrich_${System.nanoTime()}"
+    val q = StreamingOps.enrichStream(stream, dim, "domain_id")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", freshCheckpoint("enrich"))
+      .start()
+    try {
+      in.addData((1L, "a.html"), (2L, "b.html"), (9L, "c.html"))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)).getOrElse("-"))).toSet
+      // unknown domain survives the LEFT join with null enrichment
+      assert(rows == Set((1L, "a.html", "news"), (2L, "b.html", "blog"),
+        (9L, "c.html", "-")))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrivals; state evicts past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
