@@ -266,6 +266,56 @@ object LlmPipeline extends QueryModule {
        |FROM d GROUP BY source""".stripMargin
   }
 
+  // ---- token-budget shard packing -----------------------------------------
+  private val PackBuckets = 32
+  private val PackBudget = 2048L
+
+  /** Training-shard assignment: pack documents into ~`PackBudget`-token
+    * shards, deterministically. Globally-greedy packing is a sequential
+    * scan — unusable at 100 TB — so docs first spread over `PackBuckets`
+    * independent buckets by content-stable h48(doc_id); each bucket packs
+    * its own docs by running token sum (a bucket-partitioned window), and
+    * the waste is bounded at one partial shard per bucket. Bucket count is
+    * the parallelism knob: set it to O(cluster cores) and every window
+    * partition stays executor-sized. Same hash-determinism argument as
+    * [[domainMix]]: the assignment is a pure function of doc content keys,
+    * reproducible across runs, engines, and partitionings.
+    */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("bucket", (col("h") % PackBuckets).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // shard = which budget window the doc's START falls in — integer
+      // `div`, not `/` (long / long is double division in Spark SQL)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"(cum - n_tokens) div $PackBudget").as("shard"))
+  }
+
+  private val shardPackSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR")
+    s"""WITH t AS (
+       |  SELECT doc_id, len($w)::BIGINT AS n_tokens, $h AS h FROM documents
+       |), b AS (
+       |  SELECT doc_id, n_tokens, (h % $PackBuckets)::INT AS bucket, h FROM t
+       |), c AS (
+       |  SELECT doc_id, n_tokens, bucket,
+       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM b
+       |)
+       |SELECT doc_id, n_tokens, bucket,
+       |  ((cum - n_tokens) // $PackBudget)::BIGINT AS shard
+       |FROM c""".stripMargin
+  }
+
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
   /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
     * The oracle recomputes the stub's byte math from `text` — valid because
@@ -323,6 +373,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
+    QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )

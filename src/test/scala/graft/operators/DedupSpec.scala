@@ -87,6 +87,27 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists { case (a, b, h) => a == 14L && b == 15L && h == 0 })
   }
 
+  test("shard packing: lossless, deterministic, per-shard sums ≤ budget + one doc") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.catalog.LlmPipeline.shardPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    val out = run()
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(out.length == nDocs, "packing dropped or duplicated docs")
+    assert(out.map(_._1).distinct.length == out.length, "doc assigned twice")
+    // every doc in shard k STARTS inside window k, so a shard holds at most
+    // one budget of starts plus its last doc's overhang
+    val budget = 2048L
+    out.groupBy(t => (t._3, t._4)).foreach { case ((b, s), docs) =>
+      val total = docs.map(_._2).sum
+      val biggest = docs.map(_._2).max
+      assert(total <= budget + biggest,
+        s"bucket $b shard $s holds $total tokens (> budget + largest doc)")
+    }
+    assert(out.toSeq == run().toSeq, "packing is not deterministic")
+  }
+
   test("repetition signals: exact dup-word and top-bigram fractions, short-doc edge") {
     val docs = Seq(
       // toks = [a,a,a,b]: dup = (4-2)/4 = 0.5; bigrams [a a, a a, a b] → 2/3
