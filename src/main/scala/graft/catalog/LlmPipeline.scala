@@ -266,6 +266,55 @@ object LlmPipeline extends QueryModule {
        |FROM d GROUP BY source""".stripMargin
   }
 
+  // ---- stratified quota sampling ------------------------------------------
+  private val StrataSeed = 13
+  private val StrataQuota = 50L
+
+  /** Exact per-source quota sampling: keep the `StrataQuota` docs with the
+    * smallest seeded h48 in each source — the quota-based complement of
+    * [[domainMix]]'s rate-based sampling, with the same determinism
+    * properties (a pure function of doc ids; reproducible anywhere).
+    *
+    * Scale shape: ranking a 100 TB stratum directly would sort the whole
+    * stratum for k winners. Instead, a one-row-per-source count broadcasts
+    * back and gates the scan to h < 4·quota/n (an ~4·quota-row survivor
+    * set per stratum, map-only); only survivors enter the rank window.
+    * The oracle mirrors the gate exactly, so the check stays bit-exact
+    * even in the astronomically-unlikely under-gate case.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"), StrataSeed)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), h.as("h"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tau = least(lit(1.0), lit(4.0 * StrataQuota) / col("n")) * H48Range
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(counts), Seq("source"))
+      .filter(col("h").cast("double") < tau)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= StrataQuota)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  private val stratifiedSampleSql = {
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR", StrataSeed)
+    s"""WITH t AS (
+       |  SELECT source, doc_id, $h AS h FROM documents
+       |), c AS (
+       |  SELECT source, count(*) AS n FROM t GROUP BY source
+       |), g AS (
+       |  SELECT t.source, t.doc_id, t.h
+       |  FROM t JOIN c ON t.source = c.source
+       |  WHERE t.h::DOUBLE < least(1.0, ${4.0 * StrataQuota} / c.n) * $H48Range
+       |), r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |  FROM g
+       |)
+       |SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= $StrataQuota""".stripMargin
+  }
+
   // ---- token-budget shard packing -----------------------------------------
   private val PackBuckets = 32
   private val PackBudget = 2048L
@@ -374,6 +423,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
+    QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )
