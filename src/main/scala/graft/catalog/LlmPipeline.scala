@@ -266,6 +266,66 @@ object LlmPipeline extends QueryModule {
        |FROM d GROUP BY source""".stripMargin
   }
 
+  // ---- train-test decontamination -----------------------------------------
+  private val DecontamN = 8
+
+  /** Benchmark decontamination: flag training docs that share any word
+    * 8-gram with an evaluation set — the canonical pre-training hygiene
+    * pass (eval answers leaking into training data inflate benchmarks).
+    * Here the "benchmark" is the deterministic doc_id % 97 == 0 slice of
+    * the corpus, standing in for an external eval table.
+    *
+    * Scale shape (the cross-corpus complement of [[spanDedup]]'s
+    * within-corpus pass): benchmark shingles deduplicate to a small set
+    * that equi-joins against the corpus' exploded shingles — never an
+    * all-pairs compare; a real eval set is tiny, so Catalyst broadcasts
+    * it and the pass runs at scan speed. Doc verdicts come back via one
+    * distinct + left join keyed by doc_id.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontamFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[decontaminate]] for spec-sized corpora. */
+  def decontamFrame(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("source"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.shingles(col("toks"), DecontamN).as("sh"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(bench, Seq("s"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+  }
+
+  private val decontaminateSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", DecontamN)
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $w AS w FROM documents
+       |), s AS (
+       |  SELECT doc_id, source, $sh AS sh FROM t
+       |), b AS (
+       |  SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id % 97 = 0
+       |), c AS (
+       |  SELECT doc_id, source, sh FROM s WHERE doc_id % 97 <> 0
+       |), e AS (
+       |  SELECT doc_id, unnest(sh) AS sg FROM c
+       |), hits AS (
+       |  SELECT DISTINCT e.doc_id FROM e JOIN b ON e.sg = b.sg
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_contaminated
+       |FROM c GROUP BY source""".stripMargin
+  }
+
   // ---- stratified quota sampling ------------------------------------------
   private val StrataSeed = 13
   private val StrataQuota = 50L
@@ -424,6 +484,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )

@@ -87,6 +87,21 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists { case (a, b, h) => a == 14L && b == 15L && h == 0 })
   }
 
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark slice") {
+    // doc 0 (0 % 97 == 0) is the benchmark; doc 1 embeds one of its
+    // 8-grams verbatim, docs 2 and 3 share at most 7 consecutive tokens
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, "evalset", evalText),
+      (1L, "web", "prefix words " + evalText.split(" ").take(8).mkString(" ") + " suffix"),
+      (2L, "web", evalText.split(" ").take(7).mkString(" ") + " different tail words here"),
+      (3L, "books", "entirely unrelated training content with many plain words")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.catalog.LlmPipeline.decontamFrame(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("web", 2L, 1L), ("books", 1L, 0L)))
+  }
+
   test("shard packing: lossless, deterministic, per-shard sums ≤ budget + one doc") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.catalog.LlmPipeline.shardPack(spark, dir).collect()
