@@ -276,29 +276,42 @@ object LlmPipeline extends QueryModule {
     * the corpus, standing in for an external eval table.
     *
     * Scale shape (the cross-corpus complement of [[spanDedup]]'s
-    * within-corpus pass): benchmark shingles deduplicate to a small set
-    * that equi-joins against the corpus' exploded shingles — never an
-    * all-pairs compare; a real eval set is tiny, so Catalyst broadcasts
-    * it and the pass runs at scan speed. Doc verdicts come back via one
-    * distinct + left join keyed by doc_id.
+    * within-corpus pass): the join key is the 48-bit portable hash of each
+    * shingle, not the ~50-byte shingle string — 6× less exploded data in
+    * flight, and the ~n²/2^49 hash-collision false-positive odds only ever
+    * over-exclude (the safe direction for decontamination; the oracle
+    * mirrors the hash, so the compare is exact). The benchmark's hash set
+    * deduplicates small (a real eval set is tiny) and BROADCASTS, so the
+    * corpus side never shuffles — the whole pass is scan + map-side probe;
+    * doc verdicts come back via one distinct + left join keyed by doc_id,
+    * and the final rollup reads only (doc_id, source), never re-shingling.
+    * An earlier draft benched 37 s at sf0.1 vs ~2 s for this: it staged the
+    * shingle array through its own Project before exploding, and Spark's
+    * InferFiltersFromGenerate pushed an inferred `size(sh) > 0` filter
+    * below that Project — textually re-inlining the WHOLE tokenize+shingle
+    * expression (8 `split()` re-evaluations per window) into the filter.
+    * Keeping the shingle expression inside the generator itself
+    * ([[MinHashLsh.explodeShingles]], the shape every shingle operator here
+    * uses) never grows the inferred filter.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontamFrame(Tables.documents(spark, dir))
 
   /** Frame-level core of [[decontaminate]] for spec-sized corpora. */
   def decontamFrame(documents: DataFrame): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), col("source"), graft.functions.TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        graft.functions.TextFns.shingles(col("toks"), DecontamN).as("sh"))
-    val bench = docs.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("sh")).as("s")).distinct()
-    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(bench, Seq("s"))
+    val shingled = MinHashLsh
+      .explodeShingles(documents, "doc_id", "text", DecontamN)
+      .select(col("id").as("doc_id"),
+        graft.functions.PortableHash.h48(col("shingle")).as("hs"))
+    val bench = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("hs")).distinct()
+    val hits = shingled.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("hs"))
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(1L))
-    corpus.join(hits, Seq("doc_id"), "left")
+    documents.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
@@ -307,23 +320,24 @@ object LlmPipeline extends QueryModule {
   private val decontaminateSql = {
     val w = graft.functions.TextFns.tokensSql("text")
     val sh = graft.functions.TextFns.shinglesSql("w", DecontamN)
+    val h = graft.functions.PortableHash.h48Sql("sg")
     s"""WITH t AS (
-       |  SELECT doc_id, source, $w AS w FROM documents
+       |  SELECT doc_id, $w AS w FROM documents
        |), s AS (
-       |  SELECT doc_id, source, $sh AS sh FROM t
-       |), b AS (
-       |  SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id % 97 = 0
-       |), c AS (
-       |  SELECT doc_id, source, sh FROM s WHERE doc_id % 97 <> 0
+       |  SELECT doc_id, $sh AS sh FROM t
        |), e AS (
-       |  SELECT doc_id, unnest(sh) AS sg FROM c
+       |  SELECT doc_id, $h AS hs
+       |  FROM (SELECT doc_id, unnest(sh) AS sg FROM s)
+       |), b AS (
+       |  SELECT DISTINCT hs FROM e WHERE doc_id % 97 = 0
        |), hits AS (
-       |  SELECT DISTINCT e.doc_id FROM e JOIN b ON e.sg = b.sg
+       |  SELECT DISTINCT e.doc_id FROM e JOIN b ON e.hs = b.hs
+       |  WHERE e.doc_id % 97 <> 0
        |)
        |SELECT source, count(*) AS n_docs,
        |  sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END)::BIGINT
        |    AS n_contaminated
-       |FROM c GROUP BY source""".stripMargin
+       |FROM documents WHERE doc_id % 97 <> 0 GROUP BY source""".stripMargin
   }
 
   // ---- stratified quota sampling ------------------------------------------
