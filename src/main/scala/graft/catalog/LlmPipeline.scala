@@ -439,6 +439,84 @@ object LlmPipeline extends QueryModule {
        |FROM c""".stripMargin
   }
 
+  // ---- BM25 ranked retrieval ----------------------------------------------
+  private val Bm25QueryMod = 61
+  private val Bm25K = 5
+
+  /** Keyword search over the corpus via [[graft.operators.Bm25]]: the query
+    * set is "distinct first-5 tokens of every doc_id % 61 == 0 doc" (a
+    * deterministic stand-in for user queries), scored BM25 against the
+    * whole corpus, top-5 per query.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") % Bm25QueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(
+          graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
+    graft.operators.Bm25.topK(docs, queries, Bm25K)
+  }
+
+  private val bm25TopKSql =
+    graft.operators.Bm25.topKSql("documents", Bm25QueryMod, Bm25K)
+
+  // ---- near-dup cluster assignment (connected components) -----------------
+  private val ClusterN = 4
+
+  /** Dedup clustering: collapse the pairwise near-dup signal into CLUSTERS
+    * (doc → canonical representative = min doc_id in its connected
+    * component). Edges here are "docs sharing any word 4-gram", generated
+    * as per-shingle STARS to the shingle's min doc (connectivity-equivalent
+    * to all-pairs-within-shingle but linear in exploded rows — a hot
+    * shingle shared by 10k docs yields 10k star edges, not 10k²/2 pairs);
+    * components come from [[graft.operators.ConnectedComponents]].
+    * This is the pass that turns every pairwise dedup operator's output
+    * into an actionable keep/drop list.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ex = MinHashLsh.explodeShingles(docs, "doc_id", "text", ClusterN)
+    val owners = ex.groupBy("shingle").agg(min(col("id")).as("owner"))
+    val edges = ex.join(owners, "shingle")
+      .filter(col("id") =!= col("owner"))
+      .select(col("id").as("src"), col("owner").as("dst")).distinct()
+    val comp = graft.operators.ConnectedComponents.run(
+      docs.select(col("doc_id").as("id")), edges)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+  }
+
+  private val dedupClusterSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", ClusterN)
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $ClusterN
+       |), e AS (
+       |  SELECT id, unnest(shingles) AS shingle FROM sh
+       |), o AS (
+       |  SELECT shingle, min(id) AS owner FROM e GROUP BY shingle
+       |), ed AS (
+       |  SELECT DISTINCT e.id AS a, o.owner AS b
+       |  FROM e JOIN o ON e.shingle = o.shingle WHERE e.id <> o.owner
+       |), sym AS (
+       |  SELECT a, b FROM ed UNION SELECT b, a FROM ed
+       |), reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
+       |), comp AS (
+       |  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+       |)
+       |SELECT c.doc_id, c.component, s.cluster_size
+       |FROM comp c JOIN (
+       |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+       |) s ON c.component = s.component""".stripMargin
+  }
+
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
   /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
     * The oracle recomputes the stub's byte math from `text` — valid because
@@ -495,6 +573,8 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
+    QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

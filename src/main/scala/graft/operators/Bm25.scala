@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** BM25 ranked retrieval over a document corpus — the keyword-search
+  * complement of the embedding ANN operators ([[VectorOps]]): score a small
+  * query set against every document through an inverted index and keep the
+  * top-k per query.
+  *
+  * Scale shape: the index build is the classic two-aggregation pass —
+  * tf = groupBy(doc, term), df = groupBy(term) — each a single shuffle over
+  * the corpus with partial aggregation. The query side is tiny by
+  * construction (queries are human inputs, not corpus-sized), so every
+  * probe is a BROADCAST join against the exploded corpus: the corpus never
+  * reshuffles for a query batch, and per-(query, doc) scoring is map-side.
+  * Final top-k is a rank window partitioned by query_id — k rows per query
+  * survive.
+  *
+  * Determinism: scores avoid `ln` entirely (libm output is not contractually
+  * identical across engines) — idf is the rational variant
+  * (N − df + ½)/(df + ½), keeping every float op an IEEE-exact-rounded
+  * +/−/×/÷ evaluated in the SAME association order in Spark and the DuckDB
+  * oracle; each per-term score quantizes to floor(x·10⁶) and the per-doc
+  * total is an exact integer sum (order-independent), so ranking keys are
+  * bit-identical everywhere.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Top-k docs per query. `queries`: (query_id, term) — pre-exploded,
+    * small. Output: (query_id, doc_id, score_q, rank).
+    */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"),
+      size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // query-term df table is tiny: |distinct query terms| rows
+    val qdf = df.join(broadcast(queries.select(col("term")).distinct()), "term")
+    tf.join(broadcast(queries), "term")
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(floor(scoreTerm(col("n"), col("df"), col("tf"), col("dl"),
+        col("avgdl")) * lit(1000000.0))).as("score_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-(term, doc) BM25 contribution. Association order is load-bearing:
+    * the DuckDB oracle spells the identical tree, so keep
+    * ((idf · tf·(k1+1)) / denom) — not idf · (tf·(k1+1) / denom).
+    */
+  private def scoreTerm(n: Column, df: Column, tf: Column, dl: Column,
+                        avgdl: Column): Column =
+    (n - df + lit(0.5)) / (df + lit(0.5)) *
+      (tf * (lit(K1) + lit(1.0))) /
+      (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl / avgdl))
+
+  /** DuckDB twin of [[topK]] with the query set "distinct first-5 tokens of
+    * every doc with doc_id % queryMod == 0".
+    */
+  def topKSql(table: String, queryMod: Int, k: Int): String = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $w AS w FROM $table
+       |), stats AS (
+       |  SELECT count(*)::DOUBLE AS n, (sum(len(w))::DOUBLE / count(*)) AS avgdl FROM t
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl FROM
+       |    (SELECT doc_id, unnest(w) AS term, len(w)::BIGINT AS dl FROM t)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+       |), q AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS term
+       |  FROM t WHERE doc_id % $queryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum(floor((s.n - df.df + 0.5) / (df.df + 0.5)
+       |      * (tf.tf * ($K1 + 1.0))
+       |      / (tf.tf + $K1 * (1.0 - $B + $B * tf.dl / s.avgdl))
+       |      * 1000000.0))::BIGINT AS score_q
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN df ON df.term = q.term
+       |  CROSS JOIN stats s
+       |  GROUP BY q.query_id, tf.doc_id
+       |)
+       |SELECT query_id, doc_id, score_q,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 ranking semantics the oracle can't isolate: rare terms dominate
+  * common ones, term-frequency saturates, and docs without any query term
+  * never appear.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "zebra runs fast"),             // only doc with "zebra"
+    (2L, "the cat sat on the mat"),
+    (3L, "the dog sat on the log"),
+    (4L, "cat cat cat cat cat cat"),     // tf saturation target
+    (5L, "unrelated words entirely here"),
+  ).toDF("doc_id", "text")
+
+  private def run(terms: Seq[String], k: Int = 5) = {
+    val q = terms.map(t => (100L, t)).toDF("query_id", "term")
+    Bm25.topK(docs, q, k)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+  }
+
+  test("a rare term outranks matches on common terms") {
+    val got = run(Seq("zebra", "the"))
+    assert(got.head._1 == 1L, s"zebra doc must rank first, got ${got.toSeq}")
+  }
+
+  test("docs containing no query term are absent") {
+    val got = run(Seq("cat"))
+    assert(got.map(_._1).toSet == Set(2L, 4L))
+  }
+
+  test("term-frequency saturation: 6x repetition beats 1x but boundedly") {
+    val got = run(Seq("cat"))
+    val byDoc = got.toMap.map(_.swap) // doc -> rank? need scores instead
+    val scored = {
+      val q = Seq((100L, "cat")).toDF("query_id", "term")
+      Bm25.topK(docs, q, 5).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    }
+    assert(scored(4L) > scored(2L), "higher tf must score higher")
+    // k1=1.2 caps the tf factor at (k1+1)/1 ≈ 2.2x of a single occurrence's
+    // asymptote — 6 repetitions must NOT score 6x
+    assert(scored(4L) < scored(2L) * 4, s"tf must saturate, got $scored")
+  }
+}

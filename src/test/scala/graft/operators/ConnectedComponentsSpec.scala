@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Component labels must equal the min node id reachable through ANY chain
+  * of edges — including chains far longer than one propagation hop (the
+  * pointer-jumping payoff) and nodes with no edges at all.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(
+      nodes.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, and isolated nodes resolve to min-id components") {
+    val nodes = (1L to 12L)
+    // chain 1-2-3-4-5, triangle 6-7-8 (+ redundant 6-8), pair 9-10, isolated 11, 12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L), (10L, 9L))
+    val got = components(nodes, edges)
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert((6L to 8L).forall(got(_) == 6L))
+    assert(got(9L) == 9L && got(10L) == 9L)
+    assert(got(11L) == 11L && got(12L) == 12L)
+  }
+
+  test("a 64-node chain converges within the iteration cap (O(log d) jumps)") {
+    val nodes = (1L to 64L)
+    val edges = (1L until 64L).map(i => (i, i + 1))
+    val got = components(nodes, edges)
+    assert(nodes.forall(got(_) == 1L), "long chain must collapse to node 1")
+  }
+
+  test("bridging edge merges two clusters discovered independently") {
+    // two dense blobs joined by one bridge — the A~B, B~C transitivity case
+    val nodes = Seq(1L, 2L, 3L, 20L, 21L, 22L)
+    val edges = Seq((1L, 2L), (2L, 3L), (20L, 21L), (21L, 22L), (3L, 20L))
+    val got = components(nodes, edges)
+    assert(nodes.forall(got(_) == 1L))
+  }
+}
