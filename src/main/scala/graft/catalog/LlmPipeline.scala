@@ -439,6 +439,23 @@ object LlmPipeline extends QueryModule {
        |FROM c""".stripMargin
   }
 
+  // ---- k-means embedding clustering ---------------------------------------
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** Deterministic Lloyd clustering of the embedding corpus
+    * ([[graft.operators.KMeans]]): k=8, 3 exact integer-quantized
+    * iterations, first-k-by-id init. The cluster column feeds per-topic
+    * sampling the way [[stratifiedSample]] feeds per-source sampling.
+    */
+  def kmeansCluster(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.cluster(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+
+  private val kmeansClusterSql =
+    graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding",
+      KmK, KmIters, Dim)
+
   // ---- BM25 ranked retrieval ----------------------------------------------
   private val Bm25QueryMod = 61
   private val Bm25K = 5
@@ -575,6 +592,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -258,8 +258,76 @@ object TextAnalysis extends QueryModule {
        |FROM j""".stripMargin
   }
 
+  // ---- PII redaction ------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing: count and redact emails / phone numbers / IPv4
+    * addresses. The synthetic corpus contains no natural PII, so a
+    * deterministic injection step (pure function of doc_id, mirrored in the
+    * oracle) plants all three kinds first — the scrub then exercises the
+    * real patterns end-to-end, and `clean_md5` proves byte-identical
+    * replacement output. Pattern syntax stays in the Java∩RE2 common subset
+    * (no lookaround, no backrefs) so Spark and DuckDB agree; Spark's
+    * `regexp_replace` is global by default, DuckDB needs the explicit 'g'.
+    * Map-only single scan at any scale — codegen'd regex over each row.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com now"))).otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" today"))).otherwise(""),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" host "), (col("doc_id") % 256).cast("string"),
+          lit(".0.2."), (col("doc_id") % 100).cast("string"),
+          lit(" up"))).otherwise(""))
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_md5"))
+  }
+
+  private val piiScrubSql =
+    """WITH aug AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com now' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' host ' || (doc_id % 256)::VARCHAR || '.0.2.' || (doc_id % 100)::VARCHAR || ' up' ELSE '' END
+      |    AS t
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean
+      |  FROM aug
+      |)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |  len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))::BIGINT AS n_phones,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+      |  len(clean)::BIGINT AS clean_len,
+      |  md5(clean) AS clean_md5
+      |FROM c""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
