@@ -258,6 +258,55 @@ object TextAnalysis extends QueryModule {
        |FROM j""".stripMargin
   }
 
+  // ---- token surprisal (unigram-LM quality signal) ------------------------
+  /** Per-doc mean token surprisal in bits — the portable stand-in for the
+    * unigram-LM perplexity filter (CCNet-style: docs whose tokens are
+    * uniformly high-surprisal are noise; uniformly low-surprisal are
+    * boilerplate). True −log₂p needs libm logs, whose low bits differ
+    * across engines, so surprisal is computed as
+    * floor(log₂ total) − floor(log₂ tf) via `length(bin(x)) − 1` — pure
+    * integer/string ops, bit-identical everywhere, within 1 bit of the
+    * real value (plenty for a filter threshold).
+    *
+    * Scale shape: one term-count aggregation (shuffle on term with partial
+    * agg), then the token stream joins the count table on term — the
+    * count side arrives pre-partitioned by term from its own aggregation,
+    * so only the token stream reshuffles; the per-doc rollup is the final
+    * shuffle. The corpus-total is a 1-row broadcast.
+    */
+  def tokenSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tc = ex.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tot = ex.agg(count(lit(1)).as("total"))
+    ex.join(tc, "term").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (length(bin(col("total"))) - length(bin(col("n")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn("avg_bits_q",
+        floor(col("sum_bits").cast("double") * 1000000 / col("n_tokens")))
+  }
+
+  private val tokenSurprisalSql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $w AS w FROM documents
+       |), e AS (
+       |  SELECT doc_id, unnest(w) AS term FROM t
+       |), tc AS (
+       |  SELECT term, count(*)::BIGINT AS n FROM e GROUP BY term
+       |), tot AS (
+       |  SELECT count(*)::BIGINT AS total FROM e
+       |), s AS (
+       |  SELECT e.doc_id, (len(bin(tot.total)) - len(bin(tc.n)))::BIGINT AS bits
+       |  FROM e JOIN tc ON e.term = tc.term CROSS JOIN tot
+       |)
+       |SELECT doc_id, count(*) AS n_tokens, sum(bits)::BIGINT AS sum_bits,
+       |  floor(sum(bits)::DOUBLE * 1000000 / count(*))::BIGINT AS avg_bits_q
+       |FROM s GROUP BY doc_id""".stripMargin
+  }
+
   // ---- PII redaction ------------------------------------------------------
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
@@ -328,6 +377,7 @@ object TextAnalysis extends QueryModule {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
