@@ -59,10 +59,12 @@ object ConnectedComponents {
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val mL = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no distinct here: duplicate edges cannot change small-star's min
+      // aggregate, and the round-final distinct dedups anyway — dropping it
+      // removes one full exchange per round
       val large = sym.join(mL, "u")
         .filter(col("v") > col("u")).filter(col("v") =!= col("m"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // small-star: on directed edges, u and its smaller neighbors
       // reconnect to m(u) = min of {u} ∪ smaller-neighbors
       val mS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))

@@ -168,6 +168,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 probes broadcast: the corpus index never reshuffles for a query batch") {
+    val p = plan(LlmPipeline.bm25TopK(spark, dir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"bm25 query/df probes are not broadcast ($bhj BHJ):\n$p")
+    assert(!p.contains("CartesianProduct"), s"bm25 plan has a cartesian:\n$p")
+    // the 1-row corpus-stats broadcast is the only permissible nested loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"bm25 has $bnlj nested loops (want ≤1 stats cross):\n$p")
+  }
+
+  test("kmeans assignment is map-only: centroid literals, no join, no shuffle") {
+    val assigned = graft.operators.KMeans.cluster(
+      graft.core.Tables.embeddings(spark, dir), "vec_id", "embedding", 4, 1)
+    val p = plan(assigned)
+    assert(!p.contains("Join"), s"kmeans assignment grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"kmeans assignment shuffles:\n$p")
+  }
+
+  test("token_surprisal: term join is hash-based; only the 1-row total broadcasts") {
+    val p = plan(TextAnalysis.tokenSurprisal(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"surprisal plan has a cartesian:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"surprisal has $bnlj nested loops (want ≤1 total-row cross):\n$p")
+  }
+
+  test("pii_scrub is a single map-only scan reading only doc_id and text") {
+    val p = plan(TextAnalysis.piiScrub(spark, dir))
+    assert(!p.contains("Join"), s"pii_scrub grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"pii_scrub shuffles:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"pii_scrub reads unused columns:\n$readSchema")
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
