@@ -340,6 +340,79 @@ object LlmPipeline extends QueryModule {
        |FROM documents WHERE doc_id % 97 <> 0 GROUP BY source""".stripMargin
   }
 
+  // ---- incremental ingestion dedup ----------------------------------------
+  private val IngestN = 8
+
+  /** Incremental-ingestion dedup: vet a NEW batch (here the deterministic
+    * doc_id % 10 == 3 slice, standing in for a daily crawl drop) against
+    * the EXISTING corpus before admission — the streaming-shaped complement
+    * of the whole-corpus batch passes. Two tiers, cheapest first: exact
+    * content-key match, then any shared word 8-gram (the [[spanDedup]]
+    * signal); verdict = exact | near | unique.
+    *
+    * Scale shape (mirrors [[decontaminate]], direction reversed): the batch
+    * is small by construction, so BOTH probes broadcast the batch side —
+    * the existing corpus is scanned once per tier and never shuffles; hit
+    * doc_ids come back through a distinct on batch-sized data. At real
+    * scale the corpus side of the exact tier is a pre-built key index
+    * (the [[dedupExact]] output you already store), making admission a
+    * pure scan+probe job.
+    */
+  def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % 10 === 3
+    val keyed = docs.select(col("doc_id"), col("source"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("ck"))
+    val exactHits = keyed.filter(!isBatch)
+      .join(broadcast(keyed.filter(isBatch)
+        .select(col("doc_id").as("b_id"), col("ck"))), "ck")
+      .select(col("b_id")).distinct().withColumn("exact_hit", lit(1L))
+    val sh = MinHashLsh.explodeShingles(docs, "doc_id", "text", IngestN)
+      .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs"))
+    val spanHits = sh.filter(col("id") % 10 =!= 3)
+      .join(broadcast(sh.filter(col("id") % 10 === 3)
+        .select(col("id").as("b_id"), col("hs")).distinct()), "hs")
+      .select(col("b_id")).distinct().withColumn("span_hit", lit(1L))
+    keyed.filter(isBatch).select(col("doc_id"), col("source"))
+      .join(exactHits.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(spanHits.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("exact_hit"), lit(0L)).as("exact_dup"),
+        coalesce(col("span_hit"), lit(0L)).as("span_dup"),
+        when(coalesce(col("exact_hit"), lit(0L)) === 1L, "exact")
+          .when(coalesce(col("span_hit"), lit(0L)) === 1L, "near")
+          .otherwise("unique").as("verdict"))
+  }
+
+  private val ingestDedupSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", IngestN)
+    val h = graft.functions.PortableHash.h48Sql("sg")
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS ck
+       |  FROM documents
+       |), ex AS (
+       |  SELECT DISTINCT b.doc_id FROM k b JOIN k c ON b.ck = c.ck
+       |  WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 <> 3
+       |), e AS (
+       |  SELECT doc_id, $h AS hs
+       |  FROM (SELECT doc_id, unnest(sh) AS sg FROM
+       |    (SELECT doc_id, $sh AS sh FROM
+       |      (SELECT doc_id, $w AS w FROM documents) WHERE len(w) >= $IngestN))
+       |), sp AS (
+       |  SELECT DISTINCT b.doc_id FROM e b JOIN e c ON b.hs = c.hs
+       |  WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 <> 3
+       |)
+       |SELECT k.doc_id, k.source,
+       |  (CASE WHEN k.doc_id IN (SELECT doc_id FROM ex) THEN 1 ELSE 0 END)::BIGINT AS exact_dup,
+       |  (CASE WHEN k.doc_id IN (SELECT doc_id FROM sp) THEN 1 ELSE 0 END)::BIGINT AS span_dup,
+       |  CASE WHEN k.doc_id IN (SELECT doc_id FROM ex) THEN 'exact'
+       |       WHEN k.doc_id IN (SELECT doc_id FROM sp) THEN 'near'
+       |       ELSE 'unique' END AS verdict
+       |FROM k WHERE k.doc_id % 10 = 3""".stripMargin
+  }
+
   // ---- stratified quota sampling ------------------------------------------
   private val StrataSeed = 13
   private val StrataQuota = 50L
@@ -455,6 +528,43 @@ object LlmPipeline extends QueryModule {
   private val kmeansClusterSql =
     graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding",
       KmK, KmIters, Dim)
+
+  // ---- per-cluster quota sampling (kmeans ∘ stratified) -------------------
+  private val CsQuota = 20L
+  private val CsSeed = 29
+
+  /** Topic-balanced sampling: [[kmeansCluster]]'s clusters play the role
+    * [[stratifiedSample]]'s sources play — keep the `CsQuota` vectors with
+    * the smallest seeded h48 per cluster. Composes the two round-5
+    * primitives into the pass that balances a training mixture by CONTENT
+    * (embedding topic) rather than provenance; same determinism argument,
+    * and at scale the same broadcast-count gate as stratifiedSample slots
+    * in front of the rank window.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    kmeansCluster(spark, dir).select(col("vec_id"), col("cluster"))
+      .withColumn("h",
+        graft.functions.PortableHash.h48(col("vec_id").cast("string"), CsSeed))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= CsQuota)
+      .select(col("vec_id"), col("cluster"), col("rk"))
+  }
+
+  private val clusterSampleSql = {
+    val h = graft.functions.PortableHash.h48Sql("vec_id::VARCHAR", CsSeed)
+    s"""WITH km AS (
+       |${graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding", KmK, KmIters, Dim)
+            .linesIterator.map("  " + _).mkString("\n")}
+       |), r AS (
+       |  SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY $h, vec_id) AS rk
+       |  FROM km
+       |)
+       |SELECT vec_id, cluster, rk::BIGINT AS rk FROM r WHERE rk <= $CsQuota""".stripMargin
+  }
 
   // ---- BM25 ranked retrieval ----------------------------------------------
   private val Bm25QueryMod = 61
@@ -593,10 +703,12 @@ object LlmPipeline extends QueryModule {
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
+    QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("ingest_dedup", ingestDedup, Some(ingestDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )
