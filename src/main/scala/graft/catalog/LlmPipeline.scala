@@ -602,9 +602,19 @@ object LlmPipeline extends QueryModule {
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // edges join on h48(shingle), not the shingle string (the
+    // [[decontaminate]] trick): ~6× less exploded data in flight, and a
+    // 2^-48-odds hash collision can only MERGE two clusters — for dedup
+    // the over-grouping direction is safe, and the oracle mirrors the
+    // hash so the compare stays exact. The exploded frame materializes
+    // once (localCheckpoint) because both the owner aggregate and the
+    // join-back consume it — unmaterialized, Catalyst re-explodes the
+    // corpus on each side.
     val ex = MinHashLsh.explodeShingles(docs, "doc_id", "text", ClusterN)
-    val owners = ex.groupBy("shingle").agg(min(col("id")).as("owner"))
-    val edges = ex.join(owners, "shingle")
+      .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs"))
+      .localCheckpoint(true)
+    val owners = ex.groupBy("hs").agg(min(col("id")).as("owner"))
+    val edges = ex.join(owners, "hs")
       .filter(col("id") =!= col("owner"))
       .select(col("id").as("src"), col("owner").as("dst")).distinct()
     val comp = graft.operators.ConnectedComponents.run(
@@ -618,17 +628,19 @@ object LlmPipeline extends QueryModule {
   private val dedupClusterSql = {
     val w = graft.functions.TextFns.tokensSql("text")
     val sh = graft.functions.TextFns.shinglesSql("w", ClusterN)
+    val h = graft.functions.PortableHash.h48Sql("sg")
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id AS id, $sh AS shingles
        |  FROM (SELECT doc_id, $w AS w FROM documents)
        |  WHERE len(w) >= $ClusterN
        |), e AS (
-       |  SELECT id, unnest(shingles) AS shingle FROM sh
+       |  SELECT id, $h AS hs
+       |  FROM (SELECT id, unnest(shingles) AS sg FROM sh)
        |), o AS (
-       |  SELECT shingle, min(id) AS owner FROM e GROUP BY shingle
+       |  SELECT hs, min(id) AS owner FROM e GROUP BY hs
        |), ed AS (
        |  SELECT DISTINCT e.id AS a, o.owner AS b
-       |  FROM e JOIN o ON e.shingle = o.shingle WHERE e.id <> o.owner
+       |  FROM e JOIN o ON e.hs = o.hs WHERE e.id <> o.owner
        |), sym AS (
        |  SELECT a, b FROM ed UNION SELECT b, a FROM ed
        |), reach(v, r) AS (

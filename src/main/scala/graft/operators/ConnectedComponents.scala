@@ -53,35 +53,19 @@ object ConnectedComponents {
     var iter = 0
     var converged = cnt == 0
     while (!converged && iter < maxIter) {
-      // large-star: u's closed-neighborhood min m(u); each larger neighbor
-      // v > u reconnects as (v, m(u))
-      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
-        .union(e.select(col("lo").as("u"), col("hi").as("v")))
-      val mL = sym.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // no distinct here: duplicate edges cannot change small-star's min
-      // aggregate, and the round-final distinct dedups anyway — dropping it
-      // removes one full exchange per round
-      val large = sym.join(mL, "u")
-        .filter(col("v") > col("u")).filter(col("v") =!= col("m"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-      // small-star: on directed edges, u and its smaller neighbors
-      // reconnect to m(u) = min of {u} ∪ smaller-neighbors
-      val mS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val small = large.join(mS, "hi")
-        .filter(col("lo") =!= col("m"))
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .union(mS.select(col("hi"), col("m").as("lo")))
-        .filter(col("hi") =!= col("lo"))
-        .distinct()
-        .localCheckpoint(true)
-      val nextCnt = small.count()
+      // exactly ONE star round per materialization: a round's output feeds
+      // its own union/join branches, so an unmaterialized round gets its
+      // subtree REPLANNED per branch (no cross-branch CSE in Catalyst) —
+      // stacking two rounds before the checkpoint re-executed round 1 up
+      // to 4× and measured ~50% slower at sf0.1
+      val next = starRound(e).localCheckpoint(true)
+      val nextCnt = next.count()
       // fixpoint: star edges reproduce themselves; counts converge first,
       // then one exact subset check (|next ∪ cur| == |cur| with equal
       // counts ⇔ equal sets) confirms
       converged = nextCnt == cnt &&
-        small.union(e).distinct().count() == cnt
-      e = small
+        next.union(e).distinct().count() == cnt
+      e = next
       cnt = nextCnt
       iter += 1
     }
@@ -92,5 +76,29 @@ object ConnectedComponents {
         .withColumnRenamed("hi", "id"),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** One large-star + small-star pass over a directed (hi → lo) edge frame. */
+  private def starRound(e: DataFrame): DataFrame = {
+    // large-star: u's closed-neighborhood min m(u); each larger neighbor
+    // v > u reconnects as (v, m(u)). No distinct: duplicate edges cannot
+    // change small-star's min aggregate and the round-final distinct
+    // dedups — one fewer exchange per round.
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .union(e.select(col("lo").as("u"), col("hi").as("v")))
+    val mL = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    val large = sym.join(mL, "u")
+      .filter(col("v") > col("u")).filter(col("v") =!= col("m"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+    // small-star: u and its smaller neighbors reconnect to
+    // m(u) = min of {u} ∪ smaller-neighbors
+    val mS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    large.join(mS, "hi")
+      .filter(col("lo") =!= col("m"))
+      .select(col("lo").as("hi"), col("m").as("lo"))
+      .union(mS.select(col("hi"), col("m").as("lo")))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
   }
 }
