@@ -100,6 +100,42 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming ingestion admission — the streaming face of
+    * [[graft.catalog.LlmPipeline.ingestDedup]]: each arriving doc is
+    * vetted against the EXISTING corpus's pre-built dedup indexes and
+    * labeled exact / near / unique, with ZERO streaming state:
+    *   - exact tier: stream-static broadcast left join on the scalar
+    *     content key (re-plans per micro-batch, so a corpus refresh
+    *     surfaces without restart);
+    *   - span tier: a bloom filter of the corpus's span h48 hashes probed
+    *     with the native `bloom_might_contain` expression inside an
+    *     `exists()` over the doc's span array — map-only, no join at all.
+    * A bloom false positive labels a unique doc "near" — over-exclusion,
+    * the safe direction for dedup admission (identical to the FP stance
+    * of [[graft.catalog.LlmPipeline.decontaminate]]); false negatives
+    * cannot happen, so nothing duplicated is ever admitted as unique.
+    *
+    * Input stream schema: (doc_id LONG, ck STRING, hs ARRAY<LONG>) — the
+    * content key and span hashes are computed map-side on the stream;
+    * `spanBloom` is the serialized `df.stat.bloomFilter` of the stored
+    * span-hash table.
+    */
+  def admitStream(stream: DataFrame, corpusKeys: DataFrame,
+                  spanBloom: Array[Byte]): DataFrame = {
+    val exact = corpusKeys.select(col("ck")).distinct()
+      .withColumn("exact_hit", lit(1L))
+    stream.join(broadcast(exact), Seq("ck"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_hit"), lit(0L)).as("exact_dup"),
+        when(exists(col("hs"),
+          h => call_function("bloom_might_contain", lit(spanBloom), h)),
+          1L).otherwise(0L).as("span_dup"))
+      .select(col("doc_id"), col("exact_dup"), col("span_dup"),
+        when(col("exact_dup") === 1L, "exact")
+          .when(col("span_dup") === 1L, "near")
+          .otherwise("unique").as("verdict"))
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

@@ -170,4 +170,34 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
       assert(got.contains((2L, 105L, 1L)), s"user 2 timed-out session: $got")
     } finally q.stop()
   }
+
+  test("admitStream labels arrivals exact/near/unique with zero streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus indexes, built batch-side: exact keys + bloom of span hashes
+    val corpusKeys = Seq("key-a", "key-b").toDF("ck")
+    val spanHashes = Seq(1001L, 1002L, 1003L).toDF("hs")
+    val bf = spanHashes.stat.bloomFilter("hs", 1000, 0.001)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val in = MemoryStream[(Long, String, Seq[Long])]
+    val stream = in.toDF().toDF("doc_id", "ck", "hs")
+    val sink = s"admit_${System.nanoTime()}"
+    val q = StreamingOps.admitStream(stream, corpusKeys, bytes.toByteArray)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("admit"))
+      .start()
+    try {
+      in.addData(
+        (1L, "key-a", Seq(5000L)),         // exact key match (span miss)
+        (2L, "key-x", Seq(5000L, 1002L)),  // span overlap only
+        (3L, "key-y", Seq(5000L, 6000L)),  // clean
+        (4L, "key-b", Seq(1001L)))         // both tiers — exact wins
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got == Map(1L -> "exact", 2L -> "near", 3L -> "unique", 4L -> "exact"),
+        s"got $got")
+    } finally q.stop()
+  }
 }
