@@ -33,6 +33,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(nodes.forall(got(_) == 1L), "long chain must collapse to node 1")
   }
 
+  test("random graphs match a driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30
+      val nodes = (0L until n.toLong).toSeq
+      val edges = Seq.fill(10 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(v =>
+        v -> nodes.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      val got = components(nodes, edges)
+      assert(got == want, s"trial $trial: ${edges.toList}")
+    }
+  }
+
   test("bridging edge merges two clusters discovered independently") {
     // two dense blobs joined by one bridge — the A~B, B~C transitivity case
     val nodes = Seq(1L, 2L, 3L, 20L, 21L, 22L)
