@@ -218,6 +218,84 @@ object Analytics extends QueryModule {
       |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
       |FROM sess GROUP BY user_id, session_seq""".stripMargin
 
+  /** As-of join: every purchase matched to the user's most recent click at
+    * or before the purchase instant (null when the user never clicked
+    * before). Engine: [[graft.operators.TemporalJoin.asOfJoin]] — one
+    * shuffle of the tagged union on user_id, zero joins. Oracle: DuckDB's
+    * native `ASOF LEFT JOIN`, an independently-implemented merge algorithm.
+    *
+    * Clicks are pre-collapsed to one per (user_id, µs) keeping max
+    * event_id — ASOF is undefined under duplicate right timestamps, so both
+    * engines resolve ties identically before the join.
+    */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_event_id"))
+      .withColumn("click_ts_us", col("ts_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    graft.operators.TemporalJoin
+      .asOfJoin(purchases, clicks, key = "user_id", time = "ts_us",
+        payload = Seq("click_event_id", "click_ts_us"),
+        leftTie = "event_id", rightTie = "click_event_id")
+      .withColumnRenamed("asof_click_event_id", "click_event_id")
+      .withColumnRenamed("asof_click_ts_us", "click_ts_us")
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+  }
+
+  private val asofSql =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  c.click_event_id, c.ts_us AS click_ts_us,
+      |  p.ts_us - c.ts_us AS gap_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin
+
+  /** Band (range) join: per error event, the count and value-sum of ALL
+    * clicks — any user — within ±1 hour. Engine:
+    * [[graft.operators.TemporalJoin.bandJoin]] — equi-join on an hour
+    * bucket with a 3-bucket left fan-out, exact µs re-filter; candidates
+    * bounded by bucket occupancy, never |errors|×|clicks|. The oracle is a
+    * plain inequality join (DuckDB IEJoin) — a genuinely different
+    * algorithm arriving at the same pairs.
+    */
+  def rangeJoinNearby(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val errors = ev.where(col("event_type") === "error")
+      .select("event_id", "ts_us")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("ts_us", "value")
+    graft.operators.TemporalJoin
+      .bandJoin(errors, clicks, time = "ts_us", radius = hourUs,
+        payload = Seq("value"))
+      .groupBy(col("event_id"), col("ts_us"))
+      .agg(count(col("band_value")).as("n_nearby_clicks"),
+           round(coalesce(sum(col("band_value")), lit(0.0)), 2).as("nearby_value"))
+  }
+
+  private val rangeJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'error'
+      |), c AS (
+      |  SELECT epoch_us(ts) AS ts_us, value FROM events
+      |  WHERE event_type = 'click'
+      |)
+      |SELECT e.event_id, e.ts_us,
+      |  count(c.ts_us) AS n_nearby_clicks,
+      |  round(coalesce(sum(c.value), 0), 2) AS nearby_value
+      |FROM e LEFT JOIN c ON abs(e.ts_us - c.ts_us) <= 3600000000
+      |GROUP BY 1, 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -225,5 +303,7 @@ object Analytics extends QueryModule {
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
     QueryDef("events_window_agg", eventsWindowAgg, Some(eventsWindowSql)),
     QueryDef("sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("asof_join", asofPurchaseClick, Some(asofSql)),
+    QueryDef("range_join", rangeJoinNearby, Some(rangeJoinSql)),
   )
 }

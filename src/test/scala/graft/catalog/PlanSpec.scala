@@ -202,6 +202,24 @@ class PlanSpec extends SparkSpec {
       s"pii_scrub reads unused columns:\n$readSchema")
   }
 
+  test("asof_join is one window pass: a single shuffle on the key, zero join operators") {
+    val p = finalPlan(Analytics.asofPurchaseClick(spark, dir))
+    assert(!p.contains("Join"), s"asof_join should not contain any join:\n$p")
+    // 2 = the clicks (user_id, ts_us) tie-collapse pre-aggregate + the one
+    // union shuffle the as-of window itself needs. Anything more means the
+    // merge-scan design regressed.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"asof_join wants ≤2 shuffles, got $shuffles:\n$p")
+    assert(p.contains("Window"), s"asof_join lost its window operator:\n$p")
+  }
+
+  test("range_join pairs via the bucket equi-join — the band predicate never degrades to a nested loop") {
+    val p = finalPlan(Analytics.rangeJoinNearby(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range_join degraded to an all-pairs join:\n$p")
+    assert(p.contains("band_bin"), s"range_join is not joining on the time bucket:\n$p")
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
