@@ -566,6 +566,61 @@ object LlmPipeline extends QueryModule {
        |SELECT vec_id, cluster, rk::BIGINT AS rk FROM r WHERE rk <= $CsQuota""".stripMargin
   }
 
+  // ---- semantic dedup (SemDeDup-style: kmeans ∘ within-cluster cosine) ----
+  private val SemDedupTau = 0.4
+
+  /** Semantic near-dup removal à la SemDeDup (Abbas et al. 2023): cluster
+    * the embedding space with [[kmeansCluster]], then compare pairs ONLY
+    * within a cluster — exact quantized cosine, drop every vector that has
+    * a ≥ τ near-dup with a smaller id (greedy keep-first; the id order is
+    * the deterministic stand-in for the paper's keep-farthest-from-centroid
+    * rule). A vector's verdict is (vec_id, cluster, kept).
+    *
+    * Scale shape: the pair generator is an equi-join on the cluster id —
+    * candidates are Σ nᵢ²/2 over cluster sizes, never n²/2 — and k grows
+    * with corpus size (the paper runs k≈10⁵ at web scale) so clusters stay
+    * bounded; the kept-verdict anti-join is a shuffle on vec_id. The
+    * cosine rescorer reuses the hoisted-norm integer dot
+    * ([[VectorOps.cosineQN]]), so each candidate pair costs one codegen
+    * dot product.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"),
+      VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", VectorOps.normQ(col("qv")))
+    val km = kmeansCluster(spark, dir).select(col("vec_id"), col("cluster"))
+    val member = km.join(v, "vec_id")
+    val a = member.select(col("vec_id").as("lo"), col("cluster"),
+      col("qv").as("qa"), col("nq").as("na"))
+    val b = member.select(col("vec_id").as("hi"), col("cluster").as("cluster_b"),
+      col("qv").as("qb"), col("nq").as("nb"))
+    val removed = a.join(b,
+        col("cluster") === col("cluster_b") && col("lo") < col("hi"))
+      .where(VectorOps.cosineQN(col("qa"), col("qb"), col("na"), col("nb"))
+        >= lit(SemDedupTau))
+      .select(col("hi").as("vec_id")).distinct()
+    km.join(removed.withColumn("gone", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("gone").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
+  private val semanticDedupSql =
+    s"""WITH km AS (
+       |${graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding", KmK, KmIters, Dim)
+            .linesIterator.map("  " + _).mkString("\n")}
+       |), q AS (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv FROM embeddings
+       |), removed AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM km a JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN q qa ON qa.vec_id = a.vec_id
+       |  JOIN q qb ON qb.vec_id = b.vec_id
+       |  WHERE ${VectorOps.cosineQSql("qa.qv", "qb.qv", Dim)} >= $SemDedupTau
+       |)
+       |SELECT km.vec_id, km.cluster,
+       |  CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM km LEFT JOIN removed r ON r.vec_id = km.vec_id""".stripMargin
+
   // ---- BM25 ranked retrieval ----------------------------------------------
   private val Bm25QueryMod = 61
   private val Bm25K = 5
@@ -716,6 +771,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
+    QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -220,6 +220,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("band_bin"), s"range_join is not joining on the time bucket:\n$p")
   }
 
+  test("semantic_dedup pairs only within clusters — an equi-join on the cluster id") {
+    val p = plan(LlmPipeline.semanticDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic_dedup degraded to all-pairs:\n$p")
+    assert(p.contains("cluster"), s"semantic_dedup pair join lost its cluster key:\n$p")
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
