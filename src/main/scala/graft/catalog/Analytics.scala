@@ -296,6 +296,109 @@ object Analytics extends QueryModule {
       |FROM e LEFT JOIN c ON abs(e.ts_us - c.ts_us) <= 3600000000
       |GROUP BY 1, 2""".stripMargin
 
+  /** Cross-tab reshape: user × event_type counts as one wide row per user.
+    * The pivot value list is FIXED (the 5 known types), so this stays a
+    * single hash aggregate — no driver-side distinct-collect, which is the
+    * difference between `pivot(col, values)` and `pivot(col)` at scale.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).pivot("event_type", types).count()
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  private val pivotEventsSql =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Hopping (sliding) window aggregate: 1-hour windows every 15 minutes,
+    * so each event lands in exactly 4 windows. Batch twin of Structured
+    * Streaming's `window(ts, "1 hour", "15 minutes")`, expressed as an
+    * explicit 4-way fan-out (explode of the k=0..3 hop offsets) so the
+    * whole thing is one codegen scan + one hash aggregate; works directly
+    * on the epoch-µs long with integer `div` bucketing.
+    */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val hopUs = 15L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("win_start_us",
+        (expr(s"ts_us div ${hopUs}L") - col("k")) * lit(hopUs))
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  private val slidingWindowSql =
+    """SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS win_start_us,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events CROSS JOIN range(0, 4) k(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Exact discrete percentiles (p50/p90/p99) of `value` per event_type:
+    * the element at rank ceil(q·n) under (value, event_id) order — an
+    * actual data point, no interpolation, so the result is engine-exact.
+    * One shuffle on event_type; the rank window and the conditional-max
+    * fold share that partitioning. (The 100 TB variant swaps the exact
+    * window for a QuantileSummaries/t-digest sketch — kept exact here
+    * because exactness is what the oracle can attest.)
+    */
+  def percentilesExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // ceil(q·n/100) in pure integer math — float division could land a
+    // hair under an integer boundary and miss the rank row entirely.
+    def pick(q: Int) = max(when(
+      col("rn") === expr(s"(n * $q + 99) div 100"), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+  }
+
+  private val percentilesSql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  max(value) FILTER (rn = (n * 50 + 99) // 100) AS p50,
+      |  max(value) FILTER (rn = (n * 90 + 99) // 100) AS p90,
+      |  max(value) FILTER (rn = (n * 99 + 99) // 100) AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+
+  /** CUBE over (event_type, day): all four grouping-set combinations in one
+    * pass with an explicit grouping id — the multi-rollup shape reporting
+    * pipelines run. Partial aggregation applies per grouping set before the
+    * shuffle, exactly like a flat groupBy.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("day_bucket", expr(s"(ts div 1000) div ${dayUs}L"))
+      .cube(col("event_type"), col("day_bucket"))
+      .agg(count(lit(1)).as("n_events"), grouping_id().as("gid"))
+  }
+
+  private val cubeAggSql =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day_bucket,
+      |  count(*) AS n_events,
+      |  GROUPING(event_type, epoch_us(ts) // 86400000000) AS gid
+      |FROM events
+      |GROUP BY CUBE (event_type, epoch_us(ts) // 86400000000)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -305,5 +408,9 @@ object Analytics extends QueryModule {
     QueryDef("sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("asof_join", asofPurchaseClick, Some(asofSql)),
     QueryDef("range_join", rangeJoinNearby, Some(rangeJoinSql)),
+    QueryDef("pivot_events", pivotEvents, Some(pivotEventsSql)),
+    QueryDef("sliding_window_agg", slidingWindowAgg, Some(slidingWindowSql)),
+    QueryDef("percentiles_exact", percentilesExact, Some(percentilesSql)),
+    QueryDef("cube_agg", cubeAgg, Some(cubeAggSql)),
   )
 }
