@@ -399,6 +399,99 @@ object Analytics extends QueryModule {
       |FROM events
       |GROUP BY CUBE (event_type, epoch_us(ts) // 86400000000)""".stripMargin
 
+  /** Ordered funnel: per user, the first view, the first click AFTER that
+    * view, and the first purchase AFTER that click (nulls where the user
+    * never progressed). Three stage aggregates + two stage joins, all
+    * keyed on user_id — one partitioning reused through the whole chain;
+    * no window over the full event list, so a user's events never need to
+    * fit in memory together.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val t1 = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+    val t2 = e.where(col("event_type") === "click")
+      .join(t1, "user_id").where(col("ts_us") > col("first_view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("first_click_us"))
+    val t3 = e.where(col("event_type") === "purchase")
+      .join(t2, "user_id").where(col("ts_us") > col("first_click_us"))
+      .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), t1 AS (
+      |  SELECT user_id, min(ts_us) AS first_view_us FROM e
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), t2 AS (
+      |  SELECT e.user_id, min(ts_us) AS first_click_us
+      |  FROM e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE event_type = 'click' AND ts_us > t1.first_view_us GROUP BY 1
+      |), t3 AS (
+      |  SELECT e.user_id, min(ts_us) AS first_purchase_us
+      |  FROM e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE event_type = 'purchase' AND ts_us > t2.first_click_us GROUP BY 1
+      |)
+      |SELECT t1.user_id, t1.first_view_us, t2.first_click_us, t3.first_purchase_us
+      |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |  LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin
+
+  /** First-order transition counts over each user's event sequence (the
+    * Markov-chain summary): lag window per user → (prev, next) pair
+    * counts. One shuffle on user_id for the window, one for the pair
+    * aggregate.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |)
+      |SELECT prev_type, event_type, count(*) AS n
+      |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen day, counted per
+    * (cohort_day, day_offset) of later activity. The cohort map is a
+    * per-user aggregate joined back to the log — both legs shuffle on
+    * user_id, then one distinct-count per cell.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div ${dayUs}L").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), f AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+      |)
+      |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -412,5 +505,8 @@ object Analytics extends QueryModule {
     QueryDef("sliding_window_agg", slidingWindowAgg, Some(slidingWindowSql)),
     QueryDef("percentiles_exact", percentilesExact, Some(percentilesSql)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggSql)),
+    QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
+    QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
   )
 }
