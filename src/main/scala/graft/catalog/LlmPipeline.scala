@@ -584,11 +584,19 @@ object LlmPipeline extends QueryModule {
     * ([[VectorOps.cosineQN]]), so each candidate pair costs one codegen
     * dot product.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"),
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(Tables.embeddings(spark, dir),
+      kmeansCluster(spark, dir), SemDedupTau)
+
+  /** Core of [[semanticDedup]] over explicit frames: `emb` = (vec_id,
+    * embedding), `assignments` = (vec_id, cluster).
+    */
+  def semanticDedupFrom(emb: DataFrame, assignments: DataFrame,
+                        tau: Double): DataFrame = {
+    val v = emb.select(col("vec_id"),
       VectorOps.quantize(col("embedding")).as("qv"))
       .withColumn("nq", VectorOps.normQ(col("qv")))
-    val km = kmeansCluster(spark, dir).select(col("vec_id"), col("cluster"))
+    val km = assignments.select(col("vec_id"), col("cluster"))
     val member = km.join(v, "vec_id")
     val a = member.select(col("vec_id").as("lo"), col("cluster"),
       col("qv").as("qa"), col("nq").as("na"))
@@ -597,7 +605,7 @@ object LlmPipeline extends QueryModule {
     val removed = a.join(b,
         col("cluster") === col("cluster_b") && col("lo") < col("hi"))
       .where(VectorOps.cosineQN(col("qa"), col("qb"), col("na"), col("nb"))
-        >= lit(SemDedupTau))
+        >= lit(tau))
       .select(col("hi").as("vec_id")).distinct()
     km.join(removed.withColumn("gone", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
