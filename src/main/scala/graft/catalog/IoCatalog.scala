@@ -58,6 +58,29 @@ object IoCatalog extends QueryModule {
   private val seqfileRoundtripSql =
     "SELECT doc_id, len(text) AS n_chars FROM documents"
 
+  // ---- Hadoop Archive (HAR) round trip ------------------------------------
+  /** Small-files packing through a real on-disk HAR ([[graft.sources.HarIO]]
+    * writes the version-3 layout; the STOCK Hadoop `HarFileSystem` serves
+    * the `har://` read). One archived file per selected doc; the read is a
+    * distributed text scan whose splits come from the archive index.
+    */
+  def harRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("har_roundtrip", dir) + "/docs.har"
+    graft.sources.HarIO.write(
+      Tables.documents(spark, dir).where(col("doc_id") % 25 === 0)
+        .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("name"),
+          col("text")),
+      "name", "text", path, numParts = 4)
+    graft.sources.HarIO.readText(spark, path)
+      .select(
+        regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1)
+          .cast("long").as("doc_id"),
+        length(col("content")).as("n_chars"))
+  }
+
+  private val harRoundtripSql =
+    "SELECT doc_id, len(text) AS n_chars FROM documents WHERE doc_id % 25 = 0"
+
   // ---- binary SequenceFile round trip (SequenceFileAsBinary*Format) -------
   /** Opaque binary payloads through the container: key = UTF-8 bytes of the
     * doc id, value = raw text bytes; read back and verified by decoding —
@@ -370,6 +393,7 @@ object IoCatalog extends QueryModule {
     QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
+    QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
     QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),
     QueryDef("seqfile_default_codec", seqfileDefaultCodec, Some(seqfileDefaultCodecSql)),
