@@ -27,6 +27,20 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) windows — every event lands in window/slide
+    * overlapping windows (the streaming twin of the batch
+    * `sliding_window_agg` fan-out; Spark expands the same multiplicity
+    * inside the `window()` generator). State is bounded by the watermark:
+    * a window's row is evictable once the watermark passes window end.
+    */
+  def slidingAgg(events: DataFrame, tsCol: String, windowDur: String,
+                 slideDur: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** `ts` mirrors ts_us as a TimestampType column: the streaming path must
     * keep the WATERMARKED column itself flowing into the stateful operator
     * (the analyzer rejects event-time timeout if no watermarked attribute

@@ -56,6 +56,27 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("slidingAgg counts each event into every overlapping hop window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val sink = s"slide_agg_${System.nanoTime()}"
+    val q = StreamingOps.slidingAgg(df, "ts", "10 seconds", "5 seconds", "5 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", freshCheckpoint("slide"))
+      .start()
+    try {
+      in.addData((ts(7), "view", 1.0), (ts(12), "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select(unix_seconds(col("window_start")), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // t=7 -> windows [0,10) and [5,15); t=12 -> [5,15) and [10,20)
+      assert(rows == Set((0L, 1L, 1.0), (5L, 2L, 3.0), (10L, 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps and emits the trailing session") {
     val evs = spark.createDataset(Seq(
       StreamingOps.Ev(1L, 1000000L, 1.0),
