@@ -492,6 +492,45 @@ object Analytics extends QueryModule {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-group z-score outliers (|x − μ| > 3σ) with NO float statistics:
+    * values quantize to exact cents, per-type (n, S=Σc, Q=Σc²) come from
+    * one aggregate, and the flag is the pure-integer identity
+    * (c·n − S)² > 9·(n·Q − S²)  ⇔  z² > 9 — so the flagged set is
+    * bit-identical in any engine (the ValueHistogram variance trick applied
+    * to filtering). The 5-row stats table broadcast-joins back to the
+    * event scan: one aggregate + one map-side probe, no window over the
+    * full log. Squares evaluate in decimal(38,0) — headroom to n ≈ 10¹²
+    * rows per group, where int64 would overflow at ~10⁵.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"),
+      round(col("value") * 100).cast("long").as("cv"))
+    val s = c.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("cv")).as("s"),
+      sum(col("cv") * col("cv")).as("q"))
+    val dec = "decimal(38,0)"
+    val num = col("cv").cast(dec) * col("n") - col("s")
+    val denom = col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s")
+    c.join(broadcast(s), "event_type")
+      .where(num * num > denom * lit(9))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  private val zscoreOutliersSql =
+    """WITH c AS (
+      |  SELECT event_id, event_type, value, round(value * 100)::BIGINT AS cv
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, count(*) AS n, sum(cv)::BIGINT AS s,
+      |    sum(cv * cv)::BIGINT AS q
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT c.event_id, c.event_type, c.value
+      |FROM c JOIN s USING (event_type)
+      |WHERE (cv::DECIMAL(38,0) * n - s) * (cv::DECIMAL(38,0) * n - s)
+      |  > 9 * (n::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -508,5 +547,6 @@ object Analytics extends QueryModule {
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
   )
 }
