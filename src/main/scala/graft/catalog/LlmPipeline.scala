@@ -663,23 +663,29 @@ object LlmPipeline extends QueryModule {
     * This is the pass that turns every pairwise dedup operator's output
     * into an actionable keep/drop list.
     */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // edges join on h48(shingle), not the shingle string (the
-    // [[decontaminate]] trick): ~6× less exploded data in flight, and a
-    // 2^-48-odds hash collision can only MERGE two clusters — for dedup
-    // the over-grouping direction is safe, and the oracle mirrors the
-    // hash so the compare stays exact. The exploded frame materializes
-    // once (localCheckpoint) because both the owner aggregate and the
-    // join-back consume it — unmaterialized, Catalyst re-explodes the
-    // corpus on each side.
-    val ex = MinHashLsh.explodeShingles(docs, "doc_id", "text", ClusterN)
+  /** Directed star edges "doc → min doc sharing a word 4-gram". Edges join
+    * on h48(shingle), not the shingle string (the [[decontaminate]]
+    * trick): ~6× less exploded data in flight, and a 2^-48-odds hash
+    * collision can only MERGE two clusters — for dedup the over-grouping
+    * direction is safe, and the oracle mirrors the hash so the compare
+    * stays exact. The exploded frame materializes once (localCheckpoint)
+    * because both the owner aggregate and the join-back consume it —
+    * unmaterialized, Catalyst re-explodes the corpus on each side.
+    */
+  private def shingleStarEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ex = MinHashLsh.explodeShingles(
+        Tables.documents(spark, dir), "doc_id", "text", ClusterN)
       .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs"))
       .localCheckpoint(true)
     val owners = ex.groupBy("hs").agg(min(col("id")).as("owner"))
-    val edges = ex.join(owners, "hs")
+    ex.join(owners, "hs")
       .filter(col("id") =!= col("owner"))
       .select(col("id").as("src"), col("owner").as("dst")).distinct()
+  }
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = shingleStarEdges(spark, dir)
     val comp = graft.operators.ConnectedComponents.run(
       docs.select(col("doc_id").as("id")), edges)
     val sizes = comp.groupBy(col("component"))
@@ -688,11 +694,14 @@ object LlmPipeline extends QueryModule {
       .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
   }
 
-  private val dedupClusterSql = {
+  /** Shared oracle CTE chain producing [[shingleStarEdges]] (`ed`: directed
+    * a→b stars) and their symmetrization (`sym`).
+    */
+  private val shingleEdgeCtes: String = {
     val w = graft.functions.TextFns.tokensSql("text")
     val sh = graft.functions.TextFns.shinglesSql("w", ClusterN)
     val h = graft.functions.PortableHash.h48Sql("sg")
-    s"""WITH RECURSIVE sh AS (
+    s"""sh AS (
        |  SELECT doc_id AS id, $sh AS shingles
        |  FROM (SELECT doc_id, $w AS w FROM documents)
        |  WHERE len(w) >= $ClusterN
@@ -706,7 +715,11 @@ object LlmPipeline extends QueryModule {
        |  FROM e JOIN o ON e.hs = o.hs WHERE e.id <> o.owner
        |), sym AS (
        |  SELECT a, b FROM ed UNION SELECT b, a FROM ed
-       |), reach(v, r) AS (
+       |)""".stripMargin
+  }
+
+  private val dedupClusterSql = {
+    s"""WITH RECURSIVE $shingleEdgeCtes, reach(v, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
@@ -717,6 +730,47 @@ object LlmPipeline extends QueryModule {
        |FROM comp c JOIN (
        |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
        |) s ON c.component = s.component""".stripMargin
+  }
+
+  // ---- PageRank over the near-dup graph -----------------------------------
+  private val PrIters = 3
+
+  /** Integer PageRank ([[graft.operators.PageRank]]) over the symmetrized
+    * shingle-star graph — centrality in the duplication graph surfaces the
+    * "canonical" documents of each near-dup neighborhood (the doc sharing
+    * material with the most others ranks highest).
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = shingleStarEdges(spark, dir)
+    val sym = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    graft.operators.PageRank.run(
+      Tables.documents(spark, dir).select(col("doc_id").as("id")),
+      sym, PrIters)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
+
+  private val pagerankSql = {
+    val scale = graft.operators.PageRank.Scale
+    val base = 15L * scale / 100L
+    val rounds = (0 until PrIters).map { t =>
+      s"""c$t AS (
+         |  SELECT s.b AS dst, sum(r.rank // d.deg)::BIGINT AS s
+         |  FROM sym s JOIN deg d ON s.a = d.a JOIN r$t r ON r.id = s.a
+         |  GROUP BY 1
+         |), r${t + 1} AS (
+         |  SELECT n.doc_id AS id,
+         |    ($base + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS rank
+         |  FROM documents n LEFT JOIN c$t c ON c.dst = n.doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleEdgeCtes, deg AS (
+       |  SELECT a, count(*) AS deg FROM sym GROUP BY 1
+       |), r0 AS (
+       |  SELECT doc_id AS id, $scale::BIGINT AS rank FROM documents
+       |),
+       |$rounds
+       |SELECT id AS doc_id, rank FROM r$PrIters""".stripMargin
   }
 
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
@@ -776,6 +830,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QueryDef("pagerank", pagerank, Some(pagerankSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),

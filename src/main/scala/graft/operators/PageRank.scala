@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer PageRank — the canonical iterative-graph job of
+  * the reference's era (PageRank-over-MapReduce is the motivating example
+  * of the period's literature; each iteration below is exactly the
+  * contribute/aggregate round a chained MapReduce runs, minus the
+  * per-round HDFS materialization).
+  *
+  * Determinism contract (same policy as [[KMeans]]): ranks are integers at
+  * a fixed per-node scale (initial rank = `Scale`), contributions are
+  * `rank div out_degree`, damping is the rational 85/100 applied as
+  * `(85·Σ) div 100`, iterations fixed — every engine computes bit-identical
+  * ranks, so the DuckDB oracle replays the rounds as chained CTEs.
+  * (Classic float PageRank would diverge across engines in the sum order.)
+  *
+  * Scale shape: degrees are computed once and the (src, dst, deg) edge
+  * list materializes once; each iteration is the textbook pair of
+  * shuffles — join ranks to edges on src, aggregate contributions on dst —
+  * plus a left join back to the node set so isolated nodes keep the
+  * teleport base. Ranks materialize per round (`localCheckpoint`): the
+  * CC lesson — stacked unmaterialized rounds re-expand the whole prefix
+  * into every branch. int64 headroom: a node overflows only past
+  * ~9·10⁶ full-rank in-neighbors (Σ < 2⁶³/Scale); beyond that, lift the
+  * rank column to decimal(38,0).
+  *
+  * No dangling-mass redistribution: callers pass SYMMETRIZED edges (every
+  * node with any edge has out-degree ≥ 1), so the only rankless sources
+  * are isolated nodes, which correctly sit at the teleport base.
+  */
+object PageRank {
+  val Scale: Long = 1000000000000L
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** @param nodes single-column `id` frame (every vertex, isolated or not)
+    * @param edges directed (src, dst) — symmetrize before calling for an
+    *              undirected graph
+    * @return (id, rank) after `iters` rounds, rank at [[Scale]]
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val base = (DampDen - DampNum) * Scale / DampDen
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint(true)
+    var r = nodes.select(col("id"), lit(Scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contrib = e.join(r, e("src") === r("id"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(base) + expr(s"(coalesce(s, cast(0 as bigint)) * $DampNum) div $DampDen"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}
