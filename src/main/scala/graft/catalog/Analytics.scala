@@ -531,6 +531,37 @@ object Analytics extends QueryModule {
       |WHERE (cv::DECIMAL(38,0) * n - s) * (cv::DECIMAL(38,0) * n - s)
       |  > 9 * (n::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s)""".stripMargin
 
+  /** The ranking-window surface in one pass: rank / dense_rank / ntile /
+    * lead / lag over each user's timeline — all integer or exact-value
+    * outputs, one shuffle on user_id shared by every function (a single
+    * Window operator; verify in the plan that the five functions fuse).
+    * Restricted to purchases to keep the result set reviewable.
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("event_id"), 1, -1L).over(w).as("prev_purchase"),
+        lead(col("event_id"), 1, -1L).over(w).as("next_purchase"))
+  }
+
+  private val windowFuncsSql =
+    """SELECT user_id, event_id,
+      |  rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk,
+      |  ntile(4) OVER w AS quartile,
+      |  coalesce(lag(event_id) OVER w, -1) AS prev_purchase,
+      |  coalesce(lead(event_id) OVER w, -1) AS next_purchase
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'purchase')
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -548,5 +579,6 @@ object Analytics extends QueryModule {
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
+    QueryDef("window_funcs", windowFuncs, Some(windowFuncsSql)),
   )
 }

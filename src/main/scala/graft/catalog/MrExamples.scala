@@ -75,6 +75,34 @@ object MrExamples extends QueryModule {
        |      WHERE o_totalprice > $highValueCutoff) h
        |  ON c.c_custkey = h.o_custkey""".stripMargin
 
+  /** Semi/anti joins as first-class plan shapes: the probe side streams,
+    * only the key set of the filter side shuffles (or broadcasts), and no
+    * payload from the filter side is ever materialized — at 100 TB the
+    * difference between EXISTS-as-semi-join and an inner join + distinct
+    * is the whole fact-table dedup shuffle the latter adds.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val (cust, _, hv) = joinSources(spark, dir)
+    cust.join(hv, Seq("custkey"), "left_semi")
+  }
+
+  private val joinSemiSql =
+    s"""SELECT c.c_custkey AS custkey, c.c_name
+       |FROM customer c WHERE EXISTS (
+       |  SELECT 1 FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $highValueCutoff)""".stripMargin
+
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val (cust, _, hv) = joinSources(spark, dir)
+    cust.join(hv, Seq("custkey"), "left_anti")
+  }
+
+  private val joinAntiSql =
+    s"""SELECT c.c_custkey AS custkey, c.c_name
+       |FROM customer c WHERE NOT EXISTS (
+       |  SELECT 1 FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $highValueCutoff)""".stripMargin
+
   def joinOuter(spark: SparkSession, dir: String): DataFrame = {
     val (cust, ord, hv) = joinSources(spark, dir)
     val ordCnt = ord.groupBy("custkey").agg(count(lit(1)).as("order_cnt"))
@@ -213,6 +241,8 @@ object MrExamples extends QueryModule {
     QueryDef("grep", grep, Some(grepSql)),
     QueryDef("regex_mapper", regexMapper, Some(regexMapperSql)),
     QueryDef("join_inner", joinInner, Some(joinInnerSql)),
+    QueryDef("join_semi", joinSemi, Some(joinSemiSql)),
+    QueryDef("join_anti", joinAnti, Some(joinAntiSql)),
     QueryDef("join_outer", joinOuter, Some(joinOuterSql)),
     QueryDef("join_override", joinOverride, Some(joinOverrideSql)),
     QueryDef("sort_total_order", sortTotalOrder, Some(sortSql)),
