@@ -773,6 +773,34 @@ object LlmPipeline extends QueryModule {
        |SELECT id AS doc_id, rank FROM r$PrIters""".stripMargin
   }
 
+  // ---- triangle participation in the near-dup graph -----------------------
+  /** Per-doc triangle counts over the symmetrized shingle-star graph
+    * ([[graft.operators.TriangleCount]] — degree-ordered wedge join).
+    * Triangle participation separates "hub of many unrelated pairs" from
+    * "member of a mutually-similar clique" — the signal that grades how
+    * cohesive a near-dup neighborhood is.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = shingleStarEdges(spark, dir)
+    val sym = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    graft.operators.TriangleCount.perNode(sym)
+      .select(col("id").as("doc_id"), col("n_triangles"))
+  }
+
+  // The oracle enumerates by plain id order (a<b<c) — a DIFFERENT
+  // enumeration than the engine's degree order, same triangle set.
+  private val triangleCountSql =
+    s"""WITH $shingleEdgeCtes, d AS (
+       |  SELECT a, b FROM sym WHERE a < b
+       |), tri AS (
+       |  SELECT x.a, x.b, y.b AS c
+       |  FROM d x JOIN d y ON y.a = x.b
+       |  JOIN d z ON z.a = x.a AND z.b = y.b
+       |)
+       |SELECT n AS doc_id, count(*) AS n_triangles
+       |FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY 1""".stripMargin
+
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
   /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
     * The oracle recomputes the stub's byte math from `text` — valid because
@@ -831,6 +859,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
