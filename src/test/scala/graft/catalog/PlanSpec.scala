@@ -227,6 +227,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cluster"), s"semantic_dedup pair join lost its cluster key:\n$p")
   }
 
+  test("graph ops stay equi-joined: pagerank rounds and triangle wedges never nest-loop") {
+    val p = plan(LlmPipeline.pagerank(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank degraded to a nested loop:\n$p")
+    val t = plan(LlmPipeline.triangleCount(spark, dir))
+    assert(!t.contains("CartesianProduct") && !t.contains("BroadcastNestedLoopJoin"),
+      s"triangle_count degraded to a nested loop (wedge close must be one equi-probe):\n$t")
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
