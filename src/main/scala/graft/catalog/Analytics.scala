@@ -562,6 +562,62 @@ object Analytics extends QueryModule {
       |      WHERE event_type = 'purchase')
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume orders): a HAVING aggregate over the
+    * fact table, then the small survivor set drives the joins — partial
+    * aggregation halves the quantity shuffle, and AQE broadcasts the
+    * filtered aggregate (hundreds of rows) into orders/customer instead of
+    * shuffling either.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 210)
+    big.join(Tables.orders(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  private val q18Sql =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+      |  GROUP BY 1 HAVING sum(l_quantity) > 210
+      |)
+      |SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+      |FROM big JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey""".stripMargin
+
+  /** TPC-H Q2 shape (min-cost supplier per part) written the way Catalyst
+    * wants the correlated subquery decorrelated: ONE window min over the
+    * joined frame instead of a per-part re-aggregation subquery — the
+    * window shares the join's partitioning, so the "correlated" min costs
+    * one extra sort, not a second pass over lineitem. Ties (several
+    * suppliers at the min price) all survive, identically in both engines
+    * (exact equality on the unrounded value).
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.part(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+    val w = Window.partitionBy(col("p_partkey"))
+    j.withColumn("mn", min(col("l_extendedprice")).over(w))
+      .where(col("l_extendedprice") === col("mn"))
+      .select(col("p_partkey"), col("s_suppkey"),
+        col("l_extendedprice").as("min_price"))
+  }
+
+  private val q2Sql =
+    """SELECT p_partkey, s_suppkey, l_extendedprice AS min_price
+      |FROM (
+      |  SELECT p.p_partkey, s.s_suppkey, l.l_extendedprice,
+      |    min(l.l_extendedprice) OVER (PARTITION BY p.p_partkey) AS mn
+      |  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+      |WHERE l_extendedprice = mn""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -580,5 +636,7 @@ object Analytics extends QueryModule {
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("window_funcs", windowFuncs, Some(windowFuncsSql)),
+    QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
+    QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
   )
 }
