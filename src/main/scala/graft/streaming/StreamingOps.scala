@@ -103,6 +103,26 @@ object StreamingOps {
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bandSeconds SECONDS"))
   }
 
+  /** Left-OUTER watermarked stream-stream join: matched pairs emit on
+    * arrival like the inner variant; an UNMATCHED left row emits (right
+    * side null) only once the watermark proves no matching right row can
+    * still arrive — i.e. null results are a statement about the watermark,
+    * not about the data seen so far. Same bounded-state construction as
+    * [[streamJoin]]; the outer semantics add no state, only the deferred
+    * null emission.
+    */
+  def streamJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, watermark: String,
+                      bandSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bandSeconds SECONDS"),
+      "left_outer")
+      .drop(r(key)) // left-outer keeps the left key; avoid the ambiguity
+  }
+
   /** Stream-static enrichment join: the static dimension re-plans per
     * micro-batch and broadcasts — NO join state at all, unlike
     * stream-stream joins, so it's the first choice whenever one side is a

@@ -163,6 +163,39 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: unmatched rows emit null only after the watermark closes the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, Double)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamingOps.streamJoinOuter(
+      imps.toDF().toDF("imp_ts", "ad_id", "cost"),
+      clicks.toDF().toDF("click_ts", "ad_id", "user"),
+      "ad_id", "imp_ts", "click_ts", "10 seconds", bandSeconds = 60)
+    val sink = s"outer_join_${System.nanoTime()}"
+    val q = joined.select(col("ad_id"), col("cost"), col("user"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("ojoin"))
+      .start()
+    try {
+      imps.addData((ts(100), 7L, 1.5), (ts(100), 8L, 9.0))
+      clicks.addData((ts(130), 7L, "u1")) // matches ad 7; ad 8 still open
+      q.processAllAvailable()
+      val early = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(early === Set((7L, "u1")),
+        "ad 8 must NOT null-emit while its band can still match")
+      // advance both watermarks far past imp_ts=100 + band 60 + delay 10
+      imps.addData((ts(1000), 99L, 0.0))
+      clicks.addData((ts(1000), 98L, "uX"))
+      q.processAllAvailable()
+      val late = spark.table(sink).collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(late.contains((8L, None)),
+        s"ad 8 must null-emit once the watermark proves no match can arrive: $late")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap-closed sessions emit on arrival, idle ones on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
