@@ -618,6 +618,40 @@ object Analytics extends QueryModule {
       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
       |WHERE l_extendedprice = mn""".stripMargin
 
+  /** Ordered list aggregation into a NESTED column: each user's first 5
+    * purchases as an array, in event-time order. The window filter runs
+    * BEFORE the collect — per-group state is bounded at 5 rows however
+    * many purchases a user has (collect-then-slice would buffer entire
+    * user histories). `array_sort(collect_list(struct))` makes the
+    * assembled order deterministic (bare collect_list order is
+    * partition-arrival luck). Integer arrays only — exact cross-engine
+    * comparison; float arrays would need element-wise quantization.
+    */
+  def userHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .groupBy(col("user_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id")))),
+        x => x.getField("event_id")).as("first_purchases"))
+  }
+
+  private val userHistorySql =
+    """SELECT user_id,
+      |  list(event_id ORDER BY ts_us, event_id) AS first_purchases
+      |FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts_us, event_id) <= 5
+      |)
+      |GROUP BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
@@ -638,5 +672,6 @@ object Analytics extends QueryModule {
     QueryDef("window_funcs", windowFuncs, Some(windowFuncsSql)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
+    QueryDef("user_history", userHistory, Some(userHistorySql)),
   )
 }
