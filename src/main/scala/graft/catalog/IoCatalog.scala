@@ -58,6 +58,39 @@ object IoCatalog extends QueryModule {
   private val seqfileRoundtripSql =
     "SELECT doc_id, len(text) AS n_chars FROM documents"
 
+  // ---- partitioned layout + partition pruning -----------------------------
+  /** Hive-style partitioned parquet layout (`partitionBy(day_bucket)`) and
+    * the read that justifies it: a day-range filter that must resolve at
+    * PLANNING time against directory names — pruned partitions are never
+    * opened, which at 100 TB is the difference between scanning 3 days and
+    * scanning 3 years. PlanSpec pins the `PartitionFilters` placement; the
+    * oracle recomputes from the unpartitioned table.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("partition_prune", dir)
+    val dayUs = 86400L * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("day_bucket", expr(s"(ts div 1000) div ${dayUs}L"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("event_id", "ts_us", "event_type", "value", "day_bucket")
+      .write.mode("overwrite").partitionBy("day_bucket").parquet(path)
+    // partition-column inference types small ints as int32 — cast back to
+    // long AFTER the pruning filter so the oracle's BIGINT schema matches
+    spark.read.parquet(path)
+      .where(col("day_bucket") >= 19725 && col("day_bucket") <= 19727)
+      .groupBy(col("day_bucket").cast("long").as("day_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  private val partitionPruneSql =
+    """SELECT epoch_us(ts) // 86400000000 AS day_bucket, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE epoch_us(ts) // 86400000000 BETWEEN 19725 AND 19727
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- Hadoop Archive (HAR) round trip ------------------------------------
   /** Small-files packing through a real on-disk HAR ([[graft.sources.HarIO]]
     * writes the version-3 layout; the STOCK Hadoop `HarFileSystem` serves
@@ -394,6 +427,7 @@ object IoCatalog extends QueryModule {
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
     QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),
+    QueryDef("partition_prune", partitionPrune, Some(partitionPruneSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
     QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),
     QueryDef("seqfile_default_codec", seqfileDefaultCodec, Some(seqfileDefaultCodecSql)),

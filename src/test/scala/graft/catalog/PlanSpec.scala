@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF"), s"bloom probe still crosses a UDF boundary:\n$p")
   }
 
+  test("partition_prune resolves the day filter against directories, not rows") {
+    val p = plan(IoCatalog.partitionPrune(spark, dir))
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in scan:\n$p")
+    val pf = p.split("PartitionFilters: ")(1).split("]")(0)
+    assert(pf.contains("day_bucket"),
+      s"day filter not applied at partition level: $pf\n$p")
+  }
+
   test("selective filters reach the parquet scan (pushdown)") {
     val p = plan(Analytics.q3TopRevenue(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in q3 scan")
