@@ -618,14 +618,17 @@ object Analytics extends QueryModule {
       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
       |WHERE l_extendedprice = mn""".stripMargin
 
-  /** Ordered list aggregation into a NESTED column: each user's first 5
-    * purchases as an array, in event-time order. The window filter runs
-    * BEFORE the collect — per-group state is bounded at 5 rows however
-    * many purchases a user has (collect-then-slice would buffer entire
-    * user histories). `array_sort(collect_list(struct))` makes the
-    * assembled order deterministic (bare collect_list order is
-    * partition-arrival luck). Integer arrays only — exact cross-engine
-    * comparison; float arrays would need element-wise quantization.
+  /** Ordered list aggregation: each user's first 5 purchases, in
+    * event-time order. The window filter runs BEFORE the collect —
+    * per-group state is bounded at 5 rows however many purchases a user
+    * has (collect-then-slice would buffer entire user histories).
+    * `array_sort(collect_list(struct))` makes the assembled order
+    * deterministic (bare collect_list order is partition-arrival luck).
+    * The ordered list is emitted as a comma-joined STRING, not an array:
+    * the oracle comparator sorts result frames and arrays are unsortable
+    * there, and a scalar encoding is also what a downstream parquet
+    * consumer diffing two engine runs wants. Order semantics are intact —
+    * the string is exactly the ordered list.
     */
   def userHistory(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -636,14 +639,16 @@ object Analytics extends QueryModule {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5)
       .groupBy(col("user_id"))
-      .agg(transform(
+      .agg(array_join(transform(
         array_sort(collect_list(struct(col("ts_us"), col("event_id")))),
-        x => x.getField("event_id")).as("first_purchases"))
+        x => x.getField("event_id").cast("string")), ",")
+        .as("first_purchases"))
   }
 
   private val userHistorySql =
     """SELECT user_id,
-      |  list(event_id ORDER BY ts_us, event_id) AS first_purchases
+      |  string_agg(CAST(event_id AS VARCHAR), ','
+      |             ORDER BY ts_us, event_id) AS first_purchases
       |FROM (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
       |  WHERE event_type = 'purchase'

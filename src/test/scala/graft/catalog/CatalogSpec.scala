@@ -26,4 +26,18 @@ class CatalogSpec extends AnyFunSuite {
   test("headline set is a subset of the query set") {
     assert(SparkEntry.headlines.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  // The driver's oracle comparator sorts result frames; an array/map/struct
+  // output column crashes it and the query lands unattested (the round-5
+  // user_history `err`). Building the frame is analysis-only for most
+  // queries, so this stays cheap at sf0.001.
+  test("every query output schema is scalar-only (comparator sorts rows)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val bad = defs.flatMap { d =>
+      val cols = SchemaGuard.nonScalarColumns(
+        d.fn(graft.TestSession.spark, sfDir).schema)
+      if (cols.isEmpty) None else Some(s"${d.name}: ${cols.mkString(",")}")
+    }
+    assert(bad.isEmpty, s"non-scalar outputs → ${bad.mkString("; ")}")
+  }
 }
