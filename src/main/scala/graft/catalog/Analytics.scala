@@ -499,17 +499,19 @@ object Analytics extends QueryModule {
     * bit-identical in any engine (the ValueHistogram variance trick applied
     * to filtering). The 5-row stats table broadcast-joins back to the
     * event scan: one aggregate + one map-side probe, no window over the
-    * full log. Squares evaluate in decimal(38,0) — headroom to n ≈ 10¹²
-    * rows per group, where int64 would overflow at ~10⁵.
+    * full log. ALL squared terms — including the Σc² aggregate itself —
+    * evaluate in decimal(38,0) (Spark) / HUGEINT (DuckDB): headroom to
+    * n ≈ 10¹² rows per group, where an int64 Σc² would silently wrap
+    * near ~10⁶ rows at cv ≈ 10⁶.
     */
   def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val c = Tables.events(spark, dir).select(
       col("event_id"), col("event_type"), col("value"),
       round(col("value") * 100).cast("long").as("cv"))
     val s = c.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"), sum(col("cv")).as("s"),
-      sum(col("cv") * col("cv")).as("q"))
-    val dec = "decimal(38,0)"
+      sum(col("cv").cast(dec) * col("cv")).as("q"))
     val num = col("cv").cast(dec) * col("n") - col("s")
     val denom = col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s")
     c.join(broadcast(s), "event_type")
@@ -523,13 +525,13 @@ object Analytics extends QueryModule {
       |  FROM events
       |), s AS (
       |  SELECT event_type, count(*) AS n, sum(cv)::BIGINT AS s,
-      |    sum(cv * cv)::BIGINT AS q
+      |    sum(cv::HUGEINT * cv) AS q
       |  FROM c GROUP BY 1
       |)
       |SELECT c.event_id, c.event_type, c.value
       |FROM c JOIN s USING (event_type)
-      |WHERE (cv::DECIMAL(38,0) * n - s) * (cv::DECIMAL(38,0) * n - s)
-      |  > 9 * (n::DECIMAL(38,0) * q - s::DECIMAL(38,0) * s)""".stripMargin
+      |WHERE (cv::HUGEINT * n - s) * (cv::HUGEINT * n - s)
+      |  > 9 * (n::HUGEINT * q - s::HUGEINT * s)""".stripMargin
 
   /** The ranking-window surface in one pass: rank / dense_rank / ntile /
     * lead / lag over each user's timeline — all integer or exact-value

@@ -572,9 +572,15 @@ object LlmPipeline extends QueryModule {
   /** Semantic near-dup removal à la SemDeDup (Abbas et al. 2023): cluster
     * the embedding space with [[kmeansCluster]], then compare pairs ONLY
     * within a cluster — exact quantized cosine, drop every vector that has
-    * a ≥ τ near-dup with a smaller id (greedy keep-first; the id order is
-    * the deterministic stand-in for the paper's keep-farthest-from-centroid
-    * rule). A vector's verdict is (vec_id, cluster, kept).
+    * a ≥ τ near-dup with a smaller id. The rule is
+    * "dominated-by-any-smaller-id", NOT sequential greedy keep-first: in a
+    * chain a~b, b~c (a≁c), greedy keep-first would re-keep c after
+    * removing b, while this rule removes c too — a deliberately
+    * order-free (hence embarrassingly parallel, single-join) variant that
+    * over-removes relative to the sequential scan; the oracle mirrors the
+    * same rule. The id order is the deterministic stand-in for the
+    * paper's keep-farthest-from-centroid rule. A vector's verdict is
+    * (vec_id, cluster, kept).
     *
     * Scale shape: the pair generator is an equi-join on the cluster id —
     * candidates are Σ nᵢ²/2 over cluster sizes, never n²/2 — and k grows
@@ -668,15 +674,14 @@ object LlmPipeline extends QueryModule {
     * trick): ~6× less exploded data in flight, and a 2^-48-odds hash
     * collision can only MERGE two clusters — for dedup the over-grouping
     * direction is safe, and the oracle mirrors the hash so the compare
-    * stays exact. The exploded frame materializes once (localCheckpoint)
+    * stays exact. The exploded frame materializes once ([[graft.core.Materialize]])
     * because both the owner aggregate and the join-back consume it —
     * unmaterialized, Catalyst re-explodes the corpus on each side.
     */
   private def shingleStarEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ex = MinHashLsh.explodeShingles(
+    val ex = graft.core.Materialize(MinHashLsh.explodeShingles(
         Tables.documents(spark, dir), "doc_id", "text", ClusterN)
-      .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs"))
-      .localCheckpoint(true)
+      .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs")))
     val owners = ex.groupBy("hs").agg(min(col("id")).as("owner"))
     ex.join(owners, "hs")
       .filter(col("id") =!= col("owner"))

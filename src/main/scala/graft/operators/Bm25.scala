@@ -39,15 +39,14 @@ object Bm25 {
     val toks = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("term"),
       size(TextFns.tokens(col("text"))).cast("long").as("dl"))
-    // the index is MATERIALIZED once (localCheckpoint): df-counts and the
+    // the index is MATERIALIZED once (graft.core.Materialize): df-counts and the
     // probe join both read it, and without materialization Catalyst plans
     // the whole explode+aggregate pipeline twice (no cross-branch subtree
     // reuse after divergent column pruning) — measured 2× the corpus-pass
     // cost at sf0.1. At scale this is exactly "build the inverted index,
     // then serve query batches from it".
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .localCheckpoint(true)
+    val tf = graft.core.Materialize(toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs
       .select(size(TextFns.tokens(col("text"))).cast("long").as("dl"))

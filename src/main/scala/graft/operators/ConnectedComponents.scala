@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * all partial-agg-friendly shuffles on node id; no per-node adjacency list
   * is ever materialized (the hot-node collect_list trap), so a node with
   * 10M neighbors costs 10M rows, not one 10M-element array. Per-round
-  * results are re-materialized with lineage truncated (`localCheckpoint`;
-  * swap in a reliable checkpoint dir on a multi-node cluster). The loop is
-  * driver-orchestrated but every step is a distributed shuffle — nothing
-  * data-sized is ever collected.
+  * results are re-materialized with lineage truncated
+  * ([[graft.core.Materialize]] — local blocks by default, reliable
+  * checkpoint dir via `spark.graft.checkpointDir` for executor-loss safety
+  * on a real cluster). The loop is driver-orchestrated but every step is a
+  * distributed shuffle — nothing data-sized is ever collected.
   */
 object ConnectedComponents {
 
@@ -44,12 +45,25 @@ object ConnectedComponents {
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // normalize to directed (hi → lo), drop self-loops and duplicates
-    var e = edges
+    var e = graft.core.Materialize(edges
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint(true)
-    var cnt = e.count()
+      .filter(col("hi") =!= col("lo")).distinct())
+    // fixpoint signature: (count, order-independent Σ xxhash64(hi,lo)).
+    // Both frames are distinct sets, so equal signatures ⇔ equal sets up
+    // to a 2⁻⁶⁴-ish hash-sum collision — acceptable for a convergence
+    // check whose worst miss is one extra identical round or an early
+    // exit on an astronomically unlikely collision. ONE partial-agg job
+    // (no exchange of the 2·|E| rows) replaces the previous
+    // union-distinct-count set-equality proof, which re-shuffled both
+    // frames every round. The decimal cast keeps the sum exact under
+    // ANSI (int64 sum of hashes would overflow-throw).
+    def signature(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)).orNull)
+    }
+    var (cnt, sig) = signature(e)
     var iter = 0
     var converged = cnt == 0
     while (!converged && iter < maxIter) {
@@ -58,15 +72,13 @@ object ConnectedComponents {
       // subtree REPLANNED per branch (no cross-branch CSE in Catalyst) —
       // stacking two rounds before the checkpoint re-executed round 1 up
       // to 4× and measured ~50% slower at sf0.1
-      val next = starRound(e).localCheckpoint(true)
-      val nextCnt = next.count()
-      // fixpoint: star edges reproduce themselves; counts converge first,
-      // then one exact subset check (|next ∪ cur| == |cur| with equal
-      // counts ⇔ equal sets) confirms
-      converged = nextCnt == cnt &&
-        next.union(e).distinct().count() == cnt
+      val next = graft.core.Materialize(starRound(e))
+      val (nextCnt, nextSig) = signature(next)
+      // fixpoint: star edges reproduce themselves
+      converged = nextCnt == cnt && nextSig == sig
       e = next
       cnt = nextCnt
+      sig = nextSig
       iter += 1
     }
     // at fixpoint each non-min node carries exactly one star edge; the

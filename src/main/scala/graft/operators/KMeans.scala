@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * integers (floor(x·10⁶)); squared-L2 distances are EXACT integer sums, so
   * the argmin (tie-break: lower cluster id) is bit-identical in any engine;
   * centroid updates are floor(intSum / count) through one exact double
-  * division. Init = the first k vectors by id, iterations fixed — the whole
-  * run is a pure function of the input, reproducible anywhere, and the
-  * DuckDB oracle replays it move for move.
+  * division. Init = the first k vectors ORDERED BY id (cluster j = seed
+  * rank j — robust to non-contiguous id spaces), iterations fixed — the
+  * whole run is a pure function of the input, reproducible anywhere, and
+  * the DuckDB oracle replays it move for move.
   *
   * Scale shape (the MLlib pattern): ASSIGNMENT is map-only — k·dim centroid
   * literals broadcast inside one codegen expression (array_sort over
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions._
   * groupBy(cluster, dim) with map-side partial aggregation, so the shuffle
   * carries k·dim rows per partition, not n·dim; the k·dim sum table
   * (~512 longs here) is the ONLY thing the driver ever collects. The
-  * quantized corpus is materialized once (`localCheckpoint`) and rescanned
+  * quantized corpus is materialized once ([[graft.core.Materialize]]) and rescanned
   * per iteration — iterations × one-scan, the optimal exact-Lloyd I/O.
   */
 object KMeans {
@@ -31,12 +32,15 @@ object KMeans {
     */
   def cluster(emb: DataFrame, idCol: String, vecCol: String, k: Int,
               iters: Int): DataFrame = {
-    val v = emb.select(col(idCol).as("vec_id"),
-        VectorOps.quantize(col(vecCol)).as("qv"))
-      .localCheckpoint(true)
-    var cents: Array[Array[Long]] = v.filter(col("vec_id") < k)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Long](1).toArray)
+    val v = graft.core.Materialize(emb.select(col(idCol).as("vec_id"),
+        VectorOps.quantize(col(vecCol)).as("qv")))
+    // seeds = the first k rows ORDERED BY id (TakeOrderedAndProject — not
+    // filter(id < k), which silently under-seeds when ids aren't 0-based
+    // contiguous); cluster j = rank j among seeds
+    var cents: Array[Array[Long]] = v.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.length == k,
+      s"k-means init needs ≥ $k vectors, corpus has only ${cents.length}")
     for (_ <- 0 until iters) {
       val sums = assign(v, cents).join(v, "vec_id")
         .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "x")))
@@ -98,8 +102,11 @@ object KMeans {
        |  SELECT $id AS vec_id, ${VectorOps.quantizeSql(vec)} AS qv FROM $table
        |), vi AS (
        |  SELECT vec_id, r.i, qv[r.i] AS x FROM v CROSS JOIN range(1, ${dim + 1}) r(i)
+       |), seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM v ORDER BY vec_id LIMIT $k
        |), c0 AS (
-       |  SELECT vec_id AS cid, i, x AS cv FROM vi WHERE vec_id < $k
+       |  SELECT s.cid, vi.i, vi.x AS cv FROM vi JOIN seeds s USING (vec_id)
        |),
        |$rounds,
        |dF AS (

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * list materializes once; each iteration is the textbook pair of
   * shuffles — join ranks to edges on src, aggregate contributions on dst —
   * plus a left join back to the node set so isolated nodes keep the
-  * teleport base. Ranks materialize per round (`localCheckpoint`): the
+  * teleport base. Ranks materialize per round ([[graft.core.Materialize]]): the
   * CC lesson — stacked unmaterialized rounds re-expand the whole prefix
   * into every branch. int64 headroom: a node overflows only past
   * ~9·10⁶ full-rank in-neighbors (Σ < 2⁶³/Scale); beyond that, lift the
@@ -43,18 +43,18 @@ object PageRank {
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val base = (DampDen - DampNum) * Scale / DampDen
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").localCheckpoint(true)
-    var r = nodes.select(col("id"), lit(Scale).as("rank"))
-      .localCheckpoint(true)
+    val e = graft.core.Materialize(edges.join(deg, "src"))
+    var r = graft.core.Materialize(
+      nodes.select(col("id"), lit(Scale).as("rank")))
     for (_ <- 0 until iters) {
       val contrib = e.join(r, e("src") === r("id"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(nodes("id"),
-          (lit(base) + expr(s"(coalesce(s, cast(0 as bigint)) * $DampNum) div $DampDen"))
-            .as("rank"))
-        .localCheckpoint(true)
+      r = graft.core.Materialize(
+        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(nodes("id"),
+            (lit(base) + expr(s"(coalesce(s, cast(0 as bigint)) * $DampNum) div $DampDen"))
+              .as("rank")))
     }
     r
   }

@@ -81,8 +81,8 @@ object TemporalJoin {
     * |left.time − right.time| ≤ `radius`, produced as an equi-join on
     * `time div radius` with the left side exploded to its 3 candidate
     * buckets. Returns the joined frame (left columns + `payload` right
-    * columns, null when unmatched — left-outer semantics) for the caller
-    * to aggregate.
+    * columns) with EXACT left-outer multiplicity: one row per matching
+    * pair, plus exactly one null-payload row per matchless left row.
     */
   def bandJoin(
       left: DataFrame,
@@ -93,15 +93,29 @@ object TemporalJoin {
     // Integer `div`, not float `/`: epoch-µs magnitudes make double division
     // round across bucket borders (same pitfall as events_window_agg).
     val bin: Column = expr(s"$time div ${radius}L")
-    val l = left.withColumn("band_bin",
+    // Per-row identity, internal only: restores exact outer multiplicity
+    // after the 3-bucket explode.
+    val lid = left.withColumn("band_lid", monotonically_increasing_id())
+    val l = lid.withColumn("band_bin",
       explode(array(bin - 1, bin, bin + 1)))
     val r = right.select(
       Seq(bin.as("band_bin"), col(time).as("band_rt")) ++
         payload.map(c => col(c).as(s"band_$c")): _*)
-    l.join(r,
+    // Inner join + anti-join complement, NOT a bare left-outer over the
+    // exploded frame: a left-outer emits a null companion row for every
+    // matchless candidate bucket (up to 2 extra per MATCHED left row, 3
+    // per unmatched one) — invisible to null-ignoring aggregates but
+    // wrong for any caller counting rows or reading pairs. A right row
+    // lives in exactly one bucket, so the inner leg yields each pair
+    // once; the complement leg shuffles only the narrow lid projection.
+    val matched = l.join(r,
         l("band_bin") === r("band_bin") &&
-          abs(col(time) - col("band_rt")) <= radius,
-        "left")
+          abs(col(time) - col("band_rt")) <= radius)
       .drop("band_bin", "band_rt")
+    val unmatched = lid
+      .join(matched.select("band_lid").distinct(), Seq("band_lid"), "left_anti")
+      .select(Seq(col("*")) ++ payload.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(s"band_$c")): _*)
+    matched.unionByName(unmatched).drop("band_lid")
   }
 }

@@ -36,7 +36,7 @@ object TriangleCount {
       .where(struct(col("da"), col("src")) < struct(col("db"), col("dst")))
       .select(col("src").as("a"), col("dst").as("b"),
         struct(col("db"), col("dst")).as("kb"))
-      .localCheckpoint(true) // consumed three times below
+      .transform(graft.core.Materialize(_)) // consumed three times below
     val wedges = dir.as("e1").join(dir.as("e2"),
         col("e1.a") === col("e2.a") && col("e1.kb") < col("e2.kb"))
       .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))

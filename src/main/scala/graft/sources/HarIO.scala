@@ -48,23 +48,41 @@ object HarIO {
     */
   def write(df: DataFrame, nameCol: String, contentCol: String,
             dest: String, numParts: Int = 4): Unit = {
+    val sc = df.sparkSession.sparkContext
     val root = new Path(dest)
-    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(sc.hadoopConfiguration)
     fs.delete(root, true)
     fs.mkdirs(root)
+    // Tasks must resolve `dest` against the SAME FileSystem (and
+    // credentials) the driver uses for the index files — a bare
+    // `new Configuration()` in the closure would re-read defaults and can
+    // diverge on a real deployment. Configuration isn't serializable, so
+    // ship its entries and overlay them task-side.
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      sc.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toVector
+    }
+    val bcConf = sc.broadcast(confEntries)
     val entries = df
       .select(col(nameCol).cast("string"), col(contentCol).cast("string"))
       .repartition(numParts)
       .rdd.map(r => (r.getString(0), r.getString(1)))
       .mapPartitionsWithIndex { (pid, it) =>
         val conf = new Configuration()
-        val part = new Path(dest, s"part-$pid")
-        val out = part.getFileSystem(conf).create(part)
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        // attempt-unique temp name: concurrent speculative attempts of the
+        // same partition never interleave into one file; the driver
+        // renames exactly the attempt whose metadata won the collect
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(dest, s".part-$pid-$attempt")
+        val out = tmp.getFileSystem(conf).create(tmp, true)
         var off = 0L
         val acc = it.map { case (name, content) =>
           val bytes = (content + "\n").getBytes(StandardCharsets.UTF_8)
           out.write(bytes)
-          val e = (name, pid, off, bytes.length.toLong)
+          val e = (name, pid, attempt, off, bytes.length.toLong)
           off += bytes.length
           e
         }.toVector // force the writes before close
@@ -72,8 +90,17 @@ object HarIO {
         acc.iterator
       }.collect()
 
-    // driver side: only index metadata ever lands here
-    val fileLines = entries.sortBy(_._1).map { case (name, pid, off, len) =>
+    // driver side: only index metadata ever lands here. Commit = rename
+    // each partition's winning attempt to its final part name, then sweep
+    // loser-attempt temp files.
+    entries.map(e => (e._2, e._3)).distinct.foreach { case (pid, attempt) =>
+      fs.rename(new Path(dest, s".part-$pid-$attempt"),
+        new Path(dest, s"part-$pid"))
+    }
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".part-"))
+      .foreach(fs.delete(_, false))
+    val fileLines = entries.sortBy(_._1).map { case (name, pid, _, off, len) =>
       s"${enc(s"/$name")} file part-$pid $off $len $Props"
     }
     val rootLine = (Seq(enc("/"), "dir", Props, "0", "0") ++

@@ -61,4 +61,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = components(nodes, edges)
     assert(nodes.forall(got(_) == 1L))
   }
+
+  test("reliable-checkpoint path (spark.graft.checkpointDir) is equivalent") {
+    // exercises graft.core.Materialize's executor-loss-safe branch: with a
+    // fault-tolerant dir configured, iterative rounds go through
+    // checkpoint(eager = true) instead of executor-local blocks
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.core.Materialize.ConfKey, dir)
+    try {
+      val nodes = (1L to 10L)
+      val edges = (1L until 10L).map(i => (i, i + 1))
+      val got = components(nodes, edges)
+      assert(nodes.forall(got(_) == 1L))
+      // the reliable path actually wrote checkpoint data
+      def anyFile(p: java.io.File): Boolean =
+        p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        "reliable checkpoint dir stayed empty — local path was used")
+    } finally spark.conf.unset(graft.core.Materialize.ConfKey)
+  }
 }

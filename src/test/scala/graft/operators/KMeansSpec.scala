@@ -35,6 +35,15 @@ class KMeansSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("non-contiguous id space still seeds k clusters (ids ≥ k)") {
+    // all ids ≥ 1000: filter(id < k) would have produced ZERO seeds
+    val shifted = blobs.selectExpr("vec_id + 1000 AS vec_id", "embedding")
+    val got = KMeans.cluster(shifted, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(1000L, 1002L, 1004L).forall(got(_) == 0), s"positive blob: $got")
+    assert(Seq(1001L, 1003L, 1005L).forall(got(_) == 1), s"negative blob: $got")
+  }
+
   test("sq_dist is the exact quantized distance to the assigned centroid") {
     // one blob, k=1: centroid = floor(mean); distances must be exact ints
     val got = KMeans.cluster(blobs.filter("vec_id % 2 = 0"),

@@ -42,6 +42,18 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out === Map(1L -> 7.0, 2L -> 6.0, 3L -> 0.0))
   }
 
+  test("bandJoin multiplicity is exact: one row per pair, one per matchless left") {
+    // a matched left row must NOT also emit null companion rows from its
+    // matchless candidate buckets (the naive exploded left-outer does)
+    val left = Seq((1L, 100L), (2L, 500L)).toDF("lid", "ts")
+    val right = Seq((90L, 1.0), (110L, 2.0)).toDF("ts", "v")
+    val rows = TemporalJoin
+      .bandJoin(left, right, time = "ts", radius = 10L, payload = Seq("v"))
+      .collect()
+    assert(rows.length == 3, rows.mkString("; "))  // 2 pairs + 1 unmatched
+    assert(rows.count(_.isNullAt(2)) == 1)
+  }
+
   test("bandJoin never produces a pair outside the radius nor drops one inside (randomized)") {
     val rnd = new scala.util.Random(7)
     val ls = (1L to 60L).map(i => (i, rnd.nextLong(1000)))
