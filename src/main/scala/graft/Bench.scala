@@ -165,8 +165,14 @@ object Bench {
     val gridmix = jsonMap(
       largeEntries ++ Seq("total" -> secs(gmTotal), "tiers" -> tiersJson))
 
+    // streaming throughput probes (after the timed batch queries so their
+    // load cannot bleed into the per-query numbers)
+    val streamingJson = jsonMap(
+      graft.streaming.StreamingBench.run(spark)
+        .map { case (n, v) => n -> f"$v%.0f" })
+
     val line =
-      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"gridmix":$gridmix,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
     // Short summary: everything the driver must ingest, no per-query map,
     // always < ~300 bytes so a stdout tail capture cannot truncate it.
     val shortLine = jsonMap(Seq(

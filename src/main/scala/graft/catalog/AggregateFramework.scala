@@ -22,20 +22,35 @@ import graft.operators.ValueAggregators
   */
 object AggregateFramework extends QueryModule {
 
-  /** Dispatch for long-valued aggregator types (the framework's dynamic
-    * piece). Sum/max/min run as parallel agg columns; the tag picks one.
+  /** Dispatch for tagged aggregator entries (the framework's dynamic
+    * piece): every type named in `types` is resolved through
+    * [[ValueAggregators.registered]] — builtins AND user-registered
+    * plugins — computed as parallel agg columns, and the tag picks one.
+    * Still ONE hash-aggregate with map-side partial agg regardless of how
+    * many types run.
     */
-  def runLongAggregators(entries: DataFrame): DataFrame = {
-    val out = entries.groupBy(col("agg_type"), col("id")).agg(
-      sum(col("value")).as("v_sum"),
-      max(col("value")).as("v_max"),
-      min(col("value")).as("v_min"))
-    out.select(col("agg_type"), col("id"),
-      when(col("agg_type") === "LongValueSum", col("v_sum"))
-        .when(col("agg_type") === "LongValueMax", col("v_max"))
-        .when(col("agg_type") === "LongValueMin", col("v_min"))
-        .as("agg_value"))
+  def runAggregators(entries: DataFrame, types: Seq[String]): DataFrame = {
+    val table = ValueAggregators.registered
+    val unknown = types.filterNot(table.contains)
+    require(unknown.isEmpty,
+      s"unregistered aggregator type(s) ${unknown.mkString(", ")} — " +
+        "register with ValueAggregators.define")
+    val aggCols = types.zipWithIndex.map { case (t, i) =>
+      table(t)(col("value")).as(s"v_$i")
+    }
+    val out = entries.groupBy(col("agg_type"), col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val dispatch = types.zipWithIndex.tail.foldLeft(
+      when(col("agg_type") === types.head, col("v_0"))) {
+      case (acc, (t, i)) => acc.when(col("agg_type") === t, col(s"v_$i"))
+    }
+    out.select(col("agg_type"), col("id"), dispatch.as("agg_value"))
   }
+
+  /** Long-type convenience wrapper (the original three-type dispatch). */
+  def runLongAggregators(entries: DataFrame): DataFrame =
+    runAggregators(entries,
+      Seq("LongValueSum", "LongValueMax", "LongValueMin"))
 
   // ---- aggregatewordcount -------------------------------------------------
   /** Two descriptors over documents: word → LongValueSum(1) (the reference's
@@ -98,6 +113,38 @@ object AggregateFramework extends QueryModule {
        |  round(sqrt((n * sq - s * s)::DOUBLE / (n::DOUBLE * n)), 6) AS stddev_freq,
        |  top AS top_items
        |FROM stats""".stripMargin
+
+  // ---- aggregate_plugin ---------------------------------------------------
+  /** The plugin path end-to-end: register a user aggregator type
+    * ("LongValueRange" = max − min, a type the reference's fixed table
+    * doesn't know) and run it NEXT TO a builtin in one job — per
+    * event_type the range of value-cents, plus the framework's
+    * "record_count" LongValueSum convention (reference:
+    * ValueAggregatorBaseDescriptor.java:116-131 emits a record_count
+    * LongValueSum entry for every input record).
+    */
+  def aggregatePlugin(spark: SparkSession, dir: String): DataFrame = {
+    ValueAggregators.define("LongValueRange",
+      c => max(c.cast("long")) - min(c.cast("long")))
+    val ev = Tables.events(spark, dir)
+    val ranges = ev.select(lit("LongValueRange").as("agg_type"),
+      concat(lit("value_cents_"), col("event_type")).as("id"),
+      round(col("value") * 100).cast("long").as("value"))
+    val records = ev.select(lit("LongValueSum").as("agg_type"),
+      lit("record_count").as("id"), lit(1L).as("value"))
+    runAggregators(ranges.unionByName(records),
+      Seq("LongValueRange", "LongValueSum"))
+  }
+
+  private val aggregatePluginSql =
+    """WITH c AS (
+      |  SELECT event_type, round(value * 100)::BIGINT AS cv FROM events
+      |)
+      |SELECT 'LongValueRange' AS agg_type, 'value_cents_' || event_type AS id,
+      |  max(cv) - min(cv) AS agg_value
+      |FROM c GROUP BY 2
+      |UNION ALL
+      |SELECT 'LongValueSum', 'record_count', count(*) FROM events""".stripMargin
 
   // ---- double/string aggregator types -------------------------------------
   /** The remaining builtin aggregator types over events: DoubleValueSum of
@@ -174,6 +221,7 @@ object AggregateFramework extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("aggregate_wordcount", aggregateWordcount, Some(aggregateWordcountSql)),
+    QueryDef("aggregate_plugin", aggregatePlugin, Some(aggregatePluginSql)),
     QueryDef("aggregate_double_string", aggregateDoubleString, Some(aggregateDoubleStringSql)),
     QueryDef("aggregate_wordhist", aggregateWordhist, Some(aggregateWordhistSql)),
     QueryDef("uniq_value_count", uniqValueCount, Some(uniqValueCountSql)),

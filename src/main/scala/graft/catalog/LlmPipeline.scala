@@ -827,6 +827,38 @@ object LlmPipeline extends QueryModule {
       |  64 + n_bytes % 577 AS width, 64 + sum_bytes % 479 AS height, sum_bytes
       |FROM b""".stripMargin
 
+  /** REAL container decode end-to-end: per document a small synthetic P6
+    * PPM image is serialized (dimensions derived from doc_id, pixel bytes
+    * the closed-form pattern `(doc_id + i) mod 251`), then
+    * [[Multimodal.decodePpm]] parses the binary back — magic, comment
+    * line, dimensions, maxval, raster walk — and emits header fields plus
+    * exact per-channel sums. The oracle never sees the container: it
+    * recomputes the expected stats straight from the generative formula,
+    * so a parser bug (off-by-one in the header, channel interleave swap)
+    * fails the compare. Encode and decode both run inside one
+    * mapPartitions pass — payload bytes never leave the executors.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        (id, Multimodal.encodePpm(id, w, h))
+      })
+    Multimodal.decodeImages(media).toDF()
+  }
+
+  private val imageDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+      |)
+      |SELECT doc_id, w AS width, h AS height, 255::BIGINT AS maxval,
+      |  list_sum(list_transform(range(w * h), p -> (doc_id + 3 * p) % 251))::BIGINT AS sum_r,
+      |  list_sum(list_transform(range(w * h), p -> (doc_id + 3 * p + 1) % 251))::BIGINT AS sum_g,
+      |  list_sum(list_transform(range(w * h), p -> (doc_id + 3 * p + 2) % 251))::BIGINT AS sum_b
+      |FROM g""".stripMargin
+
   /** Frame sampling: each media row expands to a controlled number of frame
     * rows (video → frames). Pure column fan-out via explode(sequence) — the
     * pattern that keeps frame extraction distributed instead of per-driver.
@@ -875,6 +907,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("ingest_dedup", ingestDedup, Some(ingestDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
+    QueryDef("image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )
 }

@@ -140,6 +140,40 @@ object MrExamples extends QueryModule {
       |SELECT t.custkey, t.orderkey, t.source_idx
       |FROM t JOIN m ON t.custkey = m.custkey AND t.source_idx = m.mp""".stripMargin
 
+  /** User-DEFINED composite join type, the reference's
+    * `mapred.join.define.<ident>` surface
+    * (reference: mapred/join/CompositeInputFormat.java:96-110): register a
+    * "collect" type — per key, every source's rows concatenated in
+    * (source, value) order — then dispatch it by identifier exactly like a
+    * built-in. The merge runs as one groupBy over the tagged union (single
+    * shuffle on the key, map-side partial collect), and the ordered list
+    * leaves as a comma-joined scalar per the catalog's oracle contract.
+    */
+  def joinCustom(spark: SparkSession, dir: String): DataFrame = {
+    CompositeJoin.define("collect", (sources, key) =>
+      CompositeJoin.taggedUnion(sources)
+        .groupBy(col(key))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("source_idx"), col("orderkey")))),
+            x => x.getField("orderkey").cast("string")), ",").as("orderkeys"),
+          count(lit(1)).as("n_rows")))
+    val ord = Tables.orders(spark, dir)
+    def slice(status: String) = ord.filter(col("o_orderstatus") === status)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"))
+    CompositeJoin("collect", Seq(slice("F"), slice("O"), slice("P")), "custkey")
+  }
+
+  private val joinCustomSql =
+    """WITH t AS (
+      |  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |    CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END AS source_idx
+      |  FROM orders)
+      |SELECT custkey,
+      |  string_agg(orderkey::VARCHAR, ',' ORDER BY source_idx, orderkey) AS orderkeys,
+      |  count(*) AS n_rows
+      |FROM t GROUP BY custkey""".stripMargin
+
   // ---- total-order sort (examples/Sort.java + TotalOrderPartitioner) ------
   def sortTotalOrder(spark: SparkSession, dir: String): DataFrame =
     TotalOrderSort.rank(
@@ -245,6 +279,7 @@ object MrExamples extends QueryModule {
     QueryDef("join_anti", joinAnti, Some(joinAntiSql)),
     QueryDef("join_outer", joinOuter, Some(joinOuterSql)),
     QueryDef("join_override", joinOverride, Some(joinOverrideSql)),
+    QueryDef("join_custom", joinCustom, Some(joinCustomSql)),
     QueryDef("sort_total_order", sortTotalOrder, Some(sortSql)),
     QueryDef("secondary_sort", secondarySort, Some(secondarySortSql)),
     QueryDef("field_selection", fieldSelection, Some(fieldSelectionSql)),

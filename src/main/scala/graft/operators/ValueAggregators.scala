@@ -41,6 +41,29 @@ object ValueAggregators {
     "StringValueMin" -> (c => min(c.cast("string"))),
   )
 
+  private val userDefined =
+    new java.util.concurrent.ConcurrentHashMap[String, Column => Column]()
+
+  /** Register a user-defined aggregator type — the
+    * `UserDefinedValueAggregatorDescriptor` plugin hook (reference:
+    * lib/aggregate/UserDefinedValueAggregatorDescriptor.java:37-71 loads a
+    * user class by name so jobs can aggregate with types the base
+    * descriptor's fixed table doesn't know;
+    * ValueAggregatorBaseDescriptor.java:96-120 is that fixed dispatch).
+    * Here the "class" is any aggregate Column builder — user `Aggregator`s
+    * plug in via `udaf(...)` wrappers just like the builtins.
+    */
+  def define(tpe: String, agg: Column => Column): Unit =
+    userDefined.put(tpe, agg)
+
+  /** The live dispatch table: builtins plus user registrations (which may
+    * shadow a builtin, matching plugin-over-default precedence).
+    */
+  def registered: Map[String, Column => Column] = {
+    import scala.jdk.CollectionConverters._
+    builtins ++ userDefined.asScala
+  }
+
   final case class UniqOut(uniq_count: Long, items: String)
 
   /** Exact-until-cap distinct: the buffer keeps the `cap` SMALLEST distinct

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming throughput probes for the bench harness: drive the two
+  * stateful shapes that dominate streaming cost — watermarked windowed
+  * aggregation and a watermarked stream-stream band join — from a
+  * `rate-micro-batch` source (fixed rows per trigger, so the measured
+  * quantity is engine throughput, not source pacing) and report
+  * rows/second over the steady-state micro-batches.
+  *
+  * This makes streaming regressions visible round-over-round the same way
+  * the batch catalog's per-query seconds are: the numbers land in
+  * `target/bench.json` under `"streaming"`.
+  */
+object StreamingBench {
+
+  /** Run both probes; returns (probe → rows/sec), -1 on failure.
+    *
+    * Sizing: the windowed aggregate's state is tiny (one row per
+    * (window, event_type)), so it takes a fat batch. The join buffers
+    * BOTH input streams across the watermark horizon in the state store,
+    * so its probe uses a smaller batch and a tight (2 s ≈ 2 retained
+    * batches/side) watermark — throughput per row is what's being
+    * measured, not state capacity.
+    */
+  def run(spark: SparkSession): Seq[(String, Double)] = Seq(
+    "windowed_agg_rows_per_sec" -> measure(spark, batches = 4) { s =>
+      val src = rateSource(s, rowsPerBatch = 2000000L)
+        .select(col("timestamp").as("ts"),
+          (col("value") % 64).cast("string").as("event_type"),
+          (col("value") % 1000).cast("double").as("value"))
+      StreamingOps.windowedAgg(src, "ts", "1 second", "10 seconds")
+    },
+    // numInputRows counts BOTH sides, so rows/sec here is total ingested
+    // rows across the two streams
+    "stream_stream_join_rows_per_sec" -> measure(spark, batches = 4) { s =>
+      val l = rateSource(s, rowsPerBatch = 250000L)
+        .select(col("value").as("k"), col("timestamp").as("lts"))
+      val r = rateSource(s, rowsPerBatch = 250000L)
+        .select(col("value").as("k"), col("timestamp").as("rts"),
+          (col("value") % 1000).as("payload"))
+      StreamingOps.streamJoin(l, r, "k", "lts", "rts",
+        watermark = "2 seconds", bandSeconds = 1)
+    },
+  )
+
+  private def rateSource(spark: SparkSession, rowsPerBatch: Long): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions",
+        spark.sparkContext.defaultParallelism)
+      .load()
+
+  /** Start the query on a noop sink, let it run `batches` steady-state
+    * triggers past the first (warmup) one, and report
+    * Σ inputRows / Σ triggerExecution time.
+    */
+  private def measure(spark: SparkSession, batches: Int)(
+      build: SparkSession => DataFrame): Double = {
+    val ckpt = Files.createTempDirectory("graft-sbench").toString
+    try {
+      val q = build(spark).writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q.recentProgress.count(_.numInputRows > 0) < batches + 1 &&
+        q.isActive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      q.awaitTermination()
+      val ps = q.recentProgress.filter(_.numInputRows > 0)
+        .drop(1).take(batches) // drop the cold first batch
+      val rows = ps.map(_.numInputRows).sum
+      val secs = ps.map(_.durationMs.get("triggerExecution").toDouble / 1000).sum
+      if (ps.isEmpty || secs <= 0) -1.0 else rows / secs
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
+        -1.0
+    }
+  }
+}

@@ -66,6 +66,29 @@ class CompositeJoinSpec extends SparkSpec {
       (3, "s2a", 2), (3, "s2b", 2))) // s2 overrides s1; keeps BOTH its rows
   }
 
+  test("user-defined join types register and dispatch by identifier") {
+    // the mapred.join.define.<ident> surface: a per-key "first source
+    // only" type, registered then invoked exactly like a built-in
+    CompositeJoin.define("firstsrc", (sources, key) =>
+      CompositeJoin.taggedUnion(sources)
+        .withColumn("_min", org.apache.spark.sql.functions.min($"source_idx")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(key)))
+        .filter($"source_idx" === $"_min").drop("_min"))
+    val s0 = src(1 -> "s0a", 2 -> "s0b")
+    val s1 = src(1 -> "s1a", 3 -> "s1b")
+    val out = CompositeJoin("firstsrc", Seq(s0, s1), "k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set((1, "s0a", 0), (2, "s0b", 0), (3, "s1b", 1)))
+    assert(CompositeJoin.definedIdents.contains("firstsrc"))
+    // built-ins dispatch through the same registry
+    val viaRegistry = CompositeJoin("override", Seq(s0, s1), "k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaRegistry == Set((1, "s1a", 1), (2, "s0b", 0), (3, "s1b", 1)))
+    intercept[IllegalArgumentException] {
+      CompositeJoin("no_such_ident", Seq(s0), "k")
+    }
+  }
+
   test("override precedence is deterministic under seeded random inputs") {
     val rnd = new Random(7)
     val sources = (0 until 3).map { i =>

@@ -36,4 +36,34 @@ class MapperSurfaceSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(ds).collect()
     assert(out.map(f => (f.doc_id, f.n_bytes)).toSet == Set((1L, 5L), (2L, 6L)))
   }
+
+  test("PPM decode parses a hand-written P6 file, comments and all") {
+    // 2x1 image: red pixel (255,0,0), mid pixel (1,2,3); comments between
+    // every header token plus tab/CR whitespace variants
+    val header = "P6 # magic\n# a comment line\n 2\t# width\n1 # height\r\n255\n"
+    val raster = Array(255, 0, 0, 1, 2, 3).map(_.toByte)
+    val f = Multimodal.decodePpm(9L,
+      header.getBytes("US-ASCII") ++ raster)
+    assert(f == Multimodal.ImageFeat(9L, 2L, 1L, 255L, 256L, 2L, 3L))
+  }
+
+  test("PPM decode round-trips the synthetic encoder") {
+    val f = Multimodal.decodePpm(5L, Multimodal.encodePpm(5L, w = 4, h = 3))
+    val idx = 0 until (4 * 3 * 3)
+    def ch(c: Int) = idx.filter(_ % 3 == c).map(i => (5L + i) % 251).sum
+    assert(f == Multimodal.ImageFeat(5L, 4L, 3L, 255L, ch(0), ch(1), ch(2)))
+  }
+
+  test("PPM decode rejects malformed input with a position") {
+    val good = Multimodal.encodePpm(1L, 3, 3)
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.decodePpm(1L, "P5\n3 3\n255\n".getBytes("US-ASCII") ++ good.drop(good.length - 27))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decodePpm(1L, good.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // 16-bit maxval unsupported
+      Multimodal.decodePpm(1L, "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array.fill(6)(0.toByte))
+    }
+  }
 }

@@ -60,4 +60,23 @@ class ValueAggregatorsSpec extends SparkSpec {
     val r = Seq("z", "y", "x", "w").toDF("v").agg(hist($"v")).head().getStruct(0)
     assert(r.getString(6) == "w:1|x:1|y:1")
   }
+
+  test("user-registered aggregator types dispatch through the framework") {
+    // the UserDefinedValueAggregatorDescriptor plugin hook
+    ValueAggregators.define("LongValueSpread",
+      c => F.max(c.cast("long")) - F.min(c.cast("long")))
+    assert(ValueAggregators.registered.contains("LongValueSpread"))
+    val entries = Seq(
+      ("LongValueSpread", "a", 10L), ("LongValueSpread", "a", 3L),
+      ("LongValueSum", "b", 5L), ("LongValueSum", "b", 7L))
+      .toDF("agg_type", "id", "value")
+    val got = graft.catalog.AggregateFramework
+      .runAggregators(entries, Seq("LongValueSpread", "LongValueSum"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("LongValueSpread", "a", 7L), ("LongValueSum", "b", 12L)))
+    intercept[IllegalArgumentException] {
+      graft.catalog.AggregateFramework
+        .runAggregators(entries, Seq("NoSuchType"))
+    }
+  }
 }
