@@ -529,6 +529,57 @@ object LlmPipeline extends QueryModule {
     graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding",
       KmK, KmIters, Dim)
 
+  // ---- weighted sampling without replacement ------------------------------
+  private val WsK = 200L
+  private val WsSeed = 31
+
+  /** Deterministic WEIGHTED sampling without replacement for integer
+    * weights: doc priority = min over its `w` replicas of
+    * h48(seed : doc_id : replica) — a doc with twice the weight gets twice
+    * the draws at the priority lottery, so inclusion probability rises
+    * with weight (the integer-exact stand-in for the Efraimidis–Spirakis
+    * exponential-keys scheme, whose u^(1/w) keys would hang the
+    * cross-engine compare on last-ulp ln/exp differences). Keep the k
+    * smallest priorities globally.
+    *
+    * Scale shape: the replica fan-out is bounded by the WEIGHT (≤ 10
+    * here), map-side generated and immediately min-aggregated — the
+    * shuffle carries one (doc, priority) row per doc, and the global
+    * top-k is TakeOrdered (per-partition k then merge), never a full
+    * sort. Weights beyond ~100 should switch to the float-keys variant
+    * with a quantized tie-band; integer corpus weights (quality tiers,
+    * dedup counts) fit this directly.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = Tables.documents(spark, dir)
+      .select(col("doc_id"), (lit(1) + col("n_chars") % 10).cast("long").as("wt"))
+      .select(col("doc_id"), col("wt"),
+        explode(sequence(lit(0L), col("wt") - 1)).as("rep"))
+      .select(col("doc_id"), col("wt"), graft.functions.PortableHash.h48(
+        concat_ws(":", lit(WsSeed.toString), col("doc_id"), col("rep"))).as("h"))
+      .groupBy(col("doc_id"), col("wt")).agg(min(col("h")).as("pri"))
+    // TakeOrdered top-k FIRST (per-partition k, then merge — no global
+    // sort); the unpartitioned rank window then only ever sees k rows
+    val w = Window.orderBy(col("pri"), col("doc_id"))
+    pri.orderBy(col("pri"), col("doc_id")).limit(WsK.toInt)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  private val weightedSampleSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, (1 + n_chars % 10)::BIGINT AS wt FROM documents
+       |), r AS (
+       |  SELECT doc_id, wt, unnest(range(wt)) AS rep FROM w
+       |), p AS (
+       |  SELECT doc_id, wt,
+       |    min(${graft.functions.PortableHash.h48Sql(
+              s"'$WsSeed' || ':' || doc_id::VARCHAR || ':' || rep::VARCHAR")}) AS pri
+       |  FROM r GROUP BY doc_id, wt
+       |)
+       |SELECT doc_id, wt, pri, row_number() OVER (ORDER BY pri, doc_id) AS rk
+       |FROM p QUALIFY rk <= $WsK""".stripMargin
+
   // ---- per-cluster quota sampling (kmeans ∘ stratified) -------------------
   private val CsQuota = 20L
   private val CsSeed = 29
@@ -859,6 +910,73 @@ object LlmPipeline extends QueryModule {
       |  list_sum(list_transform(range(w * h), p -> (doc_id + 3 * p + 2) % 251))::BIGINT AS sum_b
       |FROM g""".stripMargin
 
+  /** Audio modality, same proof shape as [[imageDecode]]: per document a
+    * canonical RIFF/WAVE file (PCM16, mono or stereo, with a junk LIST
+    * chunk so the parser must iterate chunks) is serialized then parsed
+    * back by [[Multimodal.decodeWav]] — magic, chunk walk, fmt fields,
+    * sign-extended sample stats. Oracle recomputes from the generative
+    * sample formula; byte-order or sign-extension bugs fail the compare.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeWav(id, nSamples = 100 + (id % 400).toInt,
+          sampleRate = 8000 + ((id % 3) * 4000).toInt,
+          channels = 1 + (id % 2).toInt))
+      })
+    Multimodal.decodeAudio(media).toDF()
+  }
+
+  private val audioDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id, 100 + doc_id % 400 AS ns,
+      |    8000 + (doc_id % 3) * 4000 AS rate, 1 + doc_id % 2 AS ch
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, ns, rate, ch,
+      |    list_transform(range(ns * ch),
+      |      i -> (doc_id + 7 * i) % 65536 - 32768) AS smp
+      |  FROM g
+      |)
+      |SELECT doc_id, ch AS channels, rate AS sample_rate, 16::BIGINT AS bits,
+      |  ns AS n_samples, list_sum(smp)::BIGINT AS sum_samples,
+      |  list_max(list_transform(smp, x -> abs(x)))::BIGINT AS max_abs
+      |FROM s""".stripMargin
+
+  /** Video modality: a raw multi-frame container (concatenated P6 frames,
+    * frame f seeded doc_id·7 + f) decoded to PER-FRAME rows by chained
+    * image parses — the distributed frame-extraction shape: each payload
+    * fans out to its frames inside mapPartitions, output is flat columns,
+    * nothing touches the driver.
+    */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.encodeVideo(id * 7, frames = 1 + (id % 3).toInt,
+          w = 3 + (id % 4).toInt, h = 2 + (id % 3).toInt))
+      })
+    Multimodal.decodeVideos(media).toDF()
+  }
+
+  private val videoDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS nf, 3 + doc_id % 4 AS w,
+      |    2 + doc_id % 3 AS h
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, h, unnest(range(nf)) AS frame_idx FROM g
+      |)
+      |SELECT doc_id, frame_idx, w AS width, h AS height,
+      |  list_sum(list_transform(range(w * h),
+      |    p -> (doc_id * 7 + frame_idx + 3 * p) % 251))::BIGINT AS sum_r,
+      |  list_sum(list_transform(range(w * h),
+      |    p -> (doc_id * 7 + frame_idx + 3 * p + 1) % 251))::BIGINT AS sum_g,
+      |  list_sum(list_transform(range(w * h),
+      |    p -> (doc_id * 7 + frame_idx + 3 * p + 2) % 251))::BIGINT AS sum_b
+      |FROM f""".stripMargin
+
   /** Frame sampling: each media row expands to a controlled number of frame
     * rows (video → frames). Pure column fan-out via explode(sequence) — the
     * pattern that keeps frame extraction distributed instead of per-driver.
@@ -904,10 +1022,13 @@ object LlmPipeline extends QueryModule {
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("ingest_dedup", ingestDedup, Some(ingestDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("image_decode", imageDecode, Some(imageDecodeSql)),
+    QueryDef("audio_decode", audioDecode, Some(audioDecodeSql)),
+    QueryDef("video_decode", videoDecode, Some(videoDecodeSql)),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql)),
   )
 }

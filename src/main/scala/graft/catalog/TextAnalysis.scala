@@ -374,8 +374,49 @@ object TextAnalysis extends QueryModule {
       |  md5(clean) AS clean_md5
       |FROM c""".stripMargin
 
+  /** Canonical text normalization — the first stage of every LLM ingest
+    * pipeline: lowercase, control chars → space, whitespace runs
+    * collapsed, edges trimmed. The corpus is clean ASCII, so the query
+    * first derandomizes a MESSY twin of each doc (tab/CRLF framing,
+    * doubled spaces, upper-cased every third doc) and then normalizes it —
+    * the oracle builds the same mess and must land on the same md5, so a
+    * regex or case-folding divergence fails the compare. Map-only
+    * codegen'd regex chain; patterns stay in the Java∩RE2 subset.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val messy = regexp_replace(
+      concat(lit("\t  "),
+        when(col("doc_id") % 3 === 0, upper(col("text"))).otherwise(col("text")),
+        lit("  \r\n")),
+      " ", "  ")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("t")), "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), messy.as("t"))
+      .select(col("doc_id"), length(norm).cast("long").as("norm_len"),
+        md5(norm).as("norm_md5"))
+  }
+
+  private val textNormalizeSql =
+    """WITH m AS (
+      |  SELECT doc_id, chr(9) || '  '
+      |    || CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+      |    || '  ' || chr(13) || chr(10) AS t0
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, regexp_replace(t0, ' ', '  ', 'g') AS t FROM m
+      |), n AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(t),
+      |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM s
+      |)
+      |SELECT doc_id, len(norm)::BIGINT AS norm_len, md5(norm) AS norm_md5
+      |FROM n""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),

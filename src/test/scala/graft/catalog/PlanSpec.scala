@@ -244,6 +244,24 @@ class PlanSpec extends SparkSpec {
       s"triangle_count degraded to a nested loop (wedge close must be one equi-probe):\n$t")
   }
 
+  test("weighted_sample top-k is TakeOrdered — no full global sort, tiny window") {
+    val p = plan(LlmPipeline.defs.find(_.name == "weighted_sample").get
+      .fn(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted_sample global top-k must be per-partition k + merge:\n$p")
+    // the rank window must sit above the k-row limit, never under it
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"rank window runs below the top-k limit (full-data window):\n$p")
+  }
+
+  test("media decode queries are map-only: no shuffle, no join") {
+    for (name <- Seq("image_decode", "audio_decode", "video_decode")) {
+      val p = plan(LlmPipeline.defs.find(_.name == name).get.fn(spark, dir))
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      assert(!p.contains("Join"), s"$name joins:\n$p")
+    }
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")

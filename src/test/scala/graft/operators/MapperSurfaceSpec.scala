@@ -54,6 +54,44 @@ class MapperSurfaceSpec extends SparkSpec {
     assert(f == Multimodal.ImageFeat(5L, 4L, 3L, 255L, ch(0), ch(1), ch(2)))
   }
 
+  test("WAV decode round-trips the encoder, chunk walk and sign-extension") {
+    // stereo: 3 frames × 2 channels = 6 interleaved samples
+    val f = Multimodal.decodeWav(3L,
+      Multimodal.encodeWav(3L, nSamples = 3, sampleRate = 16000, channels = 2))
+    val smp = (0 until 6).map(i => ((3L + 7 * i) % 65536) - 32768)
+    assert(f == Multimodal.AudioFeat(3L, 2L, 16000L, 16L, 3L,
+      smp.sum, smp.map(math.abs).max))
+  }
+
+  test("WAV decode handles negative samples and rejects malformed input") {
+    // seed near 65536 puts early samples at the negative extreme
+    val f = Multimodal.decodeWav(1L,
+      Multimodal.encodeWav(65530L, nSamples = 4, sampleRate = 8000, channels = 1))
+    val smp = (0 until 4).map(i => ((65530L + 7 * i) % 65536) - 32768)
+    assert(f.sum_samples == smp.sum && f.max_abs == smp.map(math.abs).max)
+    val good = Multimodal.encodeWav(1L, 4, 8000, 1)
+    intercept[IllegalArgumentException] { // not RIFF
+      Multimodal.decodeWav(1L, "JUNK".getBytes("US-ASCII") ++ good.drop(4))
+    }
+    intercept[IllegalArgumentException] { // data chunk overruns
+      Multimodal.decodeWav(1L, good.dropRight(3))
+    }
+  }
+
+  test("video decode yields one row per concatenated frame") {
+    val frames = Multimodal.decodeVideo(2L, Multimodal.encodeVideo(14L, 3, 3, 2))
+    assert(frames.map(_.frame_idx) == Seq(0L, 1L, 2L))
+    assert(frames.forall(f => f.width == 3 && f.height == 2))
+    // frame f pixels: (14 + f + i) % 251 over raster index i
+    val want = (0 until 3).map { fr =>
+      (0 until 18).filter(_ % 3 == 0).map(i => (14L + fr + i) % 251).sum
+    }
+    assert(frames.map(_.sum_r) == want)
+    intercept[IllegalArgumentException] { // trailing partial frame
+      Multimodal.decodeVideo(2L, Multimodal.encodeVideo(14L, 2, 3, 2).dropRight(1))
+    }
+  }
+
   test("PPM decode rejects malformed input with a position") {
     val good = Multimodal.encodePpm(1L, 3, 3)
     intercept[IllegalArgumentException] { // wrong magic
