@@ -343,7 +343,143 @@ object Extras extends QueryModule {
        |FROM keep GROUP BY source""".stripMargin
   }
 
+  // ---- one-pass table profiling -------------------------------------------
+  /** Column profiler — the data-quality pass a pipeline runs before
+    * training: per column of `events`, row count, null count, EXACT
+    * distinct count, and canonical min/max keys, computed in ONE
+    * aggregate job (Catalyst's Expand handles the multi-column distincts;
+    * that is a deliberate exactness/read-amplification trade — the
+    * approx_count_distinct variant drops the Expand for one pass at
+    * scale). min/max canonicalize to strings through integer-exact
+    * encodings only (longs as decimal strings, doubles floor-quantized to
+    * micro-units, timestamps as epoch-ns), so the cross-engine compare
+    * never touches float formatting.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val one = ev.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("event_id")).as("c_event_id"),
+      countDistinct(col("event_id")).as("d_event_id"),
+      min(col("event_id")).as("mn_event_id"), max(col("event_id")).as("mx_event_id"),
+      count(col("user_id")).as("c_user_id"),
+      countDistinct(col("user_id")).as("d_user_id"),
+      min(col("user_id")).as("mn_user_id"), max(col("user_id")).as("mx_user_id"),
+      count(col("event_type")).as("c_event_type"),
+      countDistinct(col("event_type")).as("d_event_type"),
+      min(col("event_type")).as("mn_event_type"), max(col("event_type")).as("mx_event_type"),
+      // ts profiles at MICROsecond precision: the oracle engine reads the
+      // nanos parquet timestamp truncated to us, so ns-level stats are not
+      // cross-engine comparable (and two events in the same us would make
+      // even n_distinct diverge)
+      count(col("ts")).as("c_ts"),
+      countDistinct(expr("ts div 1000")).as("d_ts"),
+      min(expr("ts div 1000")).as("mn_ts"), max(expr("ts div 1000")).as("mx_ts"),
+      count(col("value")).as("c_value"), countDistinct(col("value")).as("d_value"),
+      min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+    one.select(expr(
+      """stack(5,
+        |'event_id',  n_rows, n_rows - c_event_id,  d_event_id,
+        |  cast(mn_event_id as string), cast(mx_event_id as string),
+        |'user_id',   n_rows, n_rows - c_user_id,   d_user_id,
+        |  cast(mn_user_id as string), cast(mx_user_id as string),
+        |'event_type',n_rows, n_rows - c_event_type,d_event_type,
+        |  mn_event_type, mx_event_type,
+        |'ts',        n_rows, n_rows - c_ts,        d_ts,
+        |  cast(mn_ts as string), cast(mx_ts as string),
+        |'value',     n_rows, n_rows - c_value,     d_value,
+        |  cast(floor(mn_value * 1000000) as string),
+        |  cast(floor(mx_value * 1000000) as string))
+        |AS (col_name, n_rows, n_nulls, n_distinct, min_key, max_key)
+        |""".stripMargin))
+  }
+
+  private val tableProfileSql =
+    """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+      |  count(*) - count(event_id) AS n_nulls,
+      |  count(DISTINCT event_id) AS n_distinct,
+      |  min(event_id)::VARCHAR AS min_key, max(event_id)::VARCHAR AS max_key
+      |FROM events
+      |UNION ALL
+      |SELECT 'user_id', count(*), count(*) - count(user_id),
+      |  count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR
+      |FROM events
+      |UNION ALL
+      |SELECT 'event_type', count(*), count(*) - count(event_type),
+      |  count(DISTINCT event_type), min(event_type), max(event_type)
+      |FROM events
+      |UNION ALL
+      |SELECT 'ts', count(*), count(*) - count(ts),
+      |  count(DISTINCT epoch_us(ts)),
+      |  min(epoch_us(ts))::VARCHAR, max(epoch_us(ts))::VARCHAR
+      |FROM events
+      |UNION ALL
+      |SELECT 'value', count(*), count(*) - count(value),
+      |  count(DISTINCT value),
+      |  floor(min(value) * 1000000)::BIGINT::VARCHAR,
+      |  floor(max(value) * 1000000)::BIGINT::VARCHAR
+      |FROM events""".stripMargin
+
+  // ---- SCD2 dimension versioning ------------------------------------------
+  /** Slowly-changing-dimension (type 2) merge: fold a CDC change stream
+    * into a versioned dimension with [valid_from, valid_to) day ranges.
+    * Base = each customer's account balance (sentinel day 0); changes =
+    * their orders' totals keyed by order day, compacted last-write-wins
+    * per (key, day) by the highest orderkey — the CDC dedup a real feed
+    * needs. One window pass per key assigns each version its successor's
+    * day as valid_to (open versions get sentinel 99999999); everything
+    * shuffles once on custkey. Money stays in exact cents.
+    */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").as("custkey"), lit(0L).as("day"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val changes = Tables.orders(spark, dir).select(
+        col("o_custkey").as("custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("custkey"), col("day"))
+        .orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1).drop("rn", "o_orderkey")
+    val w = Window.partitionBy(col("custkey")).orderBy(col("day"))
+    base.unionByName(changes)
+      .withColumn("valid_to",
+        coalesce(lead(col("day"), 1).over(w), lit(99999999L)))
+      .select(col("custkey"), col("day").as("valid_from"), col("valid_to"),
+        col("cents"), (col("valid_to") === 99999999L).as("is_current"))
+  }
+
+  private val scd2MergeSql =
+    """WITH base AS (
+      |  SELECT c_custkey AS custkey, 0::BIGINT AS day,
+      |    round(c_acctbal * 100)::BIGINT AS cents
+      |  FROM customer
+      |), ch AS (
+      |  SELECT o_custkey AS custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+      |    round(o_totalprice * 100)::BIGINT AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey,
+      |      epoch_us(o_orderdate) // 86400000000
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders
+      |), u AS (
+      |  SELECT custkey, day, cents FROM base
+      |  UNION ALL
+      |  SELECT custkey, day, cents FROM ch WHERE rn = 1
+      |)
+      |SELECT custkey, day AS valid_from,
+      |  coalesce(lead(day) OVER (PARTITION BY custkey ORDER BY day),
+      |           99999999) AS valid_to,
+      |  cents,
+      |  coalesce(lead(day) OVER (PARTITION BY custkey ORDER BY day),
+      |           99999999) = 99999999 AS is_current
+      |FROM u""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("table_profile", tableProfile, Some(tableProfileSql)),
+    QueryDef("scd2_merge", scd2Merge, Some(scd2MergeSql)),
     QueryDef("set_ops", setOps, Some(setOpsSql)),
     QueryDef("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("monster_query", monsterQuery, Some(monsterQuerySql)),

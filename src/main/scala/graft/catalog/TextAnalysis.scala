@@ -414,9 +414,50 @@ object TextAnalysis extends QueryModule {
       |SELECT doc_id, len(norm)::BIGINT AS norm_len, md5(norm) AS norm_md5
       |FROM n""".stripMargin
 
+  private val Phrase = Seq("slow", "hash", "batch")
+
+  /** Exact phrase search over a POSITIONAL inverted index — the retrieval
+    * op BM25's bag-of-words ranking can't express. Index rows are
+    * (doc_id, pos, term) from one posexplode; the 3-word phrase resolves
+    * as a selective per-word probe filter followed by equi-joins on
+    * (doc_id, adjacent positions) — at scale each probe reads one term's
+    * posting list, candidates are bounded by the rarest word's postings,
+    * and nothing rescans raw text at query time. Output: per matching doc
+    * the match count and first (0-based) match position.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+    val probes = Phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("term") === w)
+        .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i"))
+    }
+    probes.head
+      .join(probes(1), col("d1") === col("d0") && col("p1") === col("p0") + 1)
+      .join(probes(2), col("d2") === col("d0") && col("p2") === col("p0") + 2)
+      .groupBy(col("d0"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p0")).cast("long").as("first_pos"))
+      .select(col("d0").as("doc_id"), col("n_matches"), col("first_pos"))
+  }
+
+  private val phraseSearchSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextFns.tokensSql("text")} AS toks FROM documents
+       |), u AS (
+       |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+       |  FROM t
+       |)
+       |SELECT a.doc_id, count(*) AS n_matches, (min(a.p) - 1)::BIGINT AS first_pos
+       |FROM u a
+       |JOIN u b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.w = '${Phrase(1)}'
+       |JOIN u c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.w = '${Phrase(2)}'
+       |WHERE a.w = '${Phrase.head}'
+       |GROUP BY a.doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
+    QueryDef("phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),

@@ -262,6 +262,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("phrase_search probes are equi-joined posting lists — no nested loop") {
+    val p = plan(TextAnalysis.defs.find(_.name == "phrase_search").get
+      .fn(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency must resolve as (doc_id, pos) equi-joins:\n$p")
+  }
+
+  test("scd2_merge shuffles once on the key: the version window reuses the union's partitioning") {
+    val p = plan(Extras.defs.find(_.name == "scd2_merge").get.fn(spark, dir))
+    // change-compaction window and version window both hash on custkey;
+    // no join anywhere (union + windows is the whole merge)
+    assert(!p.contains("Join"), s"scd2_merge must not join:\n$p")
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
