@@ -14,6 +14,8 @@ object SparkEntry {
   /** All registered catalog modules. */
   def modules: Seq[QueryModule] = Seq(
     Analytics,
+    TpchMore,
+    Algorithms,
     MrExamples,
     LlmPipeline,
     TextAnalysis,

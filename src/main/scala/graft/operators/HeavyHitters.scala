@@ -1,0 +1,73 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters over an unbounded key domain in two bounded-memory
+  * passes — the scalable replacement for `groupBy(key).count().filter(...)`
+  * when the DISTINCT key count (e.g. a web-scale token vocabulary) is
+  * itself too large to shuffle comfortably.
+  *
+  * Pass 1 runs a Misra-Gries summary with `k` counters inside each
+  * partition (`mapPartitions`, O(k) state, no shuffle) and emits the
+  * surviving keys. Pigeonhole guarantee: an item with global frequency
+  * > N/k must exceed nₚ/k in at least one partition, so the union of
+  * per-partition survivors is a SUPERSET of every item at relative support
+  * ≥ 1/k — candidates are ≤ k·partitions keys regardless of vocabulary
+  * size. Pass 2 broadcast-semi-joins the stream against that candidate
+  * set and counts exactly; the shuffle now carries at most k·partitions
+  * distinct keys instead of the whole vocabulary. Final filter applies the
+  * requested relative support θ = 1/supportDenom (requires
+  * supportDenom < k so the MG net is strictly finer than the threshold).
+  *
+  * The result is EXACT and partitioning-independent: MG only generates
+  * candidates; counts come from the full second pass.
+  *
+  * Reference analog: aggregate framework's ValueAggregatorJob computes
+  * term frequencies with a full shuffle of every distinct key
+  * (reference src/mapred/org/apache/hadoop/mapred/lib/aggregate/
+  * ValueAggregatorReducer.java) — no sublinear candidate pruning exists
+  * there.
+  */
+object HeavyHitters {
+
+  /** Misra-Gries survivors for one partition: at most k keys. */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = mutable.HashMap.empty[String, Long]
+    it.foreach { x =>
+      if (counters.contains(x)) counters(x) += 1L
+      else if (counters.size < k) counters(x) = 1L
+      else {
+        // decrement-all; drop zeros (the classic O(1) amortized step)
+        val dead = mutable.ArrayBuffer.empty[String]
+        counters.mapValuesInPlace((_, c) => c - 1L)
+        counters.foreach { case (key, c) => if (c == 0L) dead += key }
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** @param words single STRING column `word`
+    * @return `word`, `cnt` for every word with cnt·supportDenom ≥ N.
+    */
+  def frequent(words: DataFrame, supportDenom: Int, k: Int): DataFrame = {
+    require(supportDenom < k,
+      s"MG net k=$k must be finer than support 1/$supportDenom")
+    val spark = words.sparkSession
+    import spark.implicits._
+
+    val ws: Dataset[String] = words.select(col("word")).as[String]
+    val candidates = ws
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("word").distinct()
+
+    val total = ws.count()
+    words.join(broadcast(candidates), "word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * supportDenom >= lit(total))
+  }
+}

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Builder-side rehearsal of the driver's t2 gate: for each dumped query
+result under target/verify_r06/<name>/, run the oracle SQL from
+oracle_sql.json in DuckDB over the same sf tables and compare
+(rows, schema, values) after sorting columns by name and rows by value.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "target/verify_r06"
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = []
+names = sorted(g.split("/")[-1] for g in glob.glob(f"{out}/*") if not g.endswith(".json"))
+for name in names:
+    try:
+        got = pd.read_parquet(f"{out}/{name}")
+        want = con.execute(oracle[name]).df()
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            fails.append((name, f"schema {list(g.columns)} vs {list(w.columns)}")); continue
+        if len(g) != len(w):
+            fails.append((name, f"rows {len(g)} vs {len(w)}")); continue
+        # exact compare with float tolerance fallback
+        bad = None
+        for c in g.columns:
+            if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
+                import numpy as np
+                if not np.allclose(g[c].astype(float), w[c].astype(float),
+                                   rtol=0, atol=1e-9, equal_nan=True):
+                    bad = c; break
+            else:
+                if not (g[c].astype(str) == w[c].astype(str)).all():
+                    bad = c; break
+        if bad: fails.append((name, f"values differ in col {bad}")); continue
+        print(f"PASS {name} ({len(g)} rows)")
+    except Exception as e:
+        fails.append((name, f"ERR {type(e).__name__}: {e}"))
+
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(names)-len(fails)}/{len(names)} green")
+sys.exit(1 if fails else 0)
