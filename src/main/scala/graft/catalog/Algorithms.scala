@@ -100,9 +100,112 @@ object Algorithms extends QueryModule {
       |  WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
       |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))""".stripMargin
 
+  /** Edit-distance-1 pair join (FastSS deletion neighborhood): every name
+    * explodes into its |w| single-character-deletion variants indexed by
+    * position; two names at ED 1 must either share a deletion variant AT
+    * THE SAME POSITION (substitution) or one must equal a variant of the
+    * other (insertion/deletion). Candidates therefore come from two
+    * equi-joins on the variant key — never the all-pairs `levenshtein`
+    * cross join the oracle runs — and a final exact `levenshtein = 1`
+    * check makes the semantics independent of the candidate recipe. At
+    * 100 TB the variant index is |corpus|·avg_len rows joined on short
+    * string keys; the quadratic spec is only ever run by the oracle.
+    */
+  def typoJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .select(col("c_name").as("name")).distinct()
+    val variants = names.select(col("name"), explode(expr(
+        "transform(sequence(0, length(name)-1), " +
+          "i -> struct(i AS pos, concat(substring(name, 1, i), " +
+          "substring(name, i+2)) AS variant))")).as("d"))
+      .select(col("name"), col("d.pos").as("pos"), col("d.variant").as("variant"))
+    val subCand = variants.as("a").join(variants.as("b"),
+        col("a.pos") === col("b.pos") &&
+          col("a.variant") === col("b.variant") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("w1"), col("b.name").as("w2"))
+    val delCand = variants.as("v")
+      .join(names.as("n"), col("v.variant") === col("n.name"))
+      .select(least(col("v.name"), col("n.name")).as("w1"),
+        greatest(col("v.name"), col("n.name")).as("w2"))
+    subCand.union(delCand).distinct()
+      .where(expr("levenshtein(w1, w2) = 1"))
+  }
+
+  private val typoJoinSql =
+    """WITH names AS (SELECT DISTINCT c_name AS name FROM customer)
+      |SELECT a.name AS w1, b.name AS w2
+      |FROM names a JOIN names b
+      |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1""".stripMargin
+
+  /** Time-series gap fill: per-user daily totals, with missing days
+    * materialized from a per-user `sequence(min_day, max_day)` spine and
+    * forward-filled by a null-skipping `last` window. ONE shuffle on
+    * user_id serves the spine build, the left join, and the fill window;
+    * the spine explode is bounded by calendar span, not event count. Day
+    * arithmetic stays in integer epoch-days (`ts div 86.4e12` on the
+    * nanos long) — no timestamp formatting to diverge between engines;
+    * daily sums are rounded BEFORE filling so forward-filled copies are
+    * bit-identical in both.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("day_no"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day_no").as("lo"), max("day_no").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day_no"))
+    val w = Window.partitionBy("user_id").orderBy("day_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day_no"), "left")
+      .withColumn("filled", last(col("day_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day_no"), col("filled").as("day_value"))
+  }
+
+  private val gapFillSql =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_ns(ts)//86400000000000 AS day_no,
+      |    round(sum(value), 4) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(min(day_no), max(day_no))) AS day_no
+      |  FROM daily GROUP BY user_id)
+      |SELECT s.user_id, s.day_no,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day_no
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+      |FROM spine s LEFT JOIN daily d USING (user_id, day_no)""".stripMargin
+
+  /** Each customer's 3 most expensive orders via [[graft.operators.TopK]] —
+    * a bounded-buffer aggregate whose partial combine caps map output at k
+    * rows per key per task, where the oracle's window formulation sorts
+    * whole groups after a full shuffle. `posexplode` flattens the ≤k-entry
+    * result array back to scalar rows for the compare.
+    */
+  def groupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.operators.TopK.TopKAgg(3))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rank"),
+        col("col.id").as("o_orderkey"), col("col.price").as("o_totalprice"))
+  }
+
+  private val groupedTopKSql =
+    """SELECT o_custkey, CAST(rk AS INT) AS rank, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),
+    QueryDef("typo_join", typoJoin, Some(typoJoinSql)),
+    QueryDef("gap_fill", gapFill, Some(gapFillSql)),
   )
 }

@@ -788,6 +788,46 @@ object LlmPipeline extends QueryModule {
        |) s ON c.component = s.component""".stripMargin
   }
 
+  /** Keep-best selection over the near-dup clusters: per connected
+    * component, retain the LONGEST member (n_chars desc, doc_id tiebreak) —
+    * what a production pipeline actually does after clustering (keep the
+    * most complete copy, not the smallest id). One extra shuffle on the
+    * component key over [[dedupCluster]]'s output; the rank window's
+    * per-group state is one row. Singleton clusters pass through
+    * unchanged, so the result is exactly one kept doc per component.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    dedupCluster(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc"),
+        col("n_chars"), col("cluster_size"))
+  }
+
+  private val dedupKeepBestSql = {
+    s"""WITH RECURSIVE $shingleEdgeCtes, reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
+       |), comp AS (
+       |  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+       |)
+       |SELECT component, doc_id AS kept_doc, n_chars, cluster_size FROM (
+       |  SELECT c.component, c.doc_id, d.n_chars, s.cluster_size,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+       |  FROM comp c
+       |  JOIN documents d USING (doc_id)
+       |  JOIN (SELECT component, count(*) AS cluster_size
+       |        FROM comp GROUP BY component) s USING (component))
+       |WHERE rk = 1""".stripMargin
+  }
+
   // ---- PageRank over the near-dup graph -----------------------------------
   private val PrIters = 3
 
@@ -1013,6 +1053,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("pagerank", pagerank, Some(pagerankSql)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),

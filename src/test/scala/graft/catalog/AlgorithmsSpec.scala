@@ -49,6 +49,73 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got.count() === expect)
   }
 
+  test("grouped_topk: matches the window formulation, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val expect = graft.core.Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = Algorithms.groupedTopK(spark, dir)
+      .select("o_custkey", "rank", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_keep_best: one kept doc per component, the longest one") {
+    val clusters = LlmPipeline.dedupCluster(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> comp
+    val lens = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = clusters.groupBy(_._2).map { case (comp, members) =>
+      comp -> members.keys.toSeq.sortBy(d => (-lens(d), d)).head
+    }
+    val got = LlmPipeline.dedupKeepBest(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("typo_join: candidates are equi-joins; pairs match brute-force ED-1") {
+    val df = Algorithms.typoJoin(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "typo_join candidate generation is not equi-join-shaped")
+    val names = graft.core.Tables.customer(spark, dir)
+      .select("c_name").distinct().collect().map(_.getString(0))
+    def ed1(a: String, b: String): Boolean = {
+      // brute-force Levenshtein == 1 for short names
+      if (a == b) false
+      else if (a.length == b.length)
+        a.zip(b).count { case (x, y) => x != y } == 1
+      else {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        l.length - s.length == 1 &&
+          (0 to s.length).exists(i => l.substring(0, i) + l.substring(i + 1) == s)
+      }
+    }
+    val expect = (for {
+      x <- names; y <- names if x < y && ed1(x, y)
+    } yield (x, y)).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expect)
+    assert(got.size === 1275)
+  }
+
+  test("gap_fill: spine covers every day; fill is the last prior value") {
+    val rows = Algorithms.gapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 449)
+    assert(rows.forall { case (_, _, v) => !v.isNaN })
+    // per user: contiguous day range
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.last - days.head + 1 === days.length, "spine has holes")
+    }
+  }
+
   test("skyline_parts: matches the NOT-EXISTS dominance spec") {
     val p = graft.core.Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_size"), col("p_retailprice")).collect()
