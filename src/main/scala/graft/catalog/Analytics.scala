@@ -659,8 +659,76 @@ object Analytics extends QueryModule {
       |)
       |GROUP BY user_id""".stripMargin
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate it. `get_json_object` is a codegen'd
+    * Catalyst expression evaluated inside the scan's project — no UDF, no
+    * intermediate parse tree materialized; at 100 TB this is a map-only
+    * pass whose cost is the string scan itself. (The reference would
+    * hand-parse in a Mapper; a schema'd `from_json` is the alternative
+    * when the whole object is needed rather than one path.)
+    */
+  def propsJsonAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+
+  private val propsJsonSql =
+    """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Rolling-window anomaly detection: flag events whose value deviates
+    * > 2.5 sample standard deviations from the user's trailing 20-event
+    * window (current row EXCLUDED — the classic leakage mistake is
+    * including it). One shuffle on user_id; per-row state is three
+    * integer running sums (n, Σc, Σc²) over exact cents, and the z² test
+    * is cross-multiplied into integer arithmetic —
+    * 4·(c·n − S)²·(n−1) > 25·n·(n·Q − S²) — so both engines compare
+    * identical integers and no float stddev can diverge at the rounding
+    * boundary (same device as [[zscoreOutliers]], rolled).
+    */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val c = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      round(col("value") * 100).cast("long").as("cv"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cv")).over(w))
+      .withColumn("q", sum(col("cv").cast(dec) * col("cv")).over(w))
+    val num = (col("cv").cast(dec) * col("n") - col("s")) * lit(2)
+    val denom = col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s")
+    c.where(col("n") >= 8 &&
+        num * num * (col("n") - 1) > denom * col("n") * lit(25))
+      .select(col("user_id"), col("event_id"), col("value"))
+  }
+
+  // `**` would coerce to DOUBLE in the oracle engine — keep every term an
+  // explicit HUGEINT product so the comparison stays integer-exact.
+  private val rollingAnomalySql =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value, n,
+      |    2 * (CAST(cv AS HUGEINT) * n - s) AS e,
+      |    CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS d
+      |  FROM (
+      |    SELECT user_id, event_id, value, cv,
+      |      count(*) OVER w AS n, sum(cv) OVER w AS s,
+      |      sum(CAST(cv AS HUGEINT) * cv) OVER w AS q
+      |    FROM (SELECT user_id, event_id, ts, value,
+      |            round(value * 100)::BIGINT AS cv FROM events)
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |  WHERE n >= 8)
+      |WHERE e * e * (n - 1) > d * n * 25""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("props_json_agg", propsJsonAgg, Some(propsJsonSql)),
+    QueryDef("rolling_anomaly", rollingAnomaly, Some(rollingAnomalySql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),
     QueryDef("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),

@@ -788,6 +788,50 @@ object LlmPipeline extends QueryModule {
        |) s ON c.component = s.component""".stripMargin
   }
 
+  /** Quantile band filter: keep documents whose length sits inside the
+    * per-language interquartile band — the "drop the trash and the
+    * outliers" gate every corpus pipeline runs before training. The
+    * quartiles are EXACT discrete percentiles via the integer rank pick
+    * (`ceil(q·n/100)` in pure integer math, the [[Analytics.percentilesExact]]
+    * device): one sort-window pass per language computes both bounds, the
+    * tiny bounds table broadcasts back, and the filter is a map-only scan.
+    * No float percentile interpolation exists anywhere, so both engines
+    * select identical band edges.
+    */
+  def qualityBandFilter(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+    def pick(q: Int) = max(when(
+      col("rn") === expr(s"(n * $q + 99) div 100"), col("n_chars")))
+    val bounds = ranked.groupBy(col("lang"))
+      .agg(pick(25).as("lo"), pick(75).as("hi"))
+    Tables.documents(spark, dir)
+      .join(broadcast(bounds), "lang")
+      .where(col("n_chars").between(col("lo"), col("hi")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  private val qualityBandSql =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT lang,
+      |    max(CASE WHEN rn = (n * 25 + 99) // 100 THEN n_chars END) AS lo,
+      |    max(CASE WHEN rn = (n * 75 + 99) // 100 THEN n_chars END) AS hi
+      |  FROM ranked GROUP BY lang)
+      |SELECT d.lang, count(*) AS kept, sum(d.n_chars) AS total_chars
+      |FROM documents d JOIN b USING (lang)
+      |WHERE d.n_chars BETWEEN b.lo AND b.hi
+      |GROUP BY d.lang""".stripMargin
+
   /** Keep-best selection over the near-dup clusters: per connected
     * component, retain the LONGEST member (n_chars desc, doc_id tiebreak) —
     * what a production pipeline actually does after clustering (keep the
@@ -1054,6 +1098,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    QueryDef("quality_band_filter", qualityBandFilter, Some(qualityBandSql)),
     QueryDef("pagerank", pagerank, Some(pagerankSql)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),

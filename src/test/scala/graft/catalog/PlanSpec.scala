@@ -276,6 +276,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"scd2_merge must not join:\n$p")
   }
 
+  test("props_json_agg: JSON path extraction stays a native expression, no UDF") {
+    val p = Analytics.propsJsonAgg(spark, dir).queryExecution.optimizedPlan.toString
+    assert(p.contains("get_json_object"), s"json path not a native expression:\n$p")
+    assert(!p.contains("UDF"), s"json extraction crosses a UDF boundary:\n$p")
+  }
+
+  test("quality_band_filter: the quartile bounds table broadcasts back") {
+    val p = plan(LlmPipeline.qualityBandFilter(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bounds table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("typo_join/bfs/grouped_topk plans stay equi-join shaped") {
+    for (q <- Seq("typo_join", "bfs_hops", "grouped_topk")) {
+      val df = Algorithms.defs.find(_.name == q).get.fn(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q plan has a non-equi join:\n$p")
+    }
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
