@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -176,11 +177,271 @@ object TpchMore extends QueryModule {
       |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey""".stripMargin
 
+  /** TPC-H Q7 shape: volume shipping between a nation PAIR, both
+    * directions, by ship year. The two nation-filtered dims (supplier and
+    * customer, each pre-joined to its ~2/25th of nation) are built FIRST,
+    * so the fact table is pruned at its cheapest joins — the supplier
+    * probe drops ~92% of lineitem before the big l_orderkey ⋈ o_orderkey
+    * shuffle, and the direction disjunction runs over already-tiny tagged
+    * rows. The reference's join package would tag-merge all four inputs in
+    * one reduce and re-filter every record there
+    * (cf. reference src/mapred/org/apache/hadoop/mapred/join/JoinRecordReader.java:42).
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_10", "NATION_12")
+    val n = Tables.nation(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+      .join(n.filter(col("n_name").isin(pair: _*)),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(n.filter(col("n_name").isin(pair: _*)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(supp, col("s_suppkey") === col("l_suppkey"))
+      .join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .where(
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume), 4) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+      |      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape: national market share — the share of one supplier
+    * nation in a region's order volume for one part type, by order year.
+    * Five dims close around the lineitem spine; every dim is key-pruned
+    * before touching the fact table and the share is a single conditional
+    * aggregate (same one-pass discipline as Q14 — the two-job
+    * numerator/denominator formulation pays the fact scan twice).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val mktNations = n
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(mktNations, col("mkt_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(n.select(col("n_nationkey"), col("n_name")),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(pt, col("p_partkey") === col("l_partkey"))
+      .join(supp, col("s_suppkey") === col("l_suppkey"))
+      .join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("supp_nation") === "NATION_24", vol).otherwise(lit(0.0))) /
+          sum(vol), 4).as("mkt_share_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q8Sql =
+    """SELECT o_year,
+      |  round(100.0 *
+      |    sum(CASE WHEN supp_nation = 'NATION_24' THEN volume ELSE 0 END) /
+      |    sum(volume), 4) AS mkt_share_pct,
+      |  count(*) AS n_rows
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    n1.n_name AS supp_nation,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n2.n_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |GROUP BY o_year""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue ranking — top 20 customers by
+    * revenue lost to returns in one quarter. Both fact-side filters
+    * (return flag on lineitem, quarter on orders) reach their scans before
+    * the key join; the top-20 is a rounded-revenue sort with the unique
+    * customer key as tie-break (same determinism rule as Q3), which
+    * Spark executes as TakeOrderedAndProject — per-partition heaps, no
+    * global sort of the aggregate.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_nationkey
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    * so zero-order customers survive with count 0, then a second aggregate
+    * over the counts. The filter on the orders side lives INSIDE the outer
+    * join's build input (filtering after a left-outer would turn it inner);
+    * `count(o_orderkey)` counts only non-null matches, which is exactly
+    * the outer-join-aware count the reference needed a tagged reduce plus
+    * a second job for.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier by quarter revenue. The per-supplier
+    * aggregate is computed ONCE and reused for both the max and the
+    * equality probe — the max side is a 1-row aggregate broadcast back
+    * over the (already supplier-sized, i.e. tiny relative to the fact)
+    * revenue frame, the same never-collect scalar-subquery discipline as
+    * Q22. Equality is on the ROUNDED revenue so both engines compare the
+    * same 4-decimal value. At 100 TB nothing here funnels: the only
+    * full-fact pass is the grouped sum.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(mx))
+      .where(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — lineitems of one
+    * brand's parts whose quantity sits below 20% of that part's average.
+    * The correlated AVG is a window aggregate over the part key: ONE
+    * shuffle of the (already brand-pruned) fact slice, bounded per-part
+    * groups, versus the aggregate-then-self-join form that shuffles the
+    * slice twice. The threshold comparison happens in double on both
+    * engines over exactly-summable integer quantities, so the boundary
+    * set is engine-independent.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(pt, col("p_partkey") === col("l_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q17Sql =
+    """SELECT round(sum(l_extendedprice), 2) AS total_price,
+      |  count(*) AS n_rows
+      |FROM lineitem l JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q4_order_priority", q4OrderPriority, Some(q4Sql)),
     QueryDef("q14_promo_revenue", q14PromoRevenue, Some(q14Sql)),
     QueryDef("q16_supplier_cnt", q16SupplierCnt, Some(q16Sql)),
     QueryDef("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     QueryDef("q22_no_urgent", q22NoUrgent, Some(q22Sql)),
+    QueryDef("q7_volume_shipping", q7VolumeShipping, Some(q7Sql)),
+    QueryDef("q8_market_share", q8MarketShare, Some(q8Sql)),
+    QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
+    QueryDef("q13_order_distribution", q13OrderDistribution, Some(q13Sql)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
+    QueryDef("q17_small_qty", q17SmallQty, Some(q17Sql)),
   )
 }

@@ -48,6 +48,60 @@ class TpchMoreSpec extends SparkSpec {
     assert(df.collect().head === Row(588689.8051, 11L))
   }
 
+  test("q7: nation-pair volume by year matches oracle") {
+    val rows = TpchMore.q7VolumeShipping(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(rows.toSeq === Seq(
+      ("NATION_12", "NATION_10", 1996L, 615184.595),
+      ("NATION_12", "NATION_10", 1997L, 590588.672)))
+  }
+
+  test("q8: market share is a one-pass conditional aggregate over 5 dims") {
+    val df = TpchMore.q8MarketShare(spark, dir)
+    // one pass: exactly one HashAggregate pair over the fact join tree —
+    // no self-join of two filtered aggregates
+    assert(!plan(df).toLowerCase.contains("cartesian"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1996L, 36.6554, 17L), (1997L, 21.0907, 29L)))
+  }
+
+  test("q10: top-20 returned-item ranking runs as TakeOrdered, not global sort") {
+    val df = TpchMore.q10ReturnedItems(spark, dir)
+    assert(plan(df).contains("TakeOrderedAndProject"),
+      "limit+orderBy did not plan as TakeOrderedAndProject")
+    val rows = df.collect()
+    assert(rows.length === 20)
+    val top = rows.head
+    assert(top.getLong(0) === 140L && top.getDouble(3) === 243284.0191)
+  }
+
+  test("q13: zero-order customers survive the left outer with count 0") {
+    val rows = TpchMore.q13OrderDistribution(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum === 150L, "every customer appears exactly once")
+    assert(rows(1L) === 1L && rows(9L) === 25L && rows(16L) === 1L)
+    assert(plan(TpchMore.q13OrderDistribution(spark, dir)).contains("LeftOuter"))
+  }
+
+  test("q15: max-revenue supplier via broadcast scalar, equality on rounded") {
+    val df = TpchMore.q15TopSupplier(spark, dir)
+    assert(plan(df).contains("BroadcastExchange"),
+      "q15 max aggregate is not broadcast")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 9L &&
+      rows.head.getDouble(2) === 1419420.6503)
+  }
+
+  test("q17: correlated avg is ONE window shuffle over the brand slice") {
+    val df = TpchMore.q17SmallQty(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Window"), "per-part avg did not plan as a window")
+    assert(df.collect().head === Row(755155.91, 15L))
+  }
+
   test("q22: scalar subquery broadcasts (never collected); anti join on urgent") {
     val df = TpchMore.q22NoUrgent(spark, dir)
     val p = plan(df)
