@@ -422,8 +422,60 @@ object IoCatalog extends QueryModule {
   private val jdbcRoundtripSql =
     "SELECT event_type, count(*) AS pageview FROM events GROUP BY event_type"
 
+  // ---- ORC columnar round trip --------------------------------------------
+  /** ORC write + filtered read-back. ORC is the second columnar format the
+    * stack ships (the reference era's RCFile/columnar successor — cf.
+    * reference src/core/org/apache/hadoop/io/SequenceFile.java as the
+    * pre-columnar on-disk table format); the read side proves the same
+    * scan-level goodness parquet gets: the return-flag equality reaches the
+    * ORC reader as a pushed filter + min/max stripe statistics, so at
+    * 100 TB the scan skips whole stripes, not rows. zlib block compression
+    * exercises the codec path on write.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("orc_roundtrip", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").option("compression", "zlib").orc(path)
+    spark.read.orc(path)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin
+
+  // ---- schema'd JSON-lines round trip --------------------------------------
+  /** JSON-lines sink + schema'd re-read: the semi-structured props string is
+    * promoted to a typed struct BEFORE the write (from_json, codegen'd), and
+    * the read back supplies an explicit schema so Spark skips the
+    * whole-dataset inference pass — the difference between one scan and two
+    * at 100 TB. Nested-field access on the re-read (`props.k`) prunes to
+    * the single leaf in ReadSchema.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("json_roundtrip", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), lit("k LONG")).as("props"))
+      .write.mode("overwrite").json(path)
+    spark.read.schema("event_id LONG, event_type STRING, props STRUCT<k: LONG>")
+      .json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("props.k")).as("k_sum"))
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum
+      |FROM events GROUP BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
+    QueryDef("orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
     QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),

@@ -59,6 +59,35 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/ys").count() == 1)
   }
 
+  test("ORC read-back pushes the filter to the scan and prunes columns") {
+    val path = tmp("orc")
+    Seq((1L, 5.0, "R"), (2L, 7.0, "N"), (3L, 9.0, "R"))
+      .toDF("k", "qty", "flag").write.mode("overwrite").orc(path)
+    val df = spark.read.orc(path).filter(col("flag") === "R")
+      .groupBy(col("flag")).agg(sum(col("qty")).as("s"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(flag), EqualTo(flag,R)]"),
+      s"ORC filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<qty:double,flag:string>"),
+      s"ORC column pruning missing the k column drop:\n$scan")
+    assert(df.collect().head.getDouble(1) == 14.0)
+  }
+
+  test("schema'd JSON read skips inference and prunes to the nested leaf") {
+    val path = tmp("jsonl")
+    Seq((1L, """{"k": 3}"""), (2L, """{"k": 4}"""))
+      .toDF("id", "props")
+      .select(col("id"), from_json(col("props"), lit("k LONG")).as("props"))
+      .write.mode("overwrite").json(path)
+    val df = spark.read.schema("id LONG, props STRUCT<k: LONG>").json(path)
+      .agg(sum(col("props.k")).as("k_sum"))
+    assert(df.collect().head.getLong(0) == 7L)
+    // nested-leaf pruning: the JSON scan's ReadSchema keeps only props.k
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("struct<props:struct<k:bigint>>"),
+      s"JSON nested pruning did not reach the scan:\n$scan")
+  }
+
   test("JDBC round trip through embedded Derby, partitioned read") {
     val db = tmp("derby") + "/db"
     val in = Seq(("a", 5L), ("b", 7L), ("c", 11L)).toDF("name", "n")
