@@ -725,8 +725,55 @@ object Analytics extends QueryModule {
       |  WHERE n >= 8)
       |WHERE e * e * (n - 1) > d * n * 25""".stripMargin
 
+  /** Per-user integer EWMA (α = 1/4) over the first 16 events — an
+    * order-dependent RECURRENCE, the one aggregation shape neither a
+    * commutative aggregate nor a frame window expresses. Spark-first
+    * answer: bound the sequence FIRST (row_number ≤ 16, same
+    * state-bounding as [[userHistory]]), then fold the per-user ordered
+    * array with the `aggregate` higher-order function — all codegen, no
+    * typed shuffle, per-group state capped at 16 structs. The fold runs in
+    * integer cents with truncating `div`, so every step is bit-identical
+    * to the oracle's recursive CTE replay (floats would drift under
+    * reassociation; `div` on nonnegative cents can't). The streaming twin
+    * is [[graft.streaming.StreamingOps]]' keyed-state EWMA.
+    */
+  def ewmaUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cv"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 16)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("""aggregate(
+                  array_sort(collect_list(struct(ts, event_id, cv))),
+                  CAST(-1 AS BIGINT),
+                  (acc, x) -> IF(acc < 0, x.cv, (acc * 3 + x.cv) div 4))""")
+          .as("ewma_cents"))
+  }
+
+  private val ewmaUserSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, ts, round(value * 100)::BIGINT AS cv,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      |  FROM events
+      |  QUALIFY rk <= 16
+      |), r AS (
+      |  SELECT user_id, rk, cv AS ewma FROM e WHERE rk = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rk, (r.ewma * 3 + e.cv) // 4
+      |  FROM r JOIN e ON e.user_id = r.user_id AND e.rk = r.rk + 1
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  arg_max(ewma, rk) AS ewma_cents
+      |FROM r GROUP BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("ewma_user", ewmaUser, Some(ewmaUserSql)),
     QueryDef("props_json_agg", propsJsonAgg, Some(propsJsonSql)),
     QueryDef("rolling_anomaly", rollingAnomaly, Some(rollingAnomalySql)),
     QueryDef("q6_revenue", q6Revenue, Some(q6Sql)),

@@ -454,8 +454,123 @@ object TextAnalysis extends QueryModule {
        |WHERE a.w = '${Phrase.head}'
        |GROUP BY a.doc_id""".stripMargin
 
+  // ---- global token-offset index ------------------------------------------
+  /** Every document's starting offset in the corpus-wide token stream —
+    * the index a tokenizer shard-writer needs to address any token
+    * globally. This is a distributed PREFIX SUM, implemented the way it
+    * must be at 100 TB: NOT a single global-order window (one reducer owns
+    * everything) but range-partition by doc_id → per-partition running sum
+    * (each task scans only its slice) + a partition-count-sized base-offset
+    * table broadcast back. The frame is materialized once so the partition
+    * ids seen by the base-offset aggregate and the main pass are the same
+    * physical partitioning (range sampling is otherwise re-drawn per
+    * action).
+    */
+  def docOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Materialize
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val parts = Materialize(
+      d.repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val base = parts.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("part_total"))
+      .withColumn("base",
+        coalesce(sum(col("part_total")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("base"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parts
+      .withColumn("local", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(base), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local") + col("base")).as("start_offset"))
+  }
+
+  private val docOffsetsSql =
+    s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(len(w)) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       |FROM (SELECT doc_id, ${TextFns.tokensSql("text")} AS w FROM documents)""".stripMargin
+
+  // ---- context-window chunking --------------------------------------------
+  /** Chunk accounting for context-window packing: documents split into
+    * C=32-token chunks with O=8 tokens of overlap (stride 24). Emits the
+    * per-source chunk/pad totals a training-prep planner needs to size a
+    * tokenization run. Pure integer arithmetic over the token count — one
+    * map-only scan, partial-aggregated per source; no token array is ever
+    * materialized beyond the codegen'd size().
+    */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      // ceil((n-C)/stride)+1 in pure integer math (div, not fp /)
+      .withColumn("n_chunks", expr(
+        "CASE WHEN n_tokens <= 32 THEN CAST(1 AS BIGINT) " +
+        "ELSE (n_tokens - 32 + 23) div 24 + 1 END"))
+      // pad = tokens the final chunk reads past the end of the doc
+      .withColumn("pad", expr("32 + (n_chunks - 1) * 24 - n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chunks")).as("chunks"), sum(col("pad")).as("pad_tokens"))
+  }
+
+  private val chunkOverlapSql =
+    s"""WITH t AS (
+       |  SELECT source, CAST(len(${TextFns.tokensSql("text")}) AS BIGINT) AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, n,
+       |    CASE WHEN n <= 32 THEN 1
+       |         ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+       |  FROM t)
+       |SELECT source, count(*) AS docs, sum(n) AS tokens,
+       |  sum(n_chunks) AS chunks,
+       |  sum(32 + (n_chunks - 1) * 24 - n) AS pad_tokens
+       |FROM c GROUP BY source""".stripMargin
+
+  // ---- corpus-wide bigram statistics --------------------------------------
+  /** Top-20 bigrams across the corpus WITH multiplicity (repetition_signals
+    * is per-doc and distinct-based; an n-gram LM wants raw corpus counts).
+    * The bigram explode is positional (sequence + element_at — codegen, no
+    * UDF); counting is an ordinary hash aggregate with map-side partial
+    * combine, and the top-20 runs as TakeOrdered per-partition heaps. The
+    * keyspace is vocabulary², never corpus-sized.
+    */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    Tables.documents(spark, dir)
+      .select(toks.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(grams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val topBigramsSql =
+    s"""SELECT bigram, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |  FROM (SELECT ${TextFns.tokensSql("text")} AS w FROM documents)
+       |  WHERE len(w) >= 2)
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("doc_offsets", docOffsets, Some(docOffsetsSql)),
+    QueryDef("chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
+    QueryDef("top_bigrams", topBigrams, Some(topBigramsSql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),

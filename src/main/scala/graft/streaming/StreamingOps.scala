@@ -170,6 +170,36 @@ object StreamingOps {
           .otherwise("unique").as("verdict"))
   }
 
+  final case class EwmaEv(user_id: Long, ts_us: Long, cv: Long)
+  final case class EwmaState(ewma: Long, n: Long)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma_cents: Long)
+
+  /** Per-key integer EWMA (α = 1/4) as keyed streaming state — the
+    * streaming twin of the batch `ewma_user` fold. State per key is two
+    * longs however long the stream runs; each micro-batch sorts only its
+    * own arrivals (by event time) and folds them into the carried state,
+    * emitting the key's running EWMA (Update mode). Same truncating-`div`
+    * integer recurrence as the batch op, so a batch replay of the same
+    * rows in the same order is bit-identical. Cross-batch ordering is
+    * arrival order — the streaming contract; the batch twin over the full
+    * log is the canonical total-order answer.
+    */
+  def ewmaStream(events: Dataset[EwmaEv]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EwmaEv], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(-1L, 0L))
+          rows.toSeq.sortBy(_.ts_us).foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(e.cv, 1L)
+              else EwmaState((st.ewma * 3 + e.cv) / 4, st.n + 1)
+          }
+          state.update(st)
+          EwmaOut(user, st.n, st.ewma)
+      }
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

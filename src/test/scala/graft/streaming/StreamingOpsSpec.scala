@@ -254,4 +254,34 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
         s"got $got")
     } finally q.stop()
   }
+
+  test("ewmaStream carries integer EWMA state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.EwmaEv
+    val in = MemoryStream[EwmaEv]
+    val sink = s"ewma_${System.nanoTime()}"
+    val q = StreamingOps.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation", freshCheckpoint("ewma"))
+      .start()
+    try {
+      // batch 1: user 1 gets 100 then 200 → 100, then (300+200)/4 = 125
+      in.addData(EwmaEv(1L, 1L, 100L), EwmaEv(1L, 2L, 200L), EwmaEv(2L, 1L, 40L))
+      q.processAllAvailable()
+      // batch 2: user 1 folds 300 onto CARRIED state 125 → (375+300)/4 = 168
+      in.addData(EwmaEv(1L, 3L, 300L))
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("ewma_cents"), col("n_events")).as("ewma"),
+          max(col("n_events")).as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(1L -> ((168L, 3L)), 2L -> ((40L, 1L))), s"got $got")
+      // bit-identical to the batch fold of the same rows in the same order
+      val batch = Seq(100L, 200L, 300L).foldLeft(-1L)((a, v) =>
+        if (a < 0) v else (a * 3 + v) / 4)
+      assert(batch == 168L)
+    } finally q.stop()
+  }
 }
