@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 151 catalog queries × whole-stage codegen outgrow the JDK-17 default
+  // 240 MB code cache mid-bench; once it fills, the JIT flushes/stops and
+  // hot kernels (pentomino's backtracking) run interpreted — BENCH r6 saw
+  // a 14× regression from exactly this. Headroom makes warmup durable.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -399,6 +399,59 @@ object Analytics extends QueryModule {
       |FROM events
       |GROUP BY CUBE (event_type, epoch_us(ts) // 86400000000)""".stripMargin
 
+  /** Arbitrary GROUPING SETS — the third member of the cube/rollup family:
+    * exactly the requested set list ((type), (day), ()), not the full
+    * lattice, in ONE pass via Catalyst's Expand (each input row fans out
+    * once per set, partial-aggregated map-side — never one job per set,
+    * which is the reference's only expression of this). grouping_id
+    * disambiguates the null-key rows from genuine nulls.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("day_bucket", expr(s"(ts div 1000) div ${dayUs}L"))
+      .withColumn("cv", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day_bucket")), Seq.empty),
+        col("event_type"), col("day_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cv")).as("cents"),
+        grouping_id().as("gid"))
+  }
+
+  private val groupingSetsSql =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day_bucket,
+      |  count(*) AS n_events,
+      |  CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS cents,
+      |  GROUPING(event_type, epoch_us(ts) // 86400000000) AS gid
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (epoch_us(ts) // 86400000000), ())""".stripMargin
+
+  /** The distribution half of the window surface: percent_rank and
+    * cume_dist over each user's purchase timeline, completing window_funcs
+    * (rank/dense_rank/ntile/lead/lag). Both are exact small-integer ratios
+    * evaluated identically in either engine; rounded at 6 to keep the
+    * compare clear of formatting noise. Same single fused Window pass —
+    * one shuffle on user_id.
+    */
+  def windowPctFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cum_dist", round(cume_dist().over(w), 6))
+      .select(col("user_id"), col("event_id"), col("pct_rank"), col("cum_dist"))
+  }
+
+  private val windowPctSql =
+    """SELECT user_id, event_id,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cum_dist
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'purchase')
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
   /** Ordered funnel: per user, the first view, the first click AFTER that
     * view, and the first purchase AFTER that click (nulls where the user
     * never progressed). Three stage aggregates + two stage joins, all
@@ -787,6 +840,8 @@ object Analytics extends QueryModule {
     QueryDef("sliding_window_agg", slidingWindowAgg, Some(slidingWindowSql)),
     QueryDef("percentiles_exact", percentilesExact, Some(percentilesSql)),
     QueryDef("cube_agg", cubeAgg, Some(cubeAggSql)),
+    QueryDef("grouping_sets_agg", groupingSetsAgg, Some(groupingSetsSql)),
+    QueryDef("window_pct_funcs", windowPctFuncs, Some(windowPctSql)),
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
