@@ -130,8 +130,15 @@ object Bench {
     val warmFirst = Set("pentomino")
     val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // two untimed runs: the first triggers C2 compilation of the
+        // task-side kernel, the second runs mostly compiled and finishes
+        // the ramp; a GC sweep keeps the suite's accumulated garbage from
+        // billing its pause to this query's timed attempts
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
+        System.gc()
       }
       time2(spark, sfDir, name, fn, capturePlan = true)
     }

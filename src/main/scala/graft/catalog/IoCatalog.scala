@@ -472,9 +472,42 @@ object IoCatalog extends QueryModule {
       |  sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- small-file compaction ----------------------------------------------
+  /** The small-file problem, solved the Spark way: a directory of 40 tiny
+    * parquet files (the reference's HAR archives exist for exactly this
+    * pathology — reference src/tools/org/apache/hadoop/tools/HadoopArchives.java)
+    * is rewritten into size-targeted files — target count =
+    * ceil(input_bytes / 8 MiB), floor 1 — via coalesce (a partition-merge
+    * NARROW dependency: no shuffle; each output task reads several input
+    * files sequentially). The byte size comes from a driver-side FS
+    * LISTING — metadata-only, never data. Read-back aggregate proves the
+    * rewrite lost nothing; IoSpec pins the on-disk file counts.
+    */
+  def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("compact_files", dir)
+    Tables.documents(spark, dir)
+      .repartition(40)
+      .write.mode("overwrite").parquet(s"$path/small")
+    val small = spark.read.parquet(s"$path/small")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$path/small")).getLength
+    val target = math.max(1L, (bytes + (8L << 20) - 1) / (8L << 20)).toInt
+    small.coalesce(target).write.mode("overwrite").parquet(s"$path/compact")
+    spark.read.parquet(s"$path/compact")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+  }
+
+  private val compactFilesSql =
+    """SELECT source, count(*) AS docs, sum(n_chars) AS chars
+      |FROM documents GROUP BY source""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("compact_files", compactFiles, Some(compactFilesSql)),
     QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),

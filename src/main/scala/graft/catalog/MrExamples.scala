@@ -103,6 +103,42 @@ object MrExamples extends QueryModule {
        |  SELECT 1 FROM orders o
        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $highValueCutoff)""".stripMargin
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of silently dropping — the semantics a MapReduce
+    * tag-join gives for free (a null tag is just a key byte) but SQL's
+    * `=` does not. Catalyst plans EqualNullSafe as a true EQUI-join (hash
+    * or sort-merge on the coalesced key), NOT a nested loop — pinned in
+    * the spec — so the null bucket shuffles like any other key. The
+    * nullable key here sends ~1/5th of rows to NULL, so the null-match
+    * rows are a visible, value-checked slice of the result.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("nk",
+        expr("NULLIF(CAST(round(value * 100) AS BIGINT) % 5, 0)"))
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("nk").as("lk"), col("event_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy(col("nk").as("rk")).agg(count(lit(1)).as("clicks"))
+    purch.join(clicks, col("lk") <=> col("rk"), "left")
+      .groupBy(col("lk"))
+      .agg(count(lit(1)).as("n_purchases"), max(col("clicks")).as("clicks"))
+  }
+
+  private val nullSafeJoinSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    NULLIF(round(value * 100)::BIGINT % 5, 0) AS nk
+      |  FROM events
+      |), r AS (
+      |  SELECT nk AS rk, count(*) AS clicks FROM e
+      |  WHERE event_type = 'click' GROUP BY 1
+      |)
+      |SELECT l.nk AS lk, count(*) AS n_purchases, max(r.clicks) AS clicks
+      |FROM e l LEFT JOIN r ON l.nk IS NOT DISTINCT FROM r.rk
+      |WHERE l.event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   def joinOuter(spark: SparkSession, dir: String): DataFrame = {
     val (cust, ord, hv) = joinSources(spark, dir)
     val ordCnt = ord.groupBy("custkey").agg(count(lit(1)).as("order_cnt"))
@@ -280,6 +316,7 @@ object MrExamples extends QueryModule {
     QueryDef("join_outer", joinOuter, Some(joinOuterSql)),
     QueryDef("join_override", joinOverride, Some(joinOverrideSql)),
     QueryDef("join_custom", joinCustom, Some(joinCustomSql)),
+    QueryDef("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("sort_total_order", sortTotalOrder, Some(sortSql)),
     QueryDef("secondary_sort", secondarySort, Some(secondarySortSql)),
     QueryDef("field_selection", fieldSelection, Some(fieldSelectionSql)),

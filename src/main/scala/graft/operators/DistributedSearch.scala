@@ -140,35 +140,52 @@ object DistributedSearch {
     }
   }
 
-  /** Exhaust one subtree; returns board strings (one piece letter per cell). */
+  /** Exhaust one subtree; returns board strings (one piece letter per cell).
+    *
+    * The inner loop is ALLOCATION-FREE: placements ride a preallocated
+    * 12-slot Long stack instead of a cons list. The cons-per-node version
+    * allocated millions of list cells per subtree, which ran fine in a
+    * quiet JVM but collapsed 3-10× mid-bench when 100+ earlier queries had
+    * filled the old gen — an allocation-heavy hot loop inherits the whole
+    * process's GC debt. Zero allocation makes task time independent of
+    * heap history (the same property the 100 TB executor wants).
+    */
   private def solvePentFrom(start: PentState): Seq[String] = {
     val out = Seq.newBuilder[String]
-    def rec(occ: Long, used: Int, placed: List[Long]): Unit = {
-      if (used == 0xFFF) { out += renderPent(placed); return }
+    val stack = new Array[Long](12)
+    var d0 = 0
+    for (enc <- start.placed.reverse) { stack(d0) = enc; d0 += 1 }
+    def rec(occ: Long, used: Int, depth: Int): Unit = {
+      if (used == 0xFFF) { out += renderPent(stack, depth); return }
       val ps = placements(java.lang.Long.numberOfTrailingZeros(~occ))
       var i = 0
       while (i < ps.length) {
         val enc = ps(i)
         val pi = (enc >>> 60).toInt
         val m = enc & MaskBits
-        if ((used & (1 << pi)) == 0 && (occ & m) == 0L)
-          rec(occ | m, used | (1 << pi), enc :: placed)
+        if ((used & (1 << pi)) == 0 && (occ & m) == 0L) {
+          stack(depth) = enc
+          rec(occ | m, used | (1 << pi), depth + 1)
+        }
         i += 1
       }
     }
-    rec(start.occ, start.used, start.placed)
+    rec(start.occ, start.used, d0)
     out.result()
   }
 
-  private def renderPent(placed: List[Long]): String = {
+  private def renderPent(placed: Array[Long], n: Int): String = {
     val b = new Array[Char](PentRows * PentCols)
-    for (enc <- placed) {
+    var j = 0
+    while (j < n) {
+      val enc = placed(j)
       val letter = PieceLetters((enc >>> 60).toInt)
       var m = enc & MaskBits
       while (m != 0L) {
         b(java.lang.Long.numberOfTrailingZeros(m)) = letter
         m &= m - 1
       }
+      j += 1
     }
     new String(b)
   }

@@ -88,6 +88,27 @@ class IoSpec extends SparkSpec {
       s"JSON nested pruning did not reach the scan:\n$scan")
   }
 
+  test("compact_files merges 40 small files into the size-targeted count") {
+    graft.catalog.IoCatalog.compactFiles(spark, "/root/testdata/sf0.001").collect()
+    val scratch = graft.core.Scratch.dir("compact_files", "/root/testdata/sf0.001")
+    def parquets(sub: String) =
+      new java.io.File(s"$scratch/$sub").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(parquets("small") == 40, "pre-compaction layout should be 40 files")
+    // sf0.001 documents ≪ 8 MiB → everything compacts to ONE file
+    assert(parquets("compact") == 1,
+      s"compaction left ${parquets("compact")} files for a sub-8MiB input")
+  }
+
+  test("null-safe join plans as a real equi-join, not a nested loop") {
+    val plan = graft.catalog.MrExamples.nullSafeJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"EqualNullSafe degenerated to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge join on the null-safe key:\n$plan")
+  }
+
   test("JDBC round trip through embedded Derby, partitioned read") {
     val db = tmp("derby") + "/db"
     val in = Seq(("a", 5L), ("b", 7L), ("c", 11L)).toDF("name", "n")
