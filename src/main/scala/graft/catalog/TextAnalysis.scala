@@ -307,6 +307,59 @@ object TextAnalysis extends QueryModule {
        |FROM s GROUP BY doc_id""".stripMargin
   }
 
+  // ---- bigram conditional surprisal ---------------------------------------
+  /** Bigram-LM surprisal — the conditional upgrade of [[tokenSurprisal]]:
+    * per doc, Σ −log₂ P(w₂|w₁) with the same integer floor-log₂ device
+    * (len∘bin), so both engines sum identical integers. C(w₁) is counted
+    * over bigram-FIRST positions (each doc's last token excluded), which
+    * keeps C(w₁) = Σ_w₂ C(w₁w₂) — a proper conditional. The count tables
+    * are vocabulary-sized (vocab and vocab² entries, never corpus-sized),
+    * so they broadcast; the corpus-side pass is one positional explode +
+    * one per-doc aggregate.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = transform(sequence(lit(1), size(col("w")) - 1),
+      i => struct(element_at(col("w"), i).as("w1"),
+        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))
+          .as("bg")))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.bg"))
+    val uc = ex.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bc = ex.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    ex.join(broadcast(bc), "bg").join(broadcast(uc), "w1")
+      .select(col("doc_id"),
+        (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+  }
+
+  private val bigramSurprisalSql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $w AS w FROM documents
+       |), e AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i])) AS w1,
+       |    unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bg
+       |  FROM t WHERE len(w) >= 2
+       |), uc AS (
+       |  SELECT w1, count(*)::BIGINT AS c1 FROM e GROUP BY w1
+       |), bc AS (
+       |  SELECT bg, count(*)::BIGINT AS c12 FROM e GROUP BY bg
+       |), s AS (
+       |  SELECT e.doc_id,
+       |    (len(bin(uc.c1)) - len(bin(bc.c12)))::BIGINT AS bits
+       |  FROM e JOIN bc USING (bg) JOIN uc USING (w1)
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams, sum(bits)::BIGINT AS sum_bits
+       |FROM s GROUP BY doc_id""".stripMargin
+  }
+
   // ---- PII redaction ------------------------------------------------------
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
@@ -575,6 +628,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
+    QueryDef("bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
