@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bfs, HeavyHitters}
+import graft.operators.{Bfs, HeavyHitters, LabelProp, Sssp}
 
 /** Distributed-algorithm queries: graph reach, sublinear heavy hitters,
   * Pareto frontier. Each has a plain-SQL oracle twin (recursive CTE /
@@ -200,7 +200,76 @@ object Algorithms extends QueryModule {
       |      FROM orders)
       |WHERE rk <= 3""".stripMargin
 
+  /** Weighted co-purchase edges for the iterative graph ops below: parts
+    * that share ≥2 orders, cost = 1000 div co_count + 1 (more co-orders →
+    * cheaper hop, all integer). The ≥2 support floor prunes the long tail
+    * of coincidental pairs — 1.2 M raw pairs → ~4 K meaningful edges at
+    * sf0.1 — which is both the right graph semantically and what keeps the
+    * oracle's bounded recursive CTE enumerable.
+    */
+  private def weightedCoEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select(col("u"), col("v"), expr("1000 div c + 1").as("w"))
+  }
+
+  private val coEdgesSql =
+    """ed AS (
+      |  SELECT u, v, (1000 // c) + 1 AS w FROM (
+      |    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c
+      |    FROM lineitem a JOIN lineitem b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |    GROUP BY 1, 2 HAVING count(*) >= 2)
+      |), sed AS (
+      |  SELECT u, v, w FROM ed UNION ALL SELECT v AS u, u AS v, w FROM ed
+      |)""".stripMargin
+
+  /** Bounded synchronous Bellman-Ford ([[Sssp.relax]]) from the smallest
+    * vertex in the support-filtered co-purchase graph. */
+  def ssspWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sssp.relax(weightedCoEdges(spark, dir), rounds = 3)
+
+  private val ssspSql =
+    s"""WITH RECURSIVE $coEdgesSql,
+       |walk(v, cost, hops) AS (
+       |  SELECT (SELECT u FROM sed GROUP BY u ORDER BY count(*) DESC, u LIMIT 1),
+       |    CAST(0 AS BIGINT), 0
+       |  UNION
+       |  SELECT sed.v, walk.cost + sed.w, walk.hops + 1
+       |  FROM walk JOIN sed ON sed.u = walk.v
+       |  WHERE walk.hops < 3
+       |)
+       |SELECT v AS part_id, min(cost) AS cost FROM walk GROUP BY v""".stripMargin
+
+  /** Seeded min-label flood ([[LabelProp.minLabel]]): every 10th part id
+    * seeds its own id; 3 rounds over the same support-filtered graph. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    LabelProp.minLabel(weightedCoEdges(spark, dir).select(col("u"), col("v")),
+      seedMod = 10L, rounds = 3)
+
+  private val labelPropSql =
+    s"""WITH RECURSIVE $coEdgesSql,
+       |seeds AS (
+       |  SELECT DISTINCT u AS n FROM sed WHERE u % 10 = 0
+       |),
+       |walk(v, label, hops) AS (
+       |  SELECT n, n, 0 FROM seeds
+       |  UNION
+       |  SELECT sed.v, walk.label, walk.hops + 1
+       |  FROM walk JOIN sed ON sed.u = walk.v
+       |  WHERE walk.hops < 3
+       |)
+       |SELECT v AS part_id, min(label) AS label FROM walk GROUP BY v""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("sssp_weighted", ssspWeighted, Some(ssspSql)),
+    QueryDef("label_prop", labelProp, Some(labelPropSql)),
     QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),

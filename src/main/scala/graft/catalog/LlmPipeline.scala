@@ -228,6 +228,7 @@ object LlmPipeline extends QueryModule {
 
   // ---- domain mixture sampling -------------------------------------------
   private val MixSeed = 7
+  private val SplitSeed = 77
   private val H48Range = 281474976710656.0 // 2^48
 
   /** Training-data mixing: downsample each source to a target rate with a
@@ -240,6 +241,34 @@ object LlmPipeline extends QueryModule {
     * exactly re-derivable from the recipe (seed + rate table).
     * Demo rate table: source index mod 4 → 0.25 / 0.50 / 0.75 / 1.00.
     */
+  /** Deterministic train/val/test assignment — the split every training
+    * run needs to be REPRODUCIBLE and leakage-free: bucket = seeded
+    * portable hash of the doc id mod 100 (98/1/1), so membership is a
+    * pure function of identity — stable across runs, engines, cluster
+    * sizes, and re-shards, and a document can never migrate between
+    * splits when the corpus grows. Map-only scan + one rollup; the same
+    * device at 100 TB assigns a trillion docs with zero coordination.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val hmod = graft.functions.PortableHash
+      .h48(col("doc_id").cast("string"), SplitSeed) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(hmod < 98, "train").when(hmod === 98, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+  }
+
+  private val splitAssignSql = {
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR", SplitSeed)
+    s"""SELECT source,
+       |  CASE WHEN hmod < 98 THEN 'train'
+       |       WHEN hmod = 98 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+       |FROM (SELECT source, n_chars, $h % 100 AS hmod FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val srcIdx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
     val rate = (lit(1.0) + (srcIdx % 4).cast("double")) / 4.0
@@ -1106,6 +1135,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
+    QueryDef("split_assign", splitAssign, Some(splitAssignSql)),
     QueryDef("shard_pack", shardPack, Some(shardPackSql)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("weighted_sample", weightedSample, Some(weightedSampleSql)),

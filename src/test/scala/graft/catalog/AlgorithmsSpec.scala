@@ -116,6 +116,30 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("sssp_weighted: source at cost 0, every cost within 3 max-weight hops") {
+    val rows = Algorithms.ssspWeighted(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.count(_._2 == 0L) === 1, "exactly one source at cost 0")
+    val maxW = 1000L / 2 + 1 // cheapest support floor c=2 → heaviest edge
+    rows.foreach { case (v, c) =>
+      assert(c <= 3 * maxW, s"vertex $v cost $c exceeds 3 heaviest hops")
+    }
+    // Bellman-Ford is deterministic: a second run agrees row for row
+    val again = Algorithms.ssspWeighted(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.toMap === again.toMap)
+  }
+
+  test("label_prop: labels only flow downhill (label <= part_id for seeds)") {
+    val rows = Algorithms.labelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, l) =>
+      assert(l % 10 === 0, s"label $l is not a seed id")
+      if (v % 10 == 0) assert(l <= v, s"seed $v adopted a larger label $l")
+    }
+  }
+
   test("skyline_parts: matches the NOT-EXISTS dominance spec") {
     val p = graft.core.Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_size"), col("p_retailprice")).collect()
