@@ -360,6 +360,48 @@ object TextAnalysis extends QueryModule {
        |FROM s GROUP BY doc_id""".stripMargin
   }
 
+  // ---- per-document keyword -----------------------------------------------
+  /** Each document's most DISTINGUISHING token — the tf·idf idea with no
+    * floats: rank a doc's terms by (tf DESC, df ASC, term ASC). The
+    * lexicographic triple is exactly the tf·idf ordering wherever tf·idf
+    * orders strictly, and (unlike log-based idf) is bit-identical across
+    * engines. Two hash aggregates (tf, df — both vocabulary-bounded) + one
+    * window partitioned by doc over that doc's ≤|vocab| distinct terms;
+    * the df side broadcasts.
+    */
+  def docKeyword(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = ex.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"))
+  }
+
+  private val docKeywordSql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(w) AS term
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*)::BIGINT AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM e) GROUP BY term
+       |)
+       |SELECT doc_id, term AS keyword, tf, df FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+       |  FROM tf JOIN df USING (term))
+       |WHERE rk = 1""".stripMargin
+  }
+
   // ---- PII redaction ------------------------------------------------------
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
@@ -629,6 +671,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     QueryDef("bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
+    QueryDef("doc_keyword", docKeyword, Some(docKeywordSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
