@@ -297,6 +297,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sssp/label_prop rounds are equi-joins; per-round frames materialized") {
+    val p1 = plan(Algorithms.ssspWeighted(spark, dir))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"sssp relaxation is not an equi-join:\n$p1")
+    // the returned frame is the materialized last round — an RDD scan, so
+    // the lineage (and failure-recovery cost) does not grow with rounds
+    assert(p1.contains("ExistingRDD") || p1.contains("Scan ExistingRDD"),
+      s"sssp rounds are not checkpoint-materialized:\n$p1")
+    val p2 = plan(Algorithms.labelProp(spark, dir))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"label_prop flood is not an equi-join:\n$p2")
+  }
+
+  test("bigram_surprisal: vocabulary-sized count tables broadcast, corpus never re-shuffles on them") {
+    val p = plan(TextAnalysis.bigramSurprisal(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"bigram_surprisal has a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"count tables did not broadcast back to the corpus side:\n$p")
+  }
+
+  test("doc_keyword: df side broadcasts; one window pass per doc") {
+    val p = plan(TextAnalysis.docKeyword(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df table did not broadcast:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1 && !p.contains("CartesianProduct"))
+  }
+
+  test("split_assign is a map-only scan + rollup: no join, no window") {
+    val p = plan(LlmPipeline.splitAssign(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"split_assign grew a join/window it does not need:\n$p")
+  }
+
   test("salted_join pin: fact side never broadcast; only the salt range cross-replicates") {
     val p = finalPlan(Extras.saltedJoin(spark, dir))
     assert(!p.contains("CartesianProduct"), s"salted_join has a cartesian:\n$p")
