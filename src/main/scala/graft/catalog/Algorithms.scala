@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bfs, HeavyHitters, LabelProp, Sssp}
+import graft.operators.{Bfs, HeavyHitters, KCore, LabelProp, Sssp}
 
 /** Distributed-algorithm queries: graph reach, sublinear heavy hitters,
   * Pareto frontier. Each has a plain-SQL oracle twin (recursive CTE /
@@ -267,9 +267,26 @@ object Algorithms extends QueryModule {
        |)
        |SELECT v AS part_id, min(label) AS label FROM walk GROUP BY v""".stripMargin
 
+  /** Bounded 2-core peeling ([[KCore.peel]], 3 rounds) over the same
+    * support-filtered graph; survivors with their peeled-graph degree. */
+  def kcoreGraph(spark: SparkSession, dir: String): DataFrame =
+    KCore.peel(weightedCoEdges(spark, dir).select(col("u"), col("v")),
+      k = 2, rounds = 3)
+
+  private val kcoreSql =
+    s"""WITH $coEdgesSql,
+       |k1 AS (SELECT u FROM (SELECT u, count(*) AS c FROM sed GROUP BY u) WHERE c >= 2),
+       |s1 AS (SELECT e.u, e.v FROM sed e JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u),
+       |k2 AS (SELECT u FROM (SELECT u, count(*) AS c FROM s1 GROUP BY u) WHERE c >= 2),
+       |s2 AS (SELECT e.u, e.v FROM s1 e JOIN k2 a ON e.u = a.u JOIN k2 b ON e.v = b.u),
+       |k3 AS (SELECT u FROM (SELECT u, count(*) AS c FROM s2 GROUP BY u) WHERE c >= 2),
+       |s3 AS (SELECT e.u, e.v FROM s2 e JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
+       |SELECT u AS part_id, count(*) AS degree FROM s3 GROUP BY u""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("sssp_weighted", ssspWeighted, Some(ssspSql)),
     QueryDef("label_prop", labelProp, Some(labelPropSql)),
+    QueryDef("kcore_graph", kcoreGraph, Some(kcoreSql)),
     QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),

@@ -140,6 +140,15 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("kcore_graph: every survivor keeps degree >= k in the peeled graph") {
+    val rows = Algorithms.kcoreGraph(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, d) =>
+      assert(d >= 2L, s"survivor $v has degree $d < k=2 after peeling")
+    }
+  }
+
   test("skyline_parts: matches the NOT-EXISTS dominance spec") {
     val p = graft.core.Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_size"), col("p_retailprice")).collect()
