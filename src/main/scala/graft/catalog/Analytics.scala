@@ -259,6 +259,45 @@ object Analytics extends QueryModule {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin
 
+  /** Forward as-of: each purchase's NEXT click at-or-after it (time-to-
+    * next-action analysis — the question funnels ask between stages).
+    * Engine: [[graft.operators.TemporalJoin.asOfJoinForward]] — the same
+    * one-shuffle tagged union with the window frame reversed. Right side
+    * pre-collapsed to min(event_id) per (user, ts) so the earliest-tie
+    * choice is engine-independent; oracle = DuckDB's native forward ASOF
+    * (`<=`), an independent merge implementation.
+    */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(min(col("event_id")).as("click_event_id"))
+      .withColumn("click_ts_us", col("ts_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    graft.operators.TemporalJoin
+      .asOfJoinForward(purchases, clicks, key = "user_id", time = "ts_us",
+        payload = Seq("click_event_id", "click_ts_us"),
+        leftTie = "event_id", rightTie = "click_event_id")
+      .withColumnRenamed("asof_click_event_id", "click_event_id")
+      .withColumnRenamed("asof_click_ts_us", "click_ts_us")
+      .withColumn("wait_us", col("click_ts_us") - col("ts_us"))
+  }
+
+  private val asofForwardSql =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, min(event_id) AS click_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  c.click_event_id, c.ts_us AS click_ts_us,
+      |  c.ts_us - p.ts_us AS wait_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us""".stripMargin
+
   /** Band (range) join: per error event, the count and value-sum of ALL
     * clicks — any user — within ±1 hour. Engine:
     * [[graft.operators.TemporalJoin.bandJoin]] — equi-join on an hour
@@ -835,6 +874,7 @@ object Analytics extends QueryModule {
     QueryDef("events_window_agg", eventsWindowAgg, Some(eventsWindowSql)),
     QueryDef("sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("asof_join", asofPurchaseClick, Some(asofSql)),
+    QueryDef("asof_forward", asofNextClick, Some(asofForwardSql)),
     QueryDef("range_join", rangeJoinNearby, Some(rangeJoinSql)),
     QueryDef("pivot_events", pivotEvents, Some(pivotEventsSql)),
     QueryDef("sliding_window_agg", slidingWindowAgg, Some(slidingWindowSql)),

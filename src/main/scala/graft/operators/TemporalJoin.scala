@@ -77,6 +77,45 @@ object TemporalJoin {
       .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Earliest-subsequent join — the FORWARD mirror of [[asOfJoin]]: for
+    * every left row, the earliest right row with the same `key` and
+    * `time` ≥ the left row's `time` (equal time matches — ASOF `<=`
+    * contract). Same single-shuffle tagged-union design with the window
+    * frame reversed: `first(_, ignoreNulls)` over [current row, unbounded
+    * FOLLOWING], left rows sorting before right rows at equal time so an
+    * exactly-simultaneous right row is inside the left row's frame. Same
+    * uniqueness contract: `right` unique per (key, time).
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String],
+      leftTie: String,
+      rightTie: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedRight = right.select(
+      Seq(col(key), col(time), lit(1).as("side"), col(rightTie).as("tie")) ++
+        payload.map(c => col(c).as(s"asof_$c")) ++
+        leftCols.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(time), lit(0).as("side"), col(leftTie).as("tie")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("side"), col("tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    taggedRight.unionByName(taggedLeft)
+      .select((Seq(col(key), col(time), col("side")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        payload.map(c => first(col(s"asof_$c"), ignoreNulls = true).over(w)
+          .as(s"asof_$c"))): _*)
+      .where(col("side") === 0)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Bucketized band join: all (left, right) pairs with
     * |left.time − right.time| ≤ `radius`, produced as an equi-join on
     * `time div radius` with the left side exploded to its 3 candidate

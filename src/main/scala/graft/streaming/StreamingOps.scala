@@ -170,6 +170,24 @@ object StreamingOps {
           .otherwise("unique").as("verdict"))
   }
 
+  /** Streaming routed sink — the streaming twin of the batch
+    * MultipleOutputFormat routing (`MultiSink.writeRouted`): every
+    * micro-batch lands in `path` partitioned by `routeCol`
+    * (`<path>/<routeCol>=<value>/...`), via foreachBatch + the ordinary
+    * batch parquet writer, so the routing inherits the batch path's
+    * atomicity per micro-batch and any reader sees a normal Hive-layout
+    * table. Exactly-once within a restart epoch comes from the checkpoint:
+    * a replayed batch overwrites into the same batch-scoped file names.
+    */
+  def routeStream(df: DataFrame, routeCol: String, path: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy(routeCol).parquet(path); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   final case class EwmaEv(user_id: Long, ts_us: Long, cv: Long)
   final case class EwmaState(ewma: Long, n: Long)
   final case class EwmaOut(user_id: Long, n_events: Long, ewma_cents: Long)

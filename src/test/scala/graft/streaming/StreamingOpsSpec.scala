@@ -255,6 +255,25 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("routeStream lands each micro-batch in per-route Hive directories") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft-route-").toString + "/t"
+    val q = StreamingOps.routeStream(
+      in.toDF().toDF("id", "split"), "split", out, freshCheckpoint("route"))
+    try {
+      in.addData((1L, "train"), (2L, "val"))
+      q.processAllAvailable()
+      in.addData((3L, "train"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back === Map(1L -> "train", 2L -> "val", 3L -> "train"))
+      assert(Files.exists(java.nio.file.Paths.get(out, "split=train")))
+      assert(Files.exists(java.nio.file.Paths.get(out, "split=val")))
+    } finally q.stop()
+  }
+
   test("ewmaStream carries integer EWMA state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.EwmaEv
