@@ -767,7 +767,8 @@ object Analytics extends QueryModule {
       .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
 
   private val propsJsonSql =
-    """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+    """SELECT event_type,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

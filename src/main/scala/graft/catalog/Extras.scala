@@ -198,7 +198,7 @@ object Extras extends QueryModule {
     """SELECT o_custkey AS custkey, count(*) AS n_orders,
       |  round(sum(o_totalprice), 2) AS spend,
       |  count(*) AS n_keys, min(o_orderkey) AS first_key,
-      |  nullif(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_open
+      |  nullif(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_open
       |FROM orders GROUP BY o_custkey""".stripMargin
 
   // ---- skew mitigation: salting -------------------------------------------

@@ -469,7 +469,7 @@ object IoCatalog extends QueryModule {
 
   private val jsonRoundtripSql =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---- small-file compaction ----------------------------------------------
@@ -501,7 +501,8 @@ object IoCatalog extends QueryModule {
   }
 
   private val compactFilesSql =
-    """SELECT source, count(*) AS docs, sum(n_chars) AS chars
+    """SELECT source, count(*) AS docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY source""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(

@@ -856,7 +856,8 @@ object LlmPipeline extends QueryModule {
       |    max(CASE WHEN rn = (n * 25 + 99) // 100 THEN n_chars END) AS lo,
       |    max(CASE WHEN rn = (n * 75 + 99) // 100 THEN n_chars END) AS hi
       |  FROM ranked GROUP BY lang)
-      |SELECT d.lang, count(*) AS kept, sum(d.n_chars) AS total_chars
+      |SELECT d.lang, count(*) AS kept,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
       |FROM documents d JOIN b USING (lang)
       |WHERE d.n_chars BETWEEN b.lo AND b.hi
       |GROUP BY d.lang""".stripMargin

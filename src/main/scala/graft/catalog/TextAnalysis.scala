@@ -626,9 +626,10 @@ object TextAnalysis extends QueryModule {
        |    CASE WHEN n <= 32 THEN 1
        |         ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
        |  FROM t)
-       |SELECT source, count(*) AS docs, sum(n) AS tokens,
-       |  sum(n_chunks) AS chunks,
-       |  sum(32 + (n_chunks - 1) * 24 - n) AS pad_tokens
+       |SELECT source, count(*) AS docs,
+       |  CAST(sum(n) AS BIGINT) AS tokens,
+       |  CAST(sum(n_chunks) AS BIGINT) AS chunks,
+       |  CAST(sum(32 + (n_chunks - 1) * 24 - n) AS BIGINT) AS pad_tokens
        |FROM c GROUP BY source""".stripMargin
 
   // ---- corpus-wide bigram statistics --------------------------------------
