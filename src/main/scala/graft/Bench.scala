@@ -111,6 +111,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // iterative operators dump each round's executed plan alongside the
+    // query-level captures, so plandigest sees loop bodies too
+    spark.conf.set(graft.core.PlanTrace.DirKey, "target/plans")
     // JVM/codegen warmup on the smallest corpus so measured times reflect
     // steady-state execution, not first-query classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

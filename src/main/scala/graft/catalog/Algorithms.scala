@@ -25,13 +25,20 @@ object Algorithms extends QueryModule {
     */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    // pair build as ONE key shuffle: collect each order's part set (order
+    // size ~7, so arrays are tiny and map-side combine bites), explode the
+    // ordered pairs in-stage, dedup once. Both directions are emitted here
+    // so the operator skips its own symmetrize pass — vs the former
+    // self-join this halves the shuffled volume (no second sort side, no
+    // second distinct)
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
-    Bfs.hopsFrom(edges, src = 1L, maxHops = 3)
+    Bfs.hopsFrom(edges, src = 1L, maxHops = 3, trace = Some("bfs_hops"),
+      symmetrized = true)
   }
 
   private val bfsSql =

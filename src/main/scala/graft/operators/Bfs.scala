@@ -4,51 +4,82 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.Materialize
+import graft.core.{Materialize, PlanTrace}
 
 /** Bounded-depth breadth-first search: minimum hop distance from a source
-  * vertex over an undirected edge set, as iterative frontier expansion.
+  * vertex over an undirected edge set, as iterative DELTA-frontier
+  * expansion.
   *
-  * Per round: one equi-join (frontier ⋈ edges on the source endpoint) and
-  * one min-aggregate — both key-shuffles, no cartesian, no driver-side
-  * graph. The frontier only ever holds NEWLY discovered vertices (distance
-  * == round), so the join probe side shrinks as the search saturates;
-  * edges are cached once and reused every round. Distances are folded with
-  * `min`, so re-discovering a vertex later never overwrites a shorter
-  * path. Lineage is truncated per round via [[Materialize]] (local
-  * checkpoint in tests, reliable dir on a cluster) — the standard guard
-  * against O(rounds²) re-execution in iterative Spark jobs.
+  * Per round: join the (small, materialized) frontier against the cached
+  * edge set, collapse path multiplicity with a `distinct` BEFORE anything
+  * else sees it — on a dense graph the hop-3 path count is ~100× the
+  * vertex count, and collapsing early keeps that explosion inside one
+  * map-side partial aggregate — then anti-join against the vertices
+  * already reached to extract only the NEWLY discovered ones. Because BFS
+  * discovers every vertex first at its minimum depth, tagging the delta
+  * with the round number IS the min-aggregate; no re-aggregation of the
+  * full distance table ever happens.
+  *
+  * Scale shape: only the O(|frontier delta|) rows are checkpointed per
+  * round ([[Materialize]] — local in tests, reliable dir on a cluster),
+  * never the O(|V|) running distance table; the result is the lazy union
+  * of the per-round materialized deltas. Edges are symmetrized once,
+  * hash-partitioned on the probe key and cached, so no round re-shuffles
+  * them — a small frontier side broadcasts under AQE instead.
   *
   * The reference expresses this exact pattern as one MapReduce job PER
-  * ROUND with the distance table re-read from HDFS each time (the classic
-  * "iterative MR" tax its DAG framework cannot avoid; cf. JobControl
-  * chaining, reference src/mapred/org/apache/hadoop/mapred/jobcontrol/).
+  * ROUND with the FULL distance table re-read from and re-written to HDFS
+  * each time (the classic "iterative MR" tax its DAG framework cannot
+  * avoid; cf. JobControl chaining, reference
+  * src/mapred/org/apache/hadoop/mapred/jobcontrol/) — the delta-only
+  * checkpoint is precisely what that model cannot express.
   */
 object Bfs {
 
   /** @param edges  two BIGINT columns `u`, `v`; treated as undirected.
+    * @param trace  optional query label for per-round plan capture
+    *               ([[PlanTrace]]; files `<trace>_round<k>.txt`).
+    * @param symmetrized  set when `edges` already holds BOTH directions of
+    *               every undirected edge, deduplicated — skips the
+    *               internal symmetrize + distinct (one full edge shuffle).
     * @return `part_id`, `hops` for every vertex within `maxHops` of `src`.
     */
-  def hopsFrom(edges: DataFrame, src: Long, maxHops: Int): DataFrame = {
+  def hopsFrom(edges: DataFrame, src: Long, maxHops: Int,
+               trace: Option[String] = None,
+               symmetrized: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // symmetrize once; cached — every round probes this same build side
-    val e = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetrize once (unless the caller already did); cached — every
+    // round probes this same build side. No pre-partitioning: the
+    // frontier side is orders of magnitude smaller, so AQE turns each
+    // round's join into a broadcast of the frontier over the cached edge
+    // partitions in place
+    val sym =
+      if (symmetrized) edges.select(col("u"), col("v"))
+      else edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+    val e = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
-    var dist = Seq((src, 0)).toDF("part_id", "hops")
-    var frontier = dist
+    var frontier = Materialize(Seq((src, 0)).toDF("part_id", "hops"))
+    var dist = frontier
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    var frontierSize = 1L
+    while (h < maxHops && frontierSize > 0) {
       h += 1
-      val next = frontier.join(e, col("part_id") === col("u"))
-        .select(col("v").as("part_id"), lit(h).as("hops"))
-      dist = Materialize(
-        dist.union(next).groupBy("part_id").agg(min("hops").as("hops")))
-      frontier = dist.where(col("hops") === h)
+      // neighbors of the frontier, path multiplicity collapsed map-side
+      val cand = frontier.join(e, col("part_id") === col("u"))
+        .select(col("v").as("part_id"))
+        .distinct()
+      // delta = candidates not reached in ANY earlier round; first
+      // discovery is at minimum depth, so hops := h needs no min()
+      val newF = cand.join(dist, Seq("part_id"), "left_anti")
+        .select(col("part_id"), lit(h).as("hops"))
+      frontier = Materialize(newF)
+      trace.foreach(t => PlanTrace.capture(newF, s"${t}_round$h"))
+      frontierSize = frontier.count()
+      dist = dist.union(frontier)
     }
     e.unpersist()
     dist
