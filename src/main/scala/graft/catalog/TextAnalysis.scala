@@ -313,9 +313,12 @@ object TextAnalysis extends QueryModule {
     * (len∘bin), so both engines sum identical integers. C(w₁) is counted
     * over bigram-FIRST positions (each doc's last token excluded), which
     * keeps C(w₁) = Σ_w₂ C(w₁w₂) — a proper conditional. The count tables
-    * are vocabulary-sized (vocab and vocab² entries, never corpus-sized),
-    * so they broadcast; the corpus-side pass is one positional explode +
-    * one per-doc aggregate.
+    * are vocabulary-sized (vocab and bigram-type entries, never
+    * corpus-sized) — but bigram TYPES on a web-scale corpus still run to
+    * billions of rows, so neither table carries a broadcast hint: both
+    * joins are plain equi-joins and AQE promotes a side to broadcast only
+    * when its measured size genuinely fits. The corpus-side pass is one
+    * positional explode + one per-doc aggregate.
     */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val pairs = transform(sequence(lit(1), size(col("w")) - 1),
@@ -329,7 +332,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("p.w1"), col("p.bg"))
     val uc = ex.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val bc = ex.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    ex.join(broadcast(bc), "bg").join(broadcast(uc), "w1")
+    ex.join(bc, "bg").join(uc, "w1")
       .select(col("doc_id"),
         (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("bits"))
       .groupBy(col("doc_id"))
