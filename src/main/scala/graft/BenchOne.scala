@@ -4,26 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 import graft.core.GraftSession
 
-/** Dev-loop timing for a single headline query: `runMain graft.BenchOne
-  * <sfDir> <query> [attempts]`. Same noop-sink materialization as
-  * [[Bench]] (so nothing is pruned), prints each attempt's seconds —
-  * iterate on one operator without paying for the full suite.
+/** Dev-loop timing for a few headline queries: `runMain graft.BenchOne
+  * <sfDir> <query>[,<query>...] [attempts]`. Same noop-sink
+  * materialization as [[Bench]] (so nothing is pruned), prints each
+  * attempt's seconds — iterate on one operator without paying for the
+  * full suite.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args(1).split(',').toSeq
     val attempts = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set(graft.core.PlanTrace.DirKey, "target/plans")
-    val fn = SparkEntry.headlines(name)
-    (1 to attempts).foreach { i =>
-      System.gc()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name attempt $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    names.foreach { name =>
+      val fn = SparkEntry.headlines(name)
+      (1 to attempts).foreach { i =>
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[benchone] $name attempt $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

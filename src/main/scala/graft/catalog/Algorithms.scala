@@ -214,17 +214,20 @@ object Algorithms extends QueryModule {
     * sf0.1 — which is both the right graph semantically and what keeps the
     * oracle's bounded recursive CTE enumerable.
     */
-  private def weightedCoEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2)
-      .select(col("u"), col("v"), expr("1000 div c + 1").as("w"))
-  }
+  private def weightedCoEdges(spark: SparkSession, dir: String): DataFrame =
+    // memoized ([[graft.core.Shared]]): sssp_weighted, label_prop and
+    // kcore_graph all iterate over this same support-filtered graph
+    graft.core.Shared.memo(spark, "weighted_co_edges", dir) {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+        .select(col("u"), col("v"), expr("1000 div c + 1").as("w"))
+    }
 
   private val coEdgesSql =
     """ed AS (
@@ -240,7 +243,8 @@ object Algorithms extends QueryModule {
   /** Bounded synchronous Bellman-Ford ([[Sssp.relax]]) from the smallest
     * vertex in the support-filtered co-purchase graph. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame =
-    Sssp.relax(weightedCoEdges(spark, dir), rounds = 3)
+    Sssp.relax(weightedCoEdges(spark, dir), rounds = 3,
+      trace = Some("sssp_weighted"))
 
   private val ssspSql =
     s"""WITH RECURSIVE $coEdgesSql,
@@ -258,7 +262,7 @@ object Algorithms extends QueryModule {
     * seeds its own id; 3 rounds over the same support-filtered graph. */
   def labelProp(spark: SparkSession, dir: String): DataFrame =
     LabelProp.minLabel(weightedCoEdges(spark, dir).select(col("u"), col("v")),
-      seedMod = 10L, rounds = 3)
+      seedMod = 10L, rounds = 3, trace = Some("label_prop"))
 
   private val labelPropSql =
     s"""WITH RECURSIVE $coEdgesSql,
@@ -278,7 +282,7 @@ object Algorithms extends QueryModule {
     * support-filtered graph; survivors with their peeled-graph degree. */
   def kcoreGraph(spark: SparkSession, dir: String): DataFrame =
     KCore.peel(weightedCoEdges(spark, dir).select(col("u"), col("v")),
-      k = 2, rounds = 3)
+      k = 2, rounds = 3, trace = Some("kcore_graph"))
 
   private val kcoreSql =
     s"""WITH $coEdgesSql,

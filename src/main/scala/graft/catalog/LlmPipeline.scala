@@ -551,8 +551,12 @@ object LlmPipeline extends QueryModule {
     * sampling the way [[stratifiedSample]] feeds per-source sampling.
     */
   def kmeansCluster(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.KMeans.cluster(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    // memoized: cluster_sample and semantic_dedup re-consume the same
+    // assignment instead of re-running Lloyd's iterations
+    graft.core.Shared.memo(spark, "kmeans_assignment", dir) {
+      graft.operators.KMeans.cluster(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    }
 
   private val kmeansClusterSql =
     graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding",
@@ -758,21 +762,40 @@ object LlmPipeline extends QueryModule {
     * because both the owner aggregate and the join-back consume it —
     * unmaterialized, Catalyst re-explodes the corpus on each side.
     */
-  private def shingleStarEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ex = graft.core.Materialize(MinHashLsh.explodeShingles(
-        Tables.documents(spark, dir), "doc_id", "text", ClusterN)
-      .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs")))
-    val owners = ex.groupBy("hs").agg(min(col("id")).as("owner"))
-    ex.join(owners, "hs")
-      .filter(col("id") =!= col("owner"))
-      .select(col("id").as("src"), col("owner").as("dst")).distinct()
-  }
+  private def shingleStarEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "shingle_star_edges", dir) {
+      val ex = graft.core.Materialize(MinHashLsh.explodeShingles(
+          Tables.documents(spark, dir), "doc_id", "text", ClusterN)
+        .select(col("id"), graft.functions.PortableHash.h48(col("shingle")).as("hs")))
+      val owners = ex.groupBy("hs").agg(min(col("id")).as("owner"))
+      ex.join(owners, "hs")
+        .filter(col("id") =!= col("owner"))
+        .select(col("id").as("src"), col("owner").as("dst")).distinct()
+    }
+
+  /** Symmetrized near-dup graph — shared by [[pagerank]] and
+    * [[triangleCount]] via the [[graft.core.Shared]] memo. */
+  private def shingleStarSym(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "shingle_star_sym", dir) {
+      val edges = shingleStarEdges(spark, dir)
+      edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+
+  /** Component assignment (doc_id, component) of the shingle-star graph —
+    * built once per process ([[graft.core.Shared]]); [[dedupCluster]],
+    * [[dedupKeepBest]] and any other cluster consumer read the same
+    * materialized frame instead of re-running the CC fixpoint. */
+  private def componentFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "dedup_components", dir) {
+      graft.operators.ConnectedComponents.run(
+        Tables.documents(spark, dir).select(col("doc_id").as("id")),
+        shingleStarEdges(spark, dir),
+        trace = Some("dedup_cluster"))
+    }
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val edges = shingleStarEdges(spark, dir)
-    val comp = graft.operators.ConnectedComponents.run(
-      docs.select(col("doc_id").as("id")), edges)
+    val comp = componentFrame(spark, dir)
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
@@ -910,15 +933,11 @@ object LlmPipeline extends QueryModule {
     * "canonical" documents of each near-dup neighborhood (the doc sharing
     * material with the most others ranks highest).
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = shingleStarEdges(spark, dir)
-    val sym = edges.union(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
     graft.operators.PageRank.run(
       Tables.documents(spark, dir).select(col("doc_id").as("id")),
-      sym, PrIters)
+      shingleStarSym(spark, dir), PrIters, trace = Some("pagerank"))
       .select(col("id").as("doc_id"), col("rank"))
-  }
 
   private val pagerankSql = {
     val scale = graft.operators.PageRank.Scale
@@ -950,13 +969,9 @@ object LlmPipeline extends QueryModule {
     * "member of a mutually-similar clique" — the signal that grades how
     * cohesive a near-dup neighborhood is.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val edges = shingleStarEdges(spark, dir)
-    val sym = edges.union(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    graft.operators.TriangleCount.perNode(sym)
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TriangleCount.perNode(shingleStarSym(spark, dir))
       .select(col("id").as("doc_id"), col("n_triangles"))
-  }
 
   // The oracle enumerates by plain id order (a<b<c) — a DIFFERENT
   // enumeration than the engine's degree order, same triangle set.

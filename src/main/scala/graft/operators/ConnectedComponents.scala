@@ -43,7 +43,8 @@ object ConnectedComponents {
     *              direction suffices; orientation is normalized internally)
     * @return frame (`id`, `component`) — component = min node id reachable
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+          trace: Option[String] = None): DataFrame = {
     // normalize to directed (hi → lo), drop self-loops and duplicates
     var e = graft.core.Materialize(edges
       .select(greatest(col("src"), col("dst")).as("hi"),
@@ -72,7 +73,10 @@ object ConnectedComponents {
       // subtree REPLANNED per branch (no cross-branch CSE in Catalyst) —
       // stacking two rounds before the checkpoint re-executed round 1 up
       // to 4× and measured ~50% slower at sf0.1
-      val next = graft.core.Materialize(starRound(e))
+      val round = starRound(e)
+      val next = graft.core.Materialize(round)
+      trace.foreach(t =>
+        graft.core.PlanTrace.capture(round, s"${t}_round${iter + 1}"))
       val (nextCnt, nextSig) = signature(next)
       // fixpoint: star edges reproduce themselves
       converged = nextCnt == cnt && nextSig == sig

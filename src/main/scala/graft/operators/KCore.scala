@@ -22,16 +22,18 @@ object KCore {
     * @return (part_id, degree) of vertices surviving `rounds` peels at
     *         threshold `k`, with their degree in the peeled graph.
     */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edges: DataFrame, k: Int, rounds: Int,
+           trace: Option[String] = None): DataFrame = {
     var e = Materialize(
       edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v"))))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("u").as("kv"))
-      e = Materialize(
-        e.join(keep, col("u") === col("kv")).select(col("u"), col("v"))
-          .join(keep, col("v") === col("kv")).select(col("u"), col("v")))
+      val round = e.join(keep, col("u") === col("kv")).select(col("u"), col("v"))
+        .join(keep, col("v") === col("kv")).select(col("u"), col("v"))
+      e = Materialize(round)
+      trace.foreach(t => graft.core.PlanTrace.capture(round, s"${t}_round$i"))
     }
     e.groupBy(col("u").as("part_id")).agg(count(lit(1)).as("degree"))
   }

@@ -23,7 +23,8 @@ object LabelProp {
   /** @param edges  columns `u`, `v` (BIGINT); treated as undirected.
     * @param seedMod vertices with id % seedMod == 0 are seeds.
     */
-  def minLabel(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
+  def minLabel(edges: DataFrame, seedMod: Long, rounds: Int,
+               trace: Option[String] = None): DataFrame = {
     val e = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -31,11 +32,12 @@ object LabelProp {
     var labels = e.select(col("u").as("part_id")).distinct()
       .where(col("part_id") % seedMod === 0)
       .select(col("part_id"), col("part_id").as("label"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val prop = labels.join(e, col("part_id") === col("u"))
         .select(col("v").as("part_id"), col("label"))
-      labels = Materialize(
-        labels.union(prop).groupBy("part_id").agg(min("label").as("label")))
+      val round = labels.union(prop).groupBy("part_id").agg(min("label").as("label"))
+      labels = Materialize(round)
+      trace.foreach(t => graft.core.PlanTrace.capture(round, s"${t}_round$i"))
     }
     e.unpersist()
     labels

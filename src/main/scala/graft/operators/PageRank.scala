@@ -40,21 +40,24 @@ object PageRank {
     *              undirected graph
     * @return (id, rank) after `iters` rounds, rank at [[Scale]]
     */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+          trace: Option[String] = None): DataFrame = {
     val base = (DampDen - DampNum) * Scale / DampDen
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = graft.core.Materialize(edges.join(deg, "src"))
     var r = graft.core.Materialize(
       nodes.select(col("id"), lit(Scale).as("rank")))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = e.join(r, e("src") === r("id"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = graft.core.Materialize(
-        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-          .select(nodes("id"),
-            (lit(base) + expr(s"(coalesce(s, cast(0 as bigint)) * $DampNum) div $DampDen"))
-              .as("rank")))
+      val round = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(base) + expr(s"(coalesce(s, cast(0 as bigint)) * $DampNum) div $DampDen"))
+            .as("rank"))
+      r = graft.core.Materialize(round)
+      trace.foreach(t =>
+        graft.core.PlanTrace.capture(round, s"${t}_round${i + 1}"))
     }
     r
   }

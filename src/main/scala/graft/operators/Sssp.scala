@@ -26,7 +26,8 @@ object Sssp {
     *         engine-independent source that lands in the graph's dense
     *         region at every SF; the collect is ONE scalar row.
     */
-  def relax(edges: DataFrame, rounds: Int): DataFrame = {
+  def relax(edges: DataFrame, rounds: Int,
+            trace: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -37,11 +38,12 @@ object Sssp {
       .orderBy(col("deg").desc, col("u")).head().getLong(0)
 
     var dist = Seq((src, 0L)).toDF("part_id", "cost")
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val next = dist.join(e, col("part_id") === col("u"))
         .select(col("v").as("part_id"), (col("cost") + col("w")).as("cost"))
-      dist = Materialize(
-        dist.union(next).groupBy("part_id").agg(min("cost").as("cost")))
+      val round = dist.union(next).groupBy("part_id").agg(min("cost").as("cost"))
+      dist = Materialize(round)
+      trace.foreach(t => graft.core.PlanTrace.capture(round, s"${t}_round$i"))
     }
     e.unpersist()
     dist
