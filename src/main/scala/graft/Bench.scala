@@ -185,8 +185,14 @@ object Bench {
       graft.streaming.StreamingBench.run(spark)
         .map { case (n, v) => n -> f"$v%.0f" })
 
+    // disclose which queries got the per-query warm-first conditioning
+    // (untimed runs + GC immediately before their timed attempts) so
+    // cross-query and round-over-round comparisons can account for the
+    // asymmetric protocol
+    val warmFirstJson =
+      warmFirst.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"warm_first":$warmFirstJson,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
     // Short summary: everything the driver must ingest, no per-query map,
     // always < ~300 bytes so a stdout tail capture cannot truncate it.
     val shortLine = jsonMap(Seq(

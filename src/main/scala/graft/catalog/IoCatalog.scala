@@ -58,6 +58,71 @@ object IoCatalog extends QueryModule {
   private val seqfileRoundtripSql =
     "SELECT doc_id, len(text) AS n_chars FROM documents"
 
+  // ---- SequenceFile.Sorter analog (io/SequenceFile.java:2211) -------------
+  /** Deliberately key-shuffled (UNSORTED) sequence files in →
+    * [[graft.sources.SeqFileSorter]] sort/merge → read the output back in
+    * PHYSICAL on-disk order with global positions stamped. The oracle's
+    * `row_number() OVER (ORDER BY key)` matches only if the bytes on disk
+    * are globally sorted — rank, key and value all hash-compared. Keys are
+    * the UNIQUE o_orderkey (the Sorter's merge order among equal keys is
+    * unspecified, so a tied key would make the rank nondeterministic).
+    */
+  def seqfileSort(spark: SparkSession, dir: String): DataFrame = {
+    val in = Scratch.dir("seqfile_sort_in", dir)
+    val out = Scratch.dir("seqfile_sort", dir)
+    SequenceFileIO.write(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("key"),
+          concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("value"))
+        .repartition(8),
+      in)
+    graft.sources.SeqFileSorter.sort(spark, in, out)
+    graft.sources.SeqFileSorter.readOrdered(spark, out)
+  }
+
+  private val seqfileSortSql =
+    """SELECT CAST(row_number() OVER (ORDER BY key) AS BIGINT) AS rn, key, value
+      |FROM (SELECT o_orderkey AS key,
+      |             o_orderstatus || '|' || o_orderpriority AS value FROM orders)""".stripMargin
+
+  // ---- SetFile round trip (io/SetFile.java:27) -----------------------------
+  /** High-quantity part keys → on-disk SetFile parts (sorted key set) →
+    * distributed read-back. Membership `Reader.seek` probes are pinned in
+    * IoSpec; the oracle recomputes the set from parquet.
+    */
+  def setfileRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("setfile_roundtrip", dir)
+    graft.sources.SetArrayFileIO.writeSet(
+      Tables.lineitem(spark, dir).where(col("l_quantity") >= 45)
+        .select(col("l_partkey")), path)
+    graft.sources.SetArrayFileIO.readSet(spark, path, "part_id")
+  }
+
+  private val setfileRoundtripSql =
+    "SELECT DISTINCT l_partkey AS part_id FROM lineitem WHERE l_quantity >= 45"
+
+  // ---- ArrayFile positional lookup (io/ArrayFile.java:29) ------------------
+  /** Part names in p_partkey order → one on-disk ArrayFile (dense 0..n-1
+    * keys) → positional `Reader.get(n)` on every 97th index. The oracle
+    * derives the same positions with row_number, so a single off-by-one in
+    * the writer's key stamping or the reader's seek is a red row.
+    */
+  def arrayfileLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = Scratch.dir("arrayfile_lookup", dir) + "/parts.array"
+    graft.sources.SetArrayFileIO.writeArray(
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
+      "p_partkey", "p_name", path)
+    val n = Tables.part(spark, dir).count()
+    graft.sources.SetArrayFileIO.getArray(spark, path, 0L.until(n, 97L))
+      .toDF("idx", "p_name")
+  }
+
+  private val arrayfileLookupSql =
+    """WITH t AS (SELECT CAST(row_number() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS idx,
+      |                  p_name FROM part)
+      |SELECT idx, p_name FROM t WHERE idx % 97 = 0""".stripMargin
+
   // ---- partitioned layout + partition pruning -----------------------------
   /** Hive-style partitioned parquet layout (`partitionBy(day_bucket)`) and
     * the read that justifies it: a day-range filter that must resolve at
@@ -512,6 +577,9 @@ object IoCatalog extends QueryModule {
     QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
+    QueryDef("seqfile_sort", seqfileSort, Some(seqfileSortSql)),
+    QueryDef("setfile_roundtrip", setfileRoundtrip, Some(setfileRoundtripSql)),
+    QueryDef("arrayfile_lookup", arrayfileLookup, Some(arrayfileLookupSql)),
     QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),
     QueryDef("partition_prune", partitionPrune, Some(partitionPruneSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),

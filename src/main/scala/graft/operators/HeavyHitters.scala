@@ -33,10 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Misra-Gries survivors for one partition: at most k keys. */
-  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+  /** Misra-Gries survivors for one partition (at most k keys), plus the
+    * partition's row count — emitted in-band as one `(null, n)` sentinel
+    * row (survivors carry n = -1), so the global N needs no separate scan.
+    */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
     val counters = mutable.HashMap.empty[String, Long]
+    var n = 0L
     it.foreach { x =>
+      n += 1L
       if (counters.contains(x)) counters(x) += 1L
       else if (counters.size < k) counters(x) = 1L
       else {
@@ -47,7 +52,7 @@ object HeavyHitters {
         dead.foreach(counters.remove)
       }
     }
-    counters.keysIterator
+    counters.keysIterator.map(_ -> -1L) ++ Iterator((null: String) -> n)
   }
 
   /** @param words single STRING column `word`
@@ -60,11 +65,14 @@ object HeavyHitters {
     import spark.implicits._
 
     val ws: Dataset[String] = words.select(col("word")).as[String]
-    val candidates = ws
-      .mapPartitions(it => misraGries(it, k))
-      .toDF("word").distinct()
-
-    val total = ws.count()
+    // one candidate pass yields BOTH the survivor superset and N:
+    // materialized (≤ (k+1)·partitions rows) so its two consumers don't
+    // re-scan the input
+    val pass1 = graft.core.Materialize(
+      ws.mapPartitions(it => misraGries(it, k)).toDF("word", "n"))
+    val candidates = pass1.where(col("n") === -1L).select("word").distinct()
+    val total = pass1.where(col("word").isNull)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     words.join(broadcast(candidates), "word")
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))

@@ -35,7 +35,7 @@ object StreamingBench {
     * fixed-workload attempts is the stable steady-state signal.
     */
   def run(spark: SparkSession): Seq[(String, Double)] = Seq(
-    "windowed_agg_rows_per_sec" -> best2(measure(spark, batches = 4) { s =>
+    "windowed_agg_rows_per_sec" -> best2(measure(spark, batches = 6) { s =>
       val src = rateSource(s, rowsPerBatch = 2000000L)
         .select(col("timestamp").as("ts"),
           (col("value") % 64).cast("string").as("event_type"),
@@ -44,7 +44,7 @@ object StreamingBench {
     }),
     // numInputRows counts BOTH sides, so rows/sec here is total ingested
     // rows across the two streams
-    "stream_stream_join_rows_per_sec" -> best2(measure(spark, batches = 4) { s =>
+    "stream_stream_join_rows_per_sec" -> best2(measure(spark, batches = 6) { s =>
       val l = rateSource(s, rowsPerBatch = 250000L)
         .select(col("value").as("k"), col("timestamp").as("lts"))
       val r = rateSource(s, rowsPerBatch = 250000L)
@@ -66,8 +66,15 @@ object StreamingBench {
       .load()
 
   /** Start the query on a noop sink, let it run `batches` steady-state
-    * triggers past the first (warmup) one, and report
-    * Σ inputRows / Σ triggerExecution time.
+    * triggers past the first (warmup) one, and report the MEDIAN
+    * per-batch rows / triggerExecution throughput.
+    *
+    * Median, not Σrows/Σtime: the workload per batch is fixed
+    * (rate-micro-batch), so every steady batch measures the same work and
+    * the only spread is environment noise — one GC- or
+    * compilation-stalled batch used to drag the summed ratio by ±2×
+    * round-over-round. The median of 6 fixed-work batches is robust to
+    * any 2 stalled outliers, which pins the probe to engine throughput.
     */
   private def measure(spark: SparkSession, batches: Int)(
       build: SparkSession => DataFrame): Double = {
@@ -84,9 +91,11 @@ object StreamingBench {
       q.awaitTermination()
       val ps = q.recentProgress.filter(_.numInputRows > 0)
         .drop(1).take(batches) // drop the cold first batch
-      val rows = ps.map(_.numInputRows).sum
-      val secs = ps.map(_.durationMs.get("triggerExecution").toDouble / 1000).sum
-      if (ps.isEmpty || secs <= 0) -1.0 else rows / secs
+      val perBatch = ps.toSeq.flatMap { p =>
+        val s = p.durationMs.get("triggerExecution").toDouble / 1000
+        if (s > 0) Some(p.numInputRows / s) else None
+      }.sorted
+      if (perBatch.isEmpty) -1.0 else perBatch(perBatch.size / 2)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")

@@ -173,20 +173,40 @@ object StreamingOps {
   /** Streaming routed sink — the streaming twin of the batch
     * MultipleOutputFormat routing (`MultiSink.writeRouted`): every
     * micro-batch lands in `path` partitioned by `routeCol`
-    * (`<path>/<routeCol>=<value>/...`), via foreachBatch + the ordinary
-    * batch parquet writer, so the routing inherits the batch path's
-    * atomicity per micro-batch and any reader sees a normal Hive-layout
-    * table. Exactly-once within a restart epoch comes from the checkpoint:
-    * a replayed batch overwrites into the same batch-scoped file names.
+    * (`<path>/<routeCol>=<value>/batch_id=<id>/...`), via foreachBatch +
+    * the ordinary batch parquet writer, so any reader sees a normal
+    * Hive-layout table with the route as its leading partition column.
+    *
+    * foreachBatch is at-least-once: after a crash the checkpoint replays
+    * the last uncommitted micro-batch, so the per-batch write must be
+    * idempotent or the replay duplicates rows. It is made idempotent by
+    * scoping every write to its batch id — each batch dynamic-overwrites
+    * exactly the `(route, batch_id)` partitions it owns ([[routeBatch]]),
+    * so a replay replaces its own earlier partial output file-for-file and
+    * never touches other batches' partitions. Net semantics: exactly-once
+    * in the table a reader observes.
     */
   def routeStream(df: DataFrame, routeCol: String, path: String,
                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").partitionBy(routeCol).parquet(path); ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        routeBatch(batch, batchId, routeCol, path)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** One micro-batch of [[routeStream]]'s sink: dynamic-overwrite the
+    * `(routeCol, batch_id)` partitions this batch id owns. Exposed so the
+    * replay-idempotency contract is directly testable (run it twice with
+    * the same id → one copy of the rows).
+    */
+  def routeBatch(batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+                 routeCol: String, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(routeCol, "batch_id")
+      .parquet(path)
 
   final case class EwmaEv(user_id: Long, ts_us: Long, cv: Long)
   final case class EwmaState(ewma: Long, n: Long)

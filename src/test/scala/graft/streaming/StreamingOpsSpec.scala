@@ -274,6 +274,23 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("routeBatch replay with the same batch id is idempotent") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-route-replay-").toString + "/t"
+    val b0 = Seq((1L, "train"), (2L, "val")).toDF("id", "split")
+    StreamingOps.routeBatch(b0, 0L, "split", out)
+    // crash-replay of batch 0 (foreachBatch is at-least-once): the second
+    // write must REPLACE the first, not append a duplicate copy
+    StreamingOps.routeBatch(b0, 0L, "split", out)
+    val b1 = Seq((3L, "train")).toDF("id", "split")
+    StreamingOps.routeBatch(b1, 1L, "split", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 3)
+    assert(back.select("id", "split").collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "train", 2L -> "val", 3L -> "train"))
+  }
+
   test("ewmaStream carries integer EWMA state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.EwmaEv
