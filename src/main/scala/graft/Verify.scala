@@ -27,6 +27,15 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a dump from an EARLIER run must not survive a crash here — a
+        // stale-but-plausible parquet would make the compare report green
+        // for a query that just failed
+        val stale = Paths.get(outDir, name)
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,7 +50,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump only the oracles for the queries this run attempted — the
+    // checker treats an oracle key with no dump as a crashed query, which
+    // is only true when the key was in this run's filter
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

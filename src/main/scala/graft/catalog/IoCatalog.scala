@@ -85,6 +85,35 @@ object IoCatalog extends QueryModule {
       |FROM (SELECT o_orderkey AS key,
       |             o_orderstatus || '|' || o_orderpriority AS value FROM orders)""".stripMargin
 
+  // ---- GenericWritable tagged-union values (io/GenericWritable.java:56) ----
+  /** One SequenceFile whose values MIX types — even doc_ids carry an
+    * IntWritable (char count), odd ones a Text (language) — behind the
+    * reference's compact 1-byte-ordinal union framing
+    * ([[graft.sources.GenericWritableIO.UnionValue]]). Read back as the
+    * tagged struct `(key, tag, int_val, str_val)`; the oracle rebuilds the
+    * same union by CASE, so a wrong ordinal, a swapped arm, or a decode on
+    * the wrong branch is a red row. The ObjectWritable (class-name-framed)
+    * twin of the same wire trip is pinned in the spec.
+    */
+  def genericWritableUnion(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("generic_writable_union", dir)
+    graft.sources.GenericWritableIO.writeUnion(
+      Tables.documents(spark, dir).select(
+        col("doc_id").as("key"),
+        when(col("doc_id") % 2 === 0, lit("int")).otherwise(lit("text")).as("tag"),
+        when(col("doc_id") % 2 === 0, col("n_chars")).as("int_val"),
+        when(col("doc_id") % 2 =!= 0, col("lang")).as("str_val")),
+      path)
+    graft.sources.GenericWritableIO.readUnion(spark, path)
+  }
+
+  private val genericWritableUnionSql =
+    """SELECT doc_id AS key,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'int' ELSE 'text' END AS tag,
+      |       CASE WHEN doc_id % 2 = 0 THEN n_chars END AS int_val,
+      |       CASE WHEN doc_id % 2 <> 0 THEN lang END AS str_val
+      |FROM documents""".stripMargin
+
   // ---- SetFile round trip (io/SetFile.java:27) -----------------------------
   /** High-quantity part keys → on-disk SetFile parts (sorted key set) →
     * distributed read-back. Membership `Reader.seek` probes are pinned in
@@ -578,6 +607,7 @@ object IoCatalog extends QueryModule {
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
     QueryDef("seqfile_roundtrip", seqfileRoundtrip, Some(seqfileRoundtripSql)),
     QueryDef("seqfile_sort", seqfileSort, Some(seqfileSortSql)),
+    QueryDef("generic_writable_union", genericWritableUnion, Some(genericWritableUnionSql)),
     QueryDef("setfile_roundtrip", setfileRoundtrip, Some(setfileRoundtripSql)),
     QueryDef("arrayfile_lookup", arrayfileLookup, Some(arrayfileLookupSql)),
     QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),

@@ -23,8 +23,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Shared {
   private val cache = new ConcurrentHashMap[(Int, String, String), DataFrame]()
 
+  /** RE-ENTRANT lookup-or-build: `build` runs OUTSIDE the map update, so a
+    * memoized frame may itself be built from another memoized frame
+    * (keep-best ← components ← shingle graph). `computeIfAbsent` would
+    * throw `IllegalStateException("Recursive update")` on exactly that
+    * nesting — and whether the nesting is hit depends on which consumer
+    * the catalog happens to run first, so it must be safe by construction.
+    * Racing builders can at worst build the same frame twice (harmless:
+    * the memo trades cost, never results); `putIfAbsent` keeps the first.
+    */
   def memo(spark: SparkSession, label: String, dir: String)
-          (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), label, dir), _ => Materialize(build))
+          (build: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(spark), label, dir)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = Materialize(build)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 }

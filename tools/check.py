@@ -41,7 +41,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     results = sorted(glob.glob(f"{out_dir}/*/"))
-    names = [p.rstrip("/").split("/")[-1] for p in results]
+    dumped = [p.rstrip("/").split("/")[-1] for p in results]
+    # iterate the UNION of dumped dirs and oracle keys: a query that
+    # crashed inside Verify leaves no dump, and must show up as a FAIL
+    # here, not silently drop out of the denominator
+    names = sorted(set(dumped) | set(oracle))
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
