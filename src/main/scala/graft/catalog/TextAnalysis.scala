@@ -635,6 +635,44 @@ object TextAnalysis extends QueryModule {
        |  CAST(sum(32 + (n_chunks - 1) * 24 - n) AS BIGINT) AS pad_tokens
        |FROM c GROUP BY source""".stripMargin
 
+  // ---- GPT-style sequence packing -----------------------------------------
+  private val SeqLen = 128L
+
+  /** Document packing with crossing — the GPT training-prep shape: the
+    * whole corpus is one token stream (doc_id order), cut into fixed
+    * 128-token sequences, and a document may STRADDLE a cut. Emits, per
+    * doc, the first/last sequence its tokens land in and how many
+    * sequences it touches — the map a packing run needs to route each
+    * doc's tokens to sequence shards. Builds on [[docOffsets]]'s
+    * range-partitioned prefix sum (the only shuffle), so the packing
+    * itself is pure per-row integer math on the global offset: seq_first
+    * = start div C, seq_last = (start + n − 1) div C. Token-free docs
+    * occupy no sequence (NULL bounds, 0 touched).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    docOffsets(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr(s"start_offset div $SeqLen")).as("seq_first"),
+        when(col("n_tokens") > 0,
+          expr(s"(start_offset + n_tokens - 1) div $SeqLen")).as("seq_last"))
+      .withColumn("n_seqs",
+        coalesce(col("seq_last") - col("seq_first") + 1, lit(0L)))
+
+  private val packSequencesSql =
+    s"""WITH o AS (${docOffsetsSql.replace("\n", "\n     ")})
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST(start_offset // $SeqLen AS BIGINT) END AS seq_first,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST((start_offset + n_tokens - 1) // $SeqLen AS BIGINT)
+       |       END AS seq_last,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST((start_offset + n_tokens - 1) // $SeqLen
+       |                 - start_offset // $SeqLen + 1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS n_seqs
+       |FROM o""".stripMargin
+
   // ---- corpus-wide bigram statistics --------------------------------------
   /** Top-20 bigrams across the corpus WITH multiplicity (repetition_signals
     * is per-doc and distinct-based; an n-gram LM wants raw corpus counts).
@@ -668,6 +706,7 @@ object TextAnalysis extends QueryModule {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("doc_offsets", docOffsets, Some(docOffsetsSql)),
+    QueryDef("pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     QueryDef("top_bigrams", topBigrams, Some(topBigramsSql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),

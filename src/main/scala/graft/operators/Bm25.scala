@@ -32,26 +32,47 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** Top-k docs per query. `queries`: (query_id, term) — pre-exploded,
-    * small. Output: (query_id, doc_id, score_q, rank).
+  /** The inverted index: one row per (doc_id, term) with its term
+    * frequency and the doc length. This is the expensive corpus pass
+    * (tokenize → explode → groupBy); everything else in [[topK]] is
+    * serving. NOT materialized here — the caller decides the index's
+    * lifetime (the catalog memoizes it per corpus via `Shared.memo`,
+    * which is exactly the production shape: build the index once, serve
+    * every query batch from it).
     */
-  def topK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextFns.tokens(col("text"))).as("term"),
-      size(TextFns.tokens(col("text"))).cast("long").as("dl"))
-    // the index is MATERIALIZED once (graft.core.Materialize): df-counts and the
-    // probe join both read it, and without materialization Catalyst plans
-    // the whole explode+aggregate pipeline twice (no cross-branch subtree
-    // reuse after divergent column pruning) — measured 2× the corpus-pass
-    // cost at sf0.1. At scale this is exactly "build the inverted index,
-    // then serve query batches from it".
-    val tf = graft.core.Materialize(toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+  def index(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("term"),
+        size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** Top-k docs per query. `queries`: (query_id, term) — pre-exploded,
+    * small. Output: (query_id, doc_id, score_q, rank). Pass `prebuilt`
+    * (a materialized [[index]]) to serve from a shared index; otherwise
+    * one is built and materialized for this call — df-counts and the
+    * probe join both read it, and without materialization Catalyst plans
+    * the whole explode+aggregate pipeline twice (no cross-branch subtree
+    * reuse after divergent column pruning) — measured 2× the corpus-pass
+    * cost at sf0.1.
+    */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           prebuilt: Option[DataFrame] = None): DataFrame = {
+    val tf = prebuilt.getOrElse(graft.core.Materialize(index(docs)))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs
-      .select(size(TextFns.tokens(col("text"))).cast("long").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // corpus stats FROM THE INDEX, not a second tokenize scan of the raw
+    // corpus: Σdl over per-doc lengths equals the raw-scan sum (token-free
+    // docs contribute 0 and appear only in the doc-count leg), and n comes
+    // from the untokenized doc count. Both reduce in ONE aggregate over a
+    // union — no extra cross join (PlanSpec pins this plan to a single
+    // nested loop: the 1-row stats broadcast into scoring), and the only
+    // full-text pass is the one that built tf.
+    val stats = tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .select(col("dl"), lit(0L).as("one"))
+      .unionByName(docs.select(lit(0L).as("dl"), lit(1L).as("one")))
+      .agg(sum(col("one")).as("n0"), sum(col("dl")).as("sumdl"))
+      .select(col("n0").cast("double").as("n"),
+        (col("sumdl").cast("double") / col("n0")).as("avgdl"))
     // query-term df table is tiny: |distinct query terms| rows
     val qdf = df.join(broadcast(queries.select(col("term")).distinct()), "term")
     tf.join(broadcast(queries), "term")
