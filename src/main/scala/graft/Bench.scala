@@ -131,6 +131,10 @@ object Bench {
     try graft.operators.DistributedSearch.warmPentKernel()
     catch { case _: Throwable => () }
     val warmFirst = Set("pentomino")
+    // per-query shared-frame builds (label list): a memoized consumer's
+    // first attempt pays the build, so its max/min spread is explained
+    // here rather than read as variance
+    val sharedBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val results = SparkEntry.headlines.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         // two untimed runs: the first triggers C2 compilation of the
@@ -143,7 +147,11 @@ object Bench {
         } catch { case _: Throwable => () }
         System.gc()
       }
-      time2(spark, sfDir, name, fn, capturePlan = true)
+      graft.core.Shared.drainBuilds() // discard builds from warmups/neighbors
+      val t = time2(spark, sfDir, name, fn, capturePlan = true)
+      val built = graft.core.Shared.drainBuilds()
+      if (built.nonEmpty) sharedBuilds(name) = built
+      t
     }
     val timed = results.map(t => t.name -> t.min).toMap
     val qs = jsonMap(results.map(t => t.name -> secs(t.min)))
@@ -164,8 +172,12 @@ object Bench {
           scenario -> time2(spark, dir, q, SparkEntry.headlines(q))
         }
         val tierTotal = ts.map(_._2).filter(_.ok).map(_.min).sum
+        // min AND max per shape (queries/queries_max convention): a tier
+        // shape whose two attempts disagree is visible without a re-run
         Some(tier -> jsonMap(
-          ts.map { case (s, t) => s -> secs(t.min) } :+ ("total" -> secs(tierTotal))))
+          ts.map { case (s, t) => s -> secs(t.min) } :+
+            ("total" -> secs(tierTotal)) :+
+            ("max" -> jsonMap(ts.map { case (s, t) => s -> secs(t.max) }))))
       }
     }
     val largeEntries = GridmixScenarios.map { case (scenario, q) =>
@@ -191,8 +203,11 @@ object Bench {
     // asymmetric protocol
     val warmFirstJson =
       warmFirst.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sharedBuildsJson = jsonMap(sharedBuilds.toSeq.map { case (q, ls) =>
+      q -> ls.map("\"" + _ + "\"").mkString("[", ",", "]")
+    })
     val line =
-      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"warm_first":$warmFirstJson,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"warm_first":$warmFirstJson,"shared_builds":$sharedBuildsJson,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
     // Short summary: everything the driver must ingest, no per-query map,
     // always < ~300 bytes so a stdout tail capture cannot truncate it.
     val shortLine = jsonMap(Seq(

@@ -22,6 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Shared {
   private val cache = new ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val buildLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Labels of frames BUILT (not cache-hit) since the last drain. Bench
+    * drains around each timed query so the JSON can attribute "this
+    * query's max attempt paid the shared build" — otherwise a memoized
+    * consumer's cold/warm spread looks like unexplained variance.
+    */
+  def drainBuilds(): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var x = buildLog.poll()
+    while (x != null) { out += x; x = buildLog.poll() }
+    out.toSeq
+  }
 
   /** RE-ENTRANT lookup-or-build: `build` runs OUTSIDE the map update, so a
     * memoized frame may itself be built from another memoized frame
@@ -39,6 +52,7 @@ object Shared {
     if (hit != null) hit
     else {
       val built = Materialize(build)
+      buildLog.add(label)
       val prev = cache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
