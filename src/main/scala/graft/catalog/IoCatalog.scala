@@ -152,6 +152,125 @@ object IoCatalog extends QueryModule {
       |                  p_name FROM part)
       |SELECT idx, p_name FROM t WHERE idx % 97 = 0""".stripMargin
 
+  // ---- partitioned upsert (corpus refresh) --------------------------------
+  /** MERGE-by-partition-rewrite — the corpus-refresh shape a plain-parquet
+    * lake actually runs (no txn log, so upsert = rewrite the partitions the
+    * batch touches, leave the rest byte-identical):
+    *
+    *  1. seed: documents partitioned by `source` (20 partitions);
+    *  2. update batch: edits in src3/src7 (n_chars + 1000 for doc_id % 4)
+    *     plus inserts into src3 (doc_id + 10M for doc_id % 10);
+    *  3. merge: semi-join the table to the batch's TOUCHED sources (a
+    *     broadcast of ≤|sources| rows — untouched partitions never enter
+    *     the plan), anti-join out superseded doc_ids, union the batch,
+    *     eagerly materialize (the read path must be fully consumed before
+    *     dynamic overwrite starts deleting its input files), and
+    *     dynamic-overwrite — only src3/src7 are rewritten, the other 18
+    *     keep their files (pinned in UpsertSpec by file listing).
+    *
+    * At 100 TB the rewrite cost is O(touched partitions), not O(table) —
+    * the same `(partition ownership + dynamic overwrite)` contract as the
+    * streaming [[graft.streaming.StreamingOps.routeBatch]] sink. The
+    * oracle replays the merge relationally (anti-join + union), so a
+    * dropped insert, a surviving superseded row, or a clobbered untouched
+    * partition is a red row.
+    */
+  def upsertPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("upsert_partitioned", dir)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // seed once (complete = _SUCCESS present): re-seeding every run would
+    // rewrite ALL partitions and hide exactly the property this op exists
+    // for. The merge below is IDEMPOTENT — the batch derives from the
+    // source table, and every batch doc_id is anti-joined out before the
+    // union — so re-running against an already-merged table converges.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      base.write.mode("overwrite").partitionBy("source").parquet(path)
+    // gate on the row index WITHIN the source (doc_id div 20): the corpus
+    // assigns doc_id ≡ source-index (mod 20), so a raw doc_id % k gate
+    // would silently select all-or-nothing per source
+    val updates = base
+      .filter(col("source").isin("src3", "src7") &&
+        expr("(doc_id div 20) % 4") === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(base.filter(col("source") === "src3" &&
+          expr("(doc_id div 20) % 10") === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"), col("n_chars")))
+    val touched = updates.select(col("source")).distinct()
+    val table = spark.read.parquet(path)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val merged = graft.core.Materialize(
+      table.join(broadcast(touched), Seq("source"), "left_semi")
+        .join(updates.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .unionByName(updates))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+  }
+
+  private val upsertPartitionedSql =
+    """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      |upd AS (
+      |  SELECT doc_id, source, n_chars + 1000 AS n_chars FROM base
+      |  WHERE source IN ('src3','src7') AND (doc_id // 20) % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, n_chars FROM base
+      |  WHERE source = 'src3' AND (doc_id // 20) % 10 = 0
+      |),
+      |merged AS (
+      |  SELECT b.* FROM base b
+      |  LEFT JOIN (SELECT DISTINCT doc_id FROM upd) u ON b.doc_id = u.doc_id
+      |  WHERE u.doc_id IS NULL
+      |  UNION ALL SELECT * FROM upd
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM merged GROUP BY source""".stripMargin
+
+  // ---- z-order (Morton) clustered layout ----------------------------------
+  /** Multi-dimensional clustering ([[graft.operators.ZOrder]]): lineitem
+    * laid out by the Morton code of (l_partkey, l_suppkey) — both dims
+    * scaled to 8-bit ranks first so the interleave yields square tiles
+    * (unscaled, the wider key's high bits dominate and the layout
+    * degenerates to single-column sort). The table is range-partitioned +
+    * sorted by the curve value, which is then DROPPED — the layout is the
+    * product. The read-back box query answers from parquet min/max
+    * pushdown over a small fraction of files; ZOrderSpec proves the
+    * skipping (a suppkey-only band touches ~¼ of z-ordered files vs ALL
+    * partkey-sorted ones). The oracle computes the same box aggregate
+    * straight from the unclustered corpus — layout must never change
+    * results.
+    */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("zorder_cluster", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    // stats pass for the rank scaling — 4 longs to the driver; at scale
+    // these come from parquet footer min/max, not a data scan
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    li.withColumn("z", graft.operators.ZOrder.morton(
+        graft.operators.ZOrder.scaleTo256(col("l_partkey"), b.getLong(0), b.getLong(1)),
+        graft.operators.ZOrder.scaleTo256(col("l_suppkey"), b.getLong(2), b.getLong(3))))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(400, 599) && col("l_suppkey").between(20, 39))
+      .groupBy((col("l_partkey") % 8).as("pk_band"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
+  private val zorderClusterSql =
+    """SELECT l_partkey % 8 AS pk_band, count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 39
+      |GROUP BY 1""".stripMargin
+
   // ---- partitioned layout + partition pruning -----------------------------
   /** Hive-style partitioned parquet layout (`partitionBy(day_bucket)`) and
     * the read that justifies it: a day-range filter that must resolve at
@@ -611,6 +730,8 @@ object IoCatalog extends QueryModule {
     QueryDef("setfile_roundtrip", setfileRoundtrip, Some(setfileRoundtripSql)),
     QueryDef("arrayfile_lookup", arrayfileLookup, Some(arrayfileLookupSql)),
     QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),
+    QueryDef("upsert_partitioned", upsertPartitioned, Some(upsertPartitionedSql)),
+    QueryDef("zorder_cluster", zorderCluster, Some(zorderClusterSql)),
     QueryDef("partition_prune", partitionPrune, Some(partitionPruneSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
     QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),
