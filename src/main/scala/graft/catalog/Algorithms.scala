@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bfs, HeavyHitters, KCore, LabelProp, Sssp}
+import graft.functions.PortableHash
+import graft.operators.{Bfs, HeavyHitters, KCore, KmvSketch, LabelProp, Sssp}
 
 /** Distributed-algorithm queries: graph reach, sublinear heavy hitters,
   * Pareto frontier. Each has a plain-SQL oracle twin (recursive CTE /
@@ -76,6 +77,55 @@ object Algorithms extends QueryModule {
       |)
       |SELECT word, cnt FROM tf
       |WHERE cnt * 100 >= (SELECT count(*) FROM toks WHERE word <> '')""".stripMargin
+
+  /** Per-source distinct-vocabulary estimate via the KMV bottom-k sketch
+    * ([[KmvSketch.KmvAgg]], k=64). Exact `COUNT(DISTINCT word)` per source
+    * shuffles every distinct token to its source's reducer; the sketch
+    * bounds per-source shuffle volume at k·partitions hashes, and because
+    * the hash is [[PortableHash.h48]] and the estimator is integer
+    * division, the oracle's central k-th-order-statistic computation gets
+    * the bit-identical estimate — an ATTESTED approximate aggregate, not a
+    * rows-only one. Pairs with `heavy_hitters` (exact at bounded memory)
+    * and `uniq_value_count` (the reference's exact-until-cap analog).
+    */
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val kmv = udaf(KmvSketch.KmvAgg(k))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+      .select(col("source"), PortableHash.h48(col("word")).as("hv"))
+      .groupBy(col("source"))
+      .agg(kmv(col("hv")).as("sk"))
+      .select(col("source"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(
+            s"CAST((${k - 1} * ${KmvSketch.H48Universe}) div element_at(sk, $k) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
+  private val approxDistinctKmvSql = {
+    val h = PortableHash.h48Sql("word")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+       |  FROM documents
+       |),
+       |h AS (
+       |  SELECT DISTINCT source, $h AS hv FROM toks WHERE word <> ''
+       |),
+       |r AS (
+       |  SELECT source, hv,
+       |         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |  FROM h
+       |)
+       |SELECT source,
+       |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+       |            ELSE (63 * ${KmvSketch.H48Universe})
+       |                 // min(CASE WHEN rn = 64 THEN hv END)
+       |       END AS BIGINT) AS est_distinct
+       |FROM r WHERE rn <= 64 GROUP BY source""".stripMargin
+  }
 
   /** 2-D Pareto frontier (skyline) of parts minimizing (p_size,
     * p_retailprice). Decomposition: (1) per-size min price — a key
@@ -301,6 +351,7 @@ object Algorithms extends QueryModule {
     QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
+    QueryDef("approx_distinct_kmv", approxDistinctKmv, Some(approxDistinctKmvSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),
     QueryDef("typo_join", typoJoin, Some(typoJoinSql)),
     QueryDef("gap_fill", gapFill, Some(gapFillSql)),

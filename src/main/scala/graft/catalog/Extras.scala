@@ -277,6 +277,50 @@ object Extras extends QueryModule {
     """SELECT count(*) AS n_probed, count(*) AS n_positive
       |FROM (SELECT DISTINCT o_custkey FROM orders)""".stripMargin
 
+  /** Bloom-prefiltered join: the semi-join-reduction pattern for a
+    * selective dim that is too big to broadcast whole. The dim's join keys
+    * compress into a fixed-size bloom (a few MB regardless of dim rows)
+    * that rides into the fact scan as a binary literal; the fact is
+    * prefiltered BEFORE its shuffle by the codegen'd `bloom_might_contain`
+    * probe, and the exact equi-join afterwards removes the bloom's false
+    * positives — so the result is exact and the oracle is the plain join.
+    * At 100 TB this is the difference between shuffling the whole fact and
+    * shuffling ~the matching slice; Spark's runtime row-level filtering
+    * applies the same idea automatically when statistics allow, this row
+    * pins the explicit form. (Reference analog: BloomMapFile skips blocks
+    * whose bloom rejects the key — src/core/org/apache/hadoop/io/
+    * BloomMapFile.java:45 — the same reject-before-touching idea at file
+    * granularity.)
+    */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(spark, dir)
+      .where(col("p_type") === "PROMO" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
+    val bf = dim.stat.bloomFilter("p_partkey",
+      expectedNumItems = 100000, fpp = 0.01)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val probe = call_function("bloom_might_contain",
+      lit(bytes.toByteArray), col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .where(probe)
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+  }
+
+  private val bloomPrefilterJoinSql =
+    """SELECT p_brand, count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |       AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'PROMO' AND p_size <= 10
+      |GROUP BY p_brand""".stripMargin
+
   // ---- set operations (additive: absent in the reference, SURVEY §2.5) ----
   /** intersect/except over customer-key slices — the set ops the reference
     * could only hand-roll in reducers.
@@ -486,6 +530,7 @@ object Extras extends QueryModule {
     QueryDef("pi_estimate", piEstimate, Some(piEstimateSql)),
     QueryDef("mapfile_lookup", mapfileLookup, Some(mapfileLookupSql)),
     QueryDef("bloom_filter", bloomFilter, Some(bloomFilterSql)),
+    QueryDef("bloom_prefilter_join", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
     QueryDef("salted_agg", saltedAgg, Some(saltedAggSql)),
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
