@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver corpus (TESTDATA.md): TPC-H-ish star schema plus
   * `events` (ns-timestamp log), `documents` (text corpus) and `embeddings`
@@ -23,10 +25,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) → LongType epoch-nanos under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession]]).
-    * Callers do time math on the nanos long; DuckDB-side equivalence is
-    * `epoch_ns(ts)`.
+  /** `events.ts` is normalized here to a LongType epoch-nanos column no
+    * matter how the corpus was written, so every caller does plain integer
+    * time math (`ts div 1000` = µs) and the DuckDB-side equivalence is
+    * always `epoch_ns(ts)`:
+    *   - parquet TIMESTAMP(NANOS) arrives as epoch-nanos LongType already
+    *     (`spark.sql.legacy.parquet.nanosAsLong=true` in [[GraftSession]]);
+    *   - parquet TIMESTAMP(MICROS) arrives as a timestamp column (NTZ or
+    *     LTZ depending on `isAdjustedToUTC`) and is converted via
+    *     `unix_micros * 1000` — exact, since µs-granular values have no
+    *     sub-µs part to lose. The NTZ→TZ cast is value-identical because
+    *     [[GraftSession]] pins the session timezone to UTC.
     */
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ =>
+        raw.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
 }

@@ -50,9 +50,9 @@ class CorpusStatsSpec extends SparkSpec {
   test("ewma_user matches a driver-side replay of the recurrence") {
     val got = Analytics.ewmaUser(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val replay = spark.read.parquet(s"$dir/events.parquet")
+    val replay = graft.core.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        col("ts").cast("long").as("tsl"),
+        col("ts").as("tsl"),
         round(col("value") * 100).cast("long").as("cv"))
       .collect()
       .map(r => (r.getLong(0), (r.getLong(2), r.getLong(1)), r.getLong(3)))
