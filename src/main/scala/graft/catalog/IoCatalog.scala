@@ -261,7 +261,7 @@ object IoCatalog extends QueryModule {
     spark.read.parquet(path)
       .filter(col("l_partkey").between(400, 599) && col("l_suppkey").between(20, 39))
       .groupBy((col("l_partkey") % 8).as("pk_band"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
   }
 
   private val zorderClusterSql =

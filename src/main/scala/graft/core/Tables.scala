@@ -40,6 +40,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
+      // contract: an INT64 ts column IS epoch-nanos. That is what
+      // nanosAsLong produces from TIMESTAMP(NANOS), and no other int64
+      // encoding reaches this branch from the driver corpus. A plain
+      // un-annotated int64 storing epoch-micros would silently pass 1000×
+      // off — so TablesSpec pins the magnitude (2020..2040 when read as
+      // nanos), which catches any unit drift at test time, not in results.
       case LongType => raw
       case _ =>
         raw.withColumn(

@@ -78,4 +78,45 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * supportDenom >= lit(total))
   }
+
+  /** Approximate top-`topK` most frequent keys, the KMV treatment of the
+    * classic "top words" query: a bounded Misra-Gries candidate sketch per
+    * partition (no shuffle, O(k) state) followed by an exact recount of the
+    * ≤ k·partitions survivors — the full-vocabulary
+    * `groupBy.count.orderBy.limit` shuffle never happens.
+    *
+    * Soundness bound (pigeonhole, as in [[frequent]]): every key with
+    * global frequency > N/k survives the candidate pass in at least one
+    * partition. So as long as the true `topK`-th frequency exceeds N/k —
+    * i.e. the MG net (k counters) is strictly finer than the tail rank
+    * being asked for — the candidate set CONTAINS the exact top-k, the
+    * recount ranks it exactly, and the result is bit-identical to the
+    * oracle's full `ORDER BY cnt DESC LIMIT k`: attestable, not just
+    * spec-tested. `ApproxTopKSpec` asserts that bound holds on the corpus
+    * (and that the output equals the exact plan's). Counts are exact
+    * integers from pass 2 — no estimator error to canonicalize.
+    *
+    * Ordering is total (`cnt` DESC, then `word`) so boundary ties cannot
+    * make the limit nondeterministic across engines.
+    *
+    * Reference analog: grep's two-job top-N (count job + sort job over the
+    * FULL vocabulary, reference src/examples/org/apache/hadoop/examples/
+    * Grep.java:58-77) — same answer, but its sort stage carries every
+    * distinct key.
+    */
+  def approxTopK(words: DataFrame, topK: Int, k: Int): DataFrame = {
+    require(topK < k, s"MG net k=$k must be finer than the requested top-$topK")
+    val spark = words.sparkSession
+    import spark.implicits._
+
+    val ws: Dataset[String] = words.select(col("word")).as[String]
+    val candidates = graft.core.Materialize(
+      ws.mapPartitions(it => misraGries(it, k)).toDF("word", "n"))
+      .where(col("n") === -1L).select("word").distinct()
+    words.join(broadcast(candidates), "word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topK)
+  }
 }

@@ -28,23 +28,29 @@ object StreamingBench {
     * batches/side) watermark — throughput per row is what's being
     * measured, not state capacity.
     *
-    * Each probe runs TWICE and reports the best attempt — the streaming
-    * analog of the batch harness's min-over-attempts: early rounds showed
-    * a ±2× single-attempt spread from GC/container noise that made
-    * round-over-round comparison unreadable; max throughput over two
-    * fixed-workload attempts is the stable steady-state signal.
+    * Each probe runs TWICE; the headline key carries the best attempt —
+    * the streaming analog of the batch harness's min-over-attempts: early
+    * rounds showed a ±2× single-attempt spread from GC/container noise
+    * that made round-over-round comparison unreadable — and a `<name>_min`
+    * key carries the worse attempt, so the two-run band is ATTESTED in the
+    * JSON (the batch `queries`/`queries_max` convention) rather than the
+    * spread being asserted in prose.
     */
-  def run(spark: SparkSession): Seq[(String, Double)] = Seq(
-    "windowed_agg_rows_per_sec" -> best2(measure(spark, batches = 6) { s =>
+  def run(spark: SparkSession): Seq[(String, Double)] = {
+    def band2(name: String)(attempt: => Double): Seq[(String, Double)] = {
+      val (a, b) = (attempt, attempt)
+      Seq(name -> math.max(a, b), s"${name}_min" -> math.min(a, b))
+    }
+    band2("windowed_agg_rows_per_sec")(measure(spark, batches = 6) { s =>
       val src = rateSource(s, rowsPerBatch = 2000000L)
         .select(col("timestamp").as("ts"),
           (col("value") % 64).cast("string").as("event_type"),
           (col("value") % 1000).cast("double").as("value"))
       StreamingOps.windowedAgg(src, "ts", "1 second", "10 seconds")
-    }),
+    }) ++
     // numInputRows counts BOTH sides, so rows/sec here is total ingested
     // rows across the two streams
-    "stream_stream_join_rows_per_sec" -> best2(measure(spark, batches = 6) { s =>
+    band2("stream_stream_join_rows_per_sec")(measure(spark, batches = 6) { s =>
       val l = rateSource(s, rowsPerBatch = 250000L)
         .select(col("value").as("k"), col("timestamp").as("lts"))
       val r = rateSource(s, rowsPerBatch = 250000L)
@@ -52,11 +58,8 @@ object StreamingBench {
           (col("value") % 1000).as("payload"))
       StreamingOps.streamJoin(l, r, "k", "lts", "rts",
         watermark = "2 seconds", bandSeconds = 1)
-    }),
-  )
-
-  private def best2(attempt: => Double): Double =
-    math.max(attempt, attempt)
+    })
+  }
 
   private def rateSource(spark: SparkSession, rowsPerBatch: Long): DataFrame =
     spark.readStream.format("rate-micro-batch")

@@ -66,7 +66,7 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct lands within the advertised error band") {
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.core.Tables.events(spark, dir)
     val Array(exact, approx) = df
       .agg(countDistinct(col("user_id")).cast("double"),
         approx_count_distinct(col("user_id"), 0.02).cast("double"))

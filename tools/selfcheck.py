@@ -15,6 +15,13 @@ Two strictness guards beyond value equality, mirroring the driver's hasher:
   comparison tolerance first), so sub-tolerance cross-engine float noise on
   near-tied rows cannot reorder the frames differently; nulls are
   normalized before stringification so NaN vs None cannot diverge.
+* type-drift guard — the driver's hasher serializes the COLUMN TYPE, so a
+  Spark DOUBLE vs an oracle BIGINT hash-mismatches even when every value is
+  numerically equal (round-7 verdict: zorder_cluster red from exactly this;
+  check.py's 12-sig-digit float canon erases it). Each Spark dump's parquet
+  types (via DuckDB DESCRIBE over the part-files) must land in the same
+  numeric class (int / float / decimal / other) as the oracle's DESCRIBE,
+  column by column.
 """
 import json, sys, glob
 import duckdb
@@ -36,6 +43,32 @@ def hugeint_cols(sql):
     return [r["column_name"] for _, r in desc.iterrows()
             if "HUGEINT" in str(r["column_type"]).upper()]
 
+def type_class(t):
+    """Collapse a DuckDB type name to the class the driver's hasher keys on:
+    int-family vs float-family vs decimal vs everything-else verbatim."""
+    t = str(t).upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if any(k in t for k in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT")):
+        return "int"
+    if any(k in t for k in ("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if "DECIMAL" in t:
+        return "decimal"
+    return t
+
+def describe_types(sql):
+    desc = con.execute(f"DESCRIBE {sql}").df()
+    return {r["column_name"]: type_class(r["column_type"])
+            for _, r in desc.iterrows()}
+
+def type_drift(name):
+    """Per-column numeric-class diff between the Spark dump and the oracle."""
+    spark_t = describe_types(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+    oracle_t = describe_types(oracle[name])
+    return [(c, spark_t[c], oracle_t[c]) for c in sorted(set(spark_t) & set(oracle_t))
+            if spark_t[c] != oracle_t[c]]
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -44,8 +77,15 @@ def canon(df):
             df[c] = df[c].round(9)
         elif df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
-    keys = [c for c in df.columns if df[c].dtype.kind != "f"] or list(df.columns)
-    df = df.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
+    # sort on non-float columns FIRST, then the (already-rounded) float
+    # columns as tiebreakers: a nullable int column arrives as float64+NaN
+    # in pandas, and leaving every float out of the keys let rows tied on
+    # the remaining columns align differently between engines (cube/rollup
+    # null-grouping rows, outer-join null keys). Rounded floats sort
+    # identically across engines; NaN consistently sorts last.
+    nonf = [c for c in df.columns if df[c].dtype.kind != "f"]
+    flt = [c for c in df.columns if df[c].dtype.kind == "f"]
+    df = df.sort_values(by=nonf + flt, kind="mergesort").reset_index(drop=True)
     return df
 
 fails = []
@@ -55,6 +95,11 @@ for name in names:
         huge = hugeint_cols(oracle[name])
         if huge:
             fails.append((name, f"oracle emits HUGEINT cols {huge} — wrap in CAST(... AS BIGINT)"))
+            continue
+        drift = type_drift(name)
+        if drift:
+            fails.append((name, "type drift " + ", ".join(
+                f"{c}: spark={s} oracle={o}" for c, s, o in drift)))
             continue
         got = pd.read_parquet(f"{out}/{name}")
         want = con.execute(oracle[name]).df()
