@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.PortableHash
-import graft.operators.{Bfs, HeavyHitters, KCore, KmvSketch, LabelProp, Sssp}
+import graft.operators.{Bfs, HeavyHitters, KCore, KmvSketch, LabelProp, Quantiles, Sssp}
 
 /** Distributed-algorithm queries: graph reach, sublinear heavy hitters,
   * Pareto frontier. Each has a plain-SQL oracle twin (recursive CTE /
@@ -94,6 +94,33 @@ object Algorithms extends QueryModule {
       |)
       |SELECT word, count(*) AS cnt FROM toks WHERE word <> ''
       |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
+  /** Binned-histogram quantiles ([[Quantiles.binned]]) of lineitem price
+    * in cents, $1 bins: the bounded-shuffle rank statistic pairing the
+    * exact rank computation in `percentiles_exact`. The histogram shuffle
+    * carries one row per occupied bin (~1 K for this corpus) however large
+    * the table; the answer is integer math within one bin width of the
+    * exact order statistic and bit-identical to the oracle's cumulative
+    * histogram.
+    */
+  def approxQuantilesBinned(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    Quantiles.binned(cents, binWidth = 100L, pcts = Seq(50, 90, 99))
+  }
+
+  private val approxQuantilesSql =
+    """WITH b AS (
+      |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) // 100 AS bin,
+      |         count(*) AS c
+      |  FROM lineitem GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum, sum(c) OVER () AS n
+      |  FROM b
+      |), p AS (SELECT unnest([50, 90, 99]) AS pct)
+      |SELECT pct, CAST(min(bin) * 100 AS BIGINT) AS value
+      |FROM cum JOIN p ON cum * 100 >= pct * n
+      |GROUP BY pct""".stripMargin
 
   private val heavyHittersSql =
     """WITH toks AS (
@@ -379,6 +406,7 @@ object Algorithms extends QueryModule {
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
     QueryDef("approx_topk", approxTopKTokens, Some(approxTopKSql)),
+    QueryDef("approx_quantiles", approxQuantilesBinned, Some(approxQuantilesSql)),
     QueryDef("approx_distinct_kmv", approxDistinctKmv, Some(approxDistinctKmvSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),
     QueryDef("typo_join", typoJoin, Some(typoJoinSql)),
