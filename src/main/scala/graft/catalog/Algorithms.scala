@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.PortableHash
-import graft.operators.{Bfs, HeavyHitters, KCore, KmvSketch, LabelProp, Quantiles, Sssp}
+import graft.operators.{Bfs, CmsSketch, HeavyHitters, KCore, KmvSketch, LabelProp, Quantiles, Sssp}
 
 /** Distributed-algorithm queries: graph reach, sublinear heavy hitters,
   * Pareto frontier. Each has a plain-SQL oracle twin (recursive CTE /
@@ -179,6 +179,54 @@ object Algorithms extends QueryModule {
        |                 // min(CASE WHEN rn = 64 THEN hv END)
        |       END AS BIGINT) AS est_distinct
        |FROM r WHERE rn <= 64 GROUP BY source""".stripMargin
+  }
+
+  /** Words whose frequency the CMS query estimates: six present across
+    * the corpus vocabulary plus one absent ("quantum") — the absent probe
+    * pins the unoccupied-cell → 0 path and keeps collision overestimates
+    * observable rather than averaged away.
+    */
+  private val CmsProbes =
+    Seq("spark", "join", "window", "data", "merge", "batch", "quantum")
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Point-frequency estimates via [[CmsSketch]] (4×1024 counters). The
+    * exact per-word count would shuffle the vocabulary; the CMS shuffles
+    * ≤ depth·width occupied cells regardless of corpus size, and the
+    * integer counters + portable row hashes make the oracle's central
+    * replay bit-identical — the point-frequency member of the attested
+    * sketch family (KMV distinct / MG top-k / binned quantiles).
+    */
+  def approxFreqCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+    val cellTable = CmsSketch.cells(toks, CmsDepth, CmsWidth)
+    CmsSketch.pointEstimates(cellTable, CmsProbes, CmsDepth, CmsWidth)
+  }
+
+  private val approxFreqCmsSql = {
+    val h = PortableHash.h48Sql("CAST(g.r AS VARCHAR) || ':' || word")
+    val hp = PortableHash.h48Sql("CAST(g.r AS VARCHAR) || ':' || p.word")
+    val probeList = CmsProbes.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+       |),
+       |cells AS (
+       |  SELECT g.r AS r, $h % $CmsWidth AS c, count(*) AS cnt
+       |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g
+       |  WHERE word <> ''
+       |  GROUP BY 1, 2
+       |),
+       |pc AS (
+       |  SELECT p.word, g.r, $hp % $CmsWidth AS c
+       |  FROM (SELECT unnest([$probeList]) AS word) p
+       |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g
+       |)
+       |SELECT pc.word, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_freq
+       |FROM pc LEFT JOIN cells ON cells.r = pc.r AND cells.c = pc.c
+       |GROUP BY pc.word""".stripMargin
   }
 
   /** 2-D Pareto frontier (skyline) of parts minimizing (p_size,
@@ -408,6 +456,7 @@ object Algorithms extends QueryModule {
     QueryDef("approx_topk", approxTopKTokens, Some(approxTopKSql)),
     QueryDef("approx_quantiles", approxQuantilesBinned, Some(approxQuantilesSql)),
     QueryDef("approx_distinct_kmv", approxDistinctKmv, Some(approxDistinctKmvSql)),
+    QueryDef("approx_freq_cms", approxFreqCms, Some(approxFreqCmsSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),
     QueryDef("typo_join", typoJoin, Some(typoJoinSql)),
     QueryDef("gap_fill", gapFill, Some(gapFillSql)),
