@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextFns
+import graft.functions.{PortableHash, TextFns}
 
 /** Text-analysis operators for training-data curation: language ID
   * (stopword-overlap heuristic), quality scoring, token counting
@@ -123,6 +123,63 @@ object TextAnalysis extends QueryModule {
        |        (1.0 - n_punct::DOUBLE / greatest(n_chars, 1)) * 0.3 +
        |        least(stop_frac * 5, 1.0) * 0.3, 6) AS quality
        |FROM s""".stripMargin
+  }
+
+  // ---- hashed linear classifier -------------------------------------------
+  /** Number of weight buckets in the hashed classifier — the model IS a
+    * fixed table of `ClassifierBuckets` integer weights, reached by
+    * hashing tokens (the "hashing trick"), so model size is constant in
+    * vocabulary size.
+    */
+  private val ClassifierBuckets = 4096
+  private val ClassifierSeed = 7
+
+  /** Hashed-feature linear classifier inference (the fastText-style
+    * quality gate pretraining pipelines run per document): each token
+    * hashes to one of [[ClassifierBuckets]] buckets, each bucket carries a
+    * deterministic integer weight in [-1000, 1000] (derived from the
+    * seeded portable hash — a stand-in for trained weights, same shapes
+    * and dataflow), and a document's score is the sum of its tokens'
+    * bucket weights. Inference is MAP-ONLY: the weight lookup is pure
+    * hash arithmetic inside a higher-order `transform`/`aggregate` over
+    * the split array — no explode, no join against a weight table, no
+    * per-doc shuffle; the only exchange is the final per-source rollup
+    * (|sources| rows). Integer weights end-to-end make the oracle replay
+    * bit-identical.
+    *
+    * Reference analog: the aggregate framework's per-record descriptor
+    * dispatch (src/core/.../lib/aggregate/ValueAggregatorBaseDescriptor
+    * .java) — a fixed function applied per record, aggregated once.
+    */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(lower(col("text")))
+    val weight = (t: Column) => {
+      val bucket = (PortableHash.h48(t) % ClassifierBuckets).cast("string")
+      (PortableHash.h48(bucket, ClassifierSeed) % 2001) - 1000
+    }
+    val score = aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .select(col("source"), score.as("score"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score")).cast("long").as("total_score"))
+  }
+
+  private val qualityClassifySql = {
+    val bucket = s"CAST(${PortableHash.h48Sql("t")} % $ClassifierBuckets AS VARCHAR)"
+    val weight = s"(${PortableHash.h48Sql(s"'$ClassifierSeed' || ':' || $bucket")} % 2001) - 1000"
+    s"""WITH scored AS (
+       |  SELECT source,
+       |    coalesce(list_sum(list_transform(
+       |      ${TextFns.tokensSql("lower(text)")}, t -> $weight)), 0) AS score
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(score) AS BIGINT) AS total_score
+       |FROM scored GROUP BY source""".stripMargin
   }
 
   // ---- token counting -----------------------------------------------------
@@ -716,6 +773,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     QueryDef("doc_keyword", docKeyword, Some(docKeywordSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("quality_classify", qualityClassify, Some(qualityClassifySql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
