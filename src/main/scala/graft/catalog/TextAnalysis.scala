@@ -125,6 +125,63 @@ object TextAnalysis extends QueryModule {
        |FROM s""".stripMargin
   }
 
+  // ---- BPE merge learning -------------------------------------------------
+  private val BpeRounds = 6
+
+  /** Tokenizer training: the first [[BpeRounds]] BPE merge rules over the
+    * corpus ([[graft.operators.BpeMerges]]). Classic BPE learns on WORD
+    * TYPES — the only corpus-sized op is the (word, freq) aggregate; each
+    * round then counts adjacent symbol pairs over the vocabulary-bounded
+    * type table (map-side combine, pair-type-sized shuffle) and collects
+    * one argmax row. The oracle replays all rounds as chained CTEs using
+    * the same bracket-string merge device, so every count and tiebreak is
+    * bit-identical. Words are restricted to `[a-z0-9]+` on both sides
+    * (tokenizer hygiene: the bracket encoding reserves `[`/`]`).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    graft.operators.BpeMerges.learn(wordFreq, BpeRounds, trace = Some("bpe_merges"))
+  }
+
+  private val bpeMergesSql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT unnest(list_transform(range(1, len(l)),
+         |                i -> [l[i], l[i + 1]])) AS p, freq
+         |  FROM (SELECT string_split(trim(s, '[]'), '][') AS l, freq
+         |        FROM w${r - 1})
+         |),
+         |c$r AS (
+         |  SELECT p[1] AS lft, p[2] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$r GROUP BY 1, 2
+         |),
+         |b$r AS (SELECT lft, rgt, cnt FROM c$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(w.s, '[' || b.lft || '][' || b.rgt || ']',
+         |                 '[' || b.lft || b.rgt || ']') AS s, w.freq
+         |  FROM w${r - 1} w CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS merge_round, lft, rgt, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS s, freq
+       |  FROM (
+       |    SELECT word, count(*) AS freq
+       |    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |          FROM documents)
+       |    WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |    GROUP BY word
+       |  )
+       |),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   // ---- hashed linear classifier -------------------------------------------
   /** Number of weight buckets in the hashed classifier — the model IS a
     * fixed table of `ClassifierBuckets` integer weights, reached by
@@ -774,6 +831,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("doc_keyword", docKeyword, Some(docKeywordSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("quality_classify", qualityClassify, Some(qualityClassifySql)),
+    QueryDef("bpe_merges", bpeMerges, Some(bpeMergesSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
