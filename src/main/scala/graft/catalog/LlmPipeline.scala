@@ -992,6 +992,38 @@ object LlmPipeline extends QueryModule {
        |SELECT n AS doc_id, count(*) AS n_triangles
        |FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY 1""".stripMargin
 
+  /** Per-node local clustering coefficient of the near-dup graph
+    * ([[graft.operators.TriangleCount.clusteringCoeff]]) — how clique-like
+    * each document's near-dup neighborhood is (cc ≈ 1 → a tight
+    * template-duplicate cluster; cc ≈ 0 → a hub stitching unrelated
+    * docs). Exact integer output (tri, wedges, permille ratio), reusing
+    * the degree-ordered triangle machinery and the SAME shared graph
+    * frame as `pagerank`/`triangle_count`, so the bench attributes the
+    * graph build once.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TriangleCount.clusteringCoeff(shingleStarSym(spark, dir))
+
+  private val clusteringCoeffSql =
+    s"""WITH $shingleEdgeCtes, deg AS (
+       |  SELECT a AS id, count(*) AS deg FROM sym GROUP BY a
+       |), d AS (
+       |  SELECT a, b FROM sym WHERE a < b
+       |), tri AS (
+       |  SELECT x.a, x.b, y.b AS c
+       |  FROM d x JOIN d y ON y.a = x.b
+       |  JOIN d z ON z.a = x.a AND z.b = y.b
+       |), tcnt AS (
+       |  SELECT n AS id, count(*) AS t
+       |  FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY 1
+       |)
+       |SELECT deg.id AS doc_id,
+       |  CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+       |  CAST((deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges,
+       |  CAST((2000 * coalesce(t, 0)) // (deg * (deg - 1)) AS BIGINT) AS cc_permille
+       |FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+       |WHERE deg >= 2""".stripMargin
+
   // ---- multimodal: binary payload → mapPartitions feature extraction ------
   /** Opaque binary payloads featurized per partition (see [[Multimodal]]).
     * The oracle recomputes the stub's byte math from `text` — valid because
@@ -1152,6 +1184,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("quality_band_filter", qualityBandFilter, Some(qualityBandSql)),
     QueryDef("pagerank", pagerank, Some(pagerankSql)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountSql)),
+    QueryDef("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),

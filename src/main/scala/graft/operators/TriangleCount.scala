@@ -46,4 +46,29 @@ object TriangleCount {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-node local clustering coefficient: closed wedges over possible
+    * wedges, kept in EXACT integers — (n_triangles, n_wedges =
+    * deg·(deg−1)/2, cc_permille = ⌊2000·tri / (deg·(deg−1))⌋) — so the
+    * result is bit-identical across engines (no float division). Nodes
+    * with degree < 2 have no wedges and are excluded; nodes in no
+    * triangle appear with 0 (the left join — a triangle-only frame would
+    * silently drop them). Both inputs are node-sized aggregates of the
+    * edge list, so the join is broadcast-scale at any corpus size.
+    *
+    * @param edges the [[perNode]] input contract: both directions present,
+    *              distinct, no self-loops
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val tri = perNode(edges)
+    deg.where(col("deg") >= 2)
+      .join(tri, deg("src") === tri("id"), "left")
+      .select(
+        deg("src").as("doc_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("CAST((deg * (deg - 1)) div 2 AS BIGINT)").as("n_wedges"),
+        expr("CAST((2000 * coalesce(n_triangles, 0)) div (deg * (deg - 1)) AS BIGINT)")
+          .as("cc_permille"))
+  }
 }

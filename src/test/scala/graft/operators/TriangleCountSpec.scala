@@ -43,4 +43,30 @@ class TriangleCountSpec extends SparkSpec {
       assert(run(e) === brute(e), s"seed $seed")
     }
   }
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    TriangleCount.clusteringCoeff(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("clustering coefficient: clique is 1000 permille, path is 0") {
+    // K4: every node has deg 3, 3 triangles, 3 wedges → cc 1000
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    assert(cc(sym(k4)) ===
+      (1L to 4L).map(_ -> ((3L, 3L, 1000L))).toMap)
+    // path 1-2-3: node 2 has one open wedge and no triangle → cc 0;
+    // degree-1 endpoints are excluded, and the zero-triangle node must
+    // appear (the left-join path)
+    assert(cc(sym(Seq((1L, 2L), (2L, 3L)))) === Map(2L -> ((0L, 1L, 0L))))
+  }
+
+  test("clustering coefficient: half-closed neighborhood truncates down") {
+    // node 1 adjacent to 2,3,4; only (2,3) closed → tri 1, wedges 3,
+    // cc = ⌊2000·1/(3·2)⌋ = 333
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val got = cc(sym(und))
+    assert(got(1L) === ((1L, 3L, 333L)))
+    assert(got(2L) === ((1L, 1L, 1000L)))
+    assert(!got.contains(4L)) // degree 1: no wedge, excluded
+  }
 }
