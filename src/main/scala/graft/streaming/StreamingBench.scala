@@ -58,7 +58,19 @@ object StreamingBench {
           (col("value") % 1000).as("payload"))
       StreamingOps.streamJoin(l, r, "k", "lts", "rts",
         watermark = "2 seconds", bandSeconds = 1)
-    })
+    }) ++
+    // arbitrary keyed state (mapGroupsWithState): 64 keys × bounded KMV
+    // buffers — the flatMap/mapGroups state-store path the other two
+    // probes don't touch
+    band2("keyed_sketch_rows_per_sec")(
+      measure(spark, batches = 6, outputMode = "update") { s =>
+        import s.implicits._
+        val src = rateSource(s, rowsPerBatch = 1000000L)
+          .select((col("value") % 64).cast("string").as("source"),
+            (col("value") % 100000).cast("string").as("word"))
+          .as[StreamingOps.KmvEv]
+        StreamingOps.distinctStream(src, k = 64).toDF()
+      })
   }
 
   private def rateSource(spark: SparkSession, rowsPerBatch: Long): DataFrame =
@@ -79,11 +91,13 @@ object StreamingBench {
     * round-over-round. The median of 6 fixed-work batches is robust to
     * any 2 stalled outliers, which pins the probe to engine throughput.
     */
-  private def measure(spark: SparkSession, batches: Int)(
+  private def measure(spark: SparkSession, batches: Int,
+                      outputMode: String = "append")(
       build: SparkSession => DataFrame): Double = {
     val ckpt = Files.createTempDirectory("graft-sbench").toString
     try {
       val q = build(spark).writeStream.format("noop")
+        .outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0)).start()
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000

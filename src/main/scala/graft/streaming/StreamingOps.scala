@@ -238,6 +238,38 @@ object StreamingOps {
       }
   }
 
+  final case class KmvEv(source: String, word: String)
+  final case class KmvState(hashes: List[Long], n_seen: Long)
+  final case class KmvOut(source: String, n_seen: Long, est_distinct: Long)
+
+  /** Per-key streaming distinct-count estimate — the streaming twin of the
+    * batch `approx_distinct_kmv` sketch. State per key is the SAME bounded
+    * KMV buffer the batch Aggregator carries (≤ k sorted hashes + one
+    * counter) however long the stream runs, and because the KMV insert is
+    * a semilattice (order-independent, spec-proven in KmvSketchSpec) and
+    * the hash is the portable md5 h48, a batch replay of the same rows
+    * yields the bit-identical estimate — the streaming/batch twin contract
+    * of `ewma_user`/`ewmaStream`, for the cardinality question ("how many
+    * distinct tokens has this source produced so far").
+    */
+  def distinctStream(events: Dataset[KmvEv], k: Int): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    val agg = graft.operators.KmvSketch.KmvAgg(k)
+    events.groupByKey(_.source)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[KmvEv], state: GroupState[KmvState]) =>
+          var st = state.getOption.getOrElse(KmvState(Nil, 0L))
+          rows.foreach { e =>
+            val h = graft.functions.Md5Hash48.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(e.word))
+            st = KmvState(agg.reduce(st.hashes, h), st.n_seen + 1)
+          }
+          state.update(st)
+          KmvOut(source, st.n_seen,
+            graft.operators.KmvSketch.estimate(st.hashes, k))
+      }
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

@@ -320,4 +320,40 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
       assert(batch == 168L)
     } finally q.stop()
   }
+
+  test("distinctStream carries the KMV sketch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{KmvEv, KmvOut}
+    val k = 8
+    val in = MemoryStream[KmvEv]
+    val sink = s"kmv_${System.nanoTime()}"
+    val q = StreamingOps.distinctStream(in.toDS(), k)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation", freshCheckpoint("kmv"))
+      .start()
+    try {
+      // batch 1: 3 distinct words for src a (below k → exact), repeats included
+      in.addData(KmvEv("a", "x"), KmvEv("a", "y"), KmvEv("a", "x"), KmvEv("a", "z"),
+        KmvEv("b", "q"))
+      q.processAllAvailable()
+      // batch 2: 40 more distinct for a — crosses the k boundary, so the
+      // carried sketch must keep only the bottom-k hashes
+      in.addData((1 to 40).map(i => KmvEv("a", s"w$i")): _*)
+      q.processAllAvailable()
+      val got = spark.table(sink).as[KmvOut].collect()
+        .groupBy(_.source).view.mapValues(_.maxBy(_.n_seen)).toMap
+      assert(got("b").est_distinct == 1L && got("b").n_seen == 1L)
+      assert(got("a").n_seen == 44L)
+      // bit-identical to the batch sketch folded over the same rows
+      val agg = graft.operators.KmvSketch.KmvAgg(k)
+      val words = Seq("x", "y", "x", "z") ++ (1 to 40).map(i => s"w$i")
+      val sk = words.foldLeft(agg.zero)((b, w) => agg.reduce(b,
+        graft.functions.Md5Hash48.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w))))
+      assert(got("a").est_distinct == graft.operators.KmvSketch.estimate(sk, k))
+      // and the estimate is in the bottom-k error band around 43 distinct
+      assert(got("a").est_distinct > 20L && got("a").est_distinct < 90L)
+    } finally q.stop()
+  }
 }
