@@ -541,6 +541,69 @@ object LlmPipeline extends QueryModule {
        |FROM c""".stripMargin
   }
 
+  // ---- frequency-ranked vocabulary encoding -------------------------------
+  private val VocabSize = 16
+
+  /** Tokenizer vocabulary assignment + corpus encoding — the id-mapping
+    * step between `bpe_merges` (learn the units) and `pack_sequences`
+    * (lay out the ids): ids 0..V−1 go to the top-V tokens by
+    * (freq DESC, token ASC); every other token is OOV (−1). The vocab
+    * build is the corpus's ONE data-sized aggregate (vocab-bounded
+    * output); the vocab itself is collected to the driver (V rows — the
+    * k-means-centroid pattern) and applied as a literal map inside
+    * higher-order functions, so encoding is MAP-ONLY: no explode, no
+    * join, no per-doc re-aggregation shuffle. V=16 here keeps OOV
+    * behavior exercised on this corpus (vocab ≈ 33).
+    *
+    * Output is per-doc accounting (token/OOV counts and a
+    * position-weighted id checksum Σ(pos+1)·(id+2)) rather than the raw
+    * id array — scalar columns are the oracle-comparable contract
+    * (SchemaGuard), and the checksum pins both ids AND their order.
+    */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(lower(col("text")))
+    val vocab: Map[String, Int] = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(VocabSize)
+      .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
+    val vm = typedLit(vocab)
+    val ids = transform(toks, t => coalesce(element_at(vm, t), lit(-1)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ids.as("ids"))
+      .where(size(col("ids")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), x => x === -1)).cast("long").as("n_oov"),
+        aggregate(
+          transform(col("ids"), (x, i) => (i + 1).cast("long") * (x + 2)),
+          lit(0L), (a, b) => a + b).as("ids_checksum"))
+  }
+
+  private val vocabEncodeSql = {
+    val w = graft.functions.TextFns.tokensSql("lower(text)")
+    s"""WITH tf AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest($w) AS word FROM documents)
+       |  GROUP BY word
+       |), v AS (
+       |  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS vid
+       |  FROM tf ORDER BY cnt DESC, word LIMIT $VocabSize
+       |), tok AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |), enc AS (
+       |  SELECT t.doc_id, t.pos, coalesce(v.vid, -1) AS vid
+       |  FROM (SELECT doc_id, pos, w[pos] AS t FROM tok) t
+       |  LEFT JOIN v ON v.word = t.t
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(pos * (vid + 2)) AS BIGINT) AS ids_checksum
+       |FROM enc GROUP BY doc_id""".stripMargin
+  }
+
   // ---- k-means embedding clustering ---------------------------------------
   private val KmK = 8
   private val KmIters = 3
@@ -968,6 +1031,48 @@ object LlmPipeline extends QueryModule {
        |SELECT id AS doc_id, rank FROM r$PrIters""".stripMargin
   }
 
+  /** Personalized PageRank from the seed subset (every 10th doc — the
+    * `label_prop` seeding convention): proximity-to-trusted-docs in the
+    * near-dup graph, the "expand a curated set" primitive. Non-seed docs
+    * with high PPR share material (directly or transitively) with the
+    * curated set. Output keeps only ranked docs (rank > 0 — reachable
+    * from a seed) to stay reviewable.
+    */
+  def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    graft.operators.PageRank.personalized(
+      docs, docs.where(col("id") % 10 === 0),
+      shingleStarSym(spark, dir), PrIters, trace = Some("ppr_seeded"))
+      .where(col("rank") > 0)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
+
+  private val pprSeededSql = {
+    val scale = graft.operators.PageRank.Scale
+    val base = 15L * scale / 100L
+    val rounds = (0 until PrIters).map { t =>
+      s"""c$t AS (
+         |  SELECT s.b AS dst, sum(r.rank // d.deg)::BIGINT AS s
+         |  FROM sym s JOIN deg d ON s.a = d.a JOIN r$t r ON r.id = s.a
+         |  GROUP BY 1
+         |), r${t + 1} AS (
+         |  SELECT n.doc_id AS id,
+         |    (CASE WHEN n.doc_id % 10 = 0 THEN $base ELSE 0 END
+         |     + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS rank
+         |  FROM documents n LEFT JOIN c$t c ON c.dst = n.doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleEdgeCtes, deg AS (
+       |  SELECT a, count(*) AS deg FROM sym GROUP BY 1
+       |), r0 AS (
+       |  SELECT doc_id AS id,
+       |    (CASE WHEN doc_id % 10 = 0 THEN $scale ELSE 0 END)::BIGINT AS rank
+       |  FROM documents
+       |),
+       |$rounds
+       |SELECT id AS doc_id, rank FROM r$PrIters WHERE rank > 0""".stripMargin
+  }
+
   // ---- triangle participation in the near-dup graph -----------------------
   /** Per-doc triangle counts over the symmetrized shingle-star graph
     * ([[graft.operators.TriangleCount]] — degree-ordered wedge join).
@@ -1187,6 +1292,8 @@ object LlmPipeline extends QueryModule {
     QueryDef("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
+    QueryDef("vocab_encode", vocabEncode, Some(vocabEncodeSql)),
+    QueryDef("ppr_seeded", pprSeeded, Some(pprSeededSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
