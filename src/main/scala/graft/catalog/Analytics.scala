@@ -625,6 +625,76 @@ object Analytics extends QueryModule {
       |WHERE (cv::HUGEINT * n - s) * (cv::HUGEINT * n - s)
       |  > 9 * (n::HUGEINT * q - s::HUGEINT * s)""".stripMargin
 
+  /** Robust per-group outlier counts via median absolute deviation — the
+    * heavy-tail-safe twin of [[zscoreOutliers]] (one wild event drags a
+    * mean/variance gate; the median pair shrugs it off). Pure integer
+    * math end-to-end: values quantize to cents (the zscore convention),
+    * the median is the EXACT value at rank ⌈n/2⌉ (the `percentiles_exact`
+    * device — a conditional pick at a computed rank, no float
+    * interpolation), MAD is the same pick over |cv − med|, and the flag
+    * is |cv − med| > 3·MAD in int64 — bit-identical across engines.
+    * Cost shape: two rank windows partitioned by event_type plus
+    * broadcast joins of the per-group scalars; the binned-histogram
+    * sketch (`approx_quantiles`) is the documented 100 TB swap-in for
+    * the rank windows.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir).select(
+      col("event_type"), round(col("value") * 100).cast("long").as("cv"))
+    val n = c.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w1 = Window.partitionBy(col("event_type")).orderBy(col("cv"))
+    val med = c.withColumn("rn", row_number().over(w1))
+      .join(broadcast(n), "event_type")
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cv").as("med_cents"))
+    val dev = c.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("cv"),
+        abs(col("cv") - col("med_cents")).as("ad"))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("ad"))
+    val mad = dev.withColumn("rn", row_number().over(w2))
+      .join(broadcast(n), "event_type")
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("ad").as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ad") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"))
+  }
+
+  private val madOutliersSql =
+    """WITH c AS (
+      |  SELECT event_type, round(value * 100)::BIGINT AS cv FROM events
+      |), g AS (
+      |  SELECT event_type, count(*) AS n FROM c GROUP BY 1
+      |), r1 AS (
+      |  SELECT event_type, cv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cv) AS rn
+      |  FROM c
+      |), med AS (
+      |  SELECT r1.event_type, cv AS med_cents
+      |  FROM r1 JOIN g USING (event_type) WHERE rn = (n + 1) // 2
+      |), dev AS (
+      |  SELECT c.event_type, abs(cv - med_cents) AS ad
+      |  FROM c JOIN med USING (event_type)
+      |), r2 AS (
+      |  SELECT event_type, ad,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn
+      |  FROM dev
+      |), mad AS (
+      |  SELECT r2.event_type, ad AS mad_cents
+      |  FROM r2 JOIN g USING (event_type) WHERE rn = (n + 1) // 2
+      |)
+      |SELECT dev.event_type, count(*) AS n, min(med_cents) AS med_cents,
+      |  min(mad.mad_cents) AS mad_cents,
+      |  CAST(sum(CASE WHEN ad > 3 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   /** The ranking-window surface in one pass: rank / dense_rank / ntile /
     * lead / lag over each user's timeline — all integer or exact-value
     * outputs, one shuffle on user_id shared by every function (a single
@@ -887,6 +957,7 @@ object Analytics extends QueryModule {
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
+    QueryDef("mad_outliers", madOutliers, Some(madOutliersSql)),
     QueryDef("window_funcs", windowFuncs, Some(windowFuncsSql)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18Sql)),
     QueryDef("q2_min_cost_supplier", q2MinCostSupplier, Some(q2Sql)),
