@@ -24,17 +24,18 @@ object Algorithms extends QueryModule {
     * min-aggregate per round. The oracle's recursive CTE enumerates the
     * same closure centrally.
     */
-  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    // pair build as ONE key shuffle: collect each order's part set (order
-    // size ~7, so arrays are tiny and map-side combine bites), explode the
-    // ordered pairs in-stage, dedup once. Both directions are emitted here
-    // so the operator skips its own symmetrize pass — vs the former
-    // self-join this halves the shuffled volume (no second sort side, no
-    // second distinct). Memoized ([[graft.core.Shared]]): the build is the
-    // dominant cost of a BFS run, and at scale the co-purchase graph is
-    // derived once, not once per traversal — memoizing also makes the
-    // bench's cold/warm spread attributable via `shared_builds`.
-    val edges = graft.core.Shared.memo(spark, "bfs_copurchase_edges", dir) {
+  // pair build as ONE key shuffle: collect each order's part set (order
+  // size ~7, so arrays are tiny and map-side combine bites), explode the
+  // ordered pairs in-stage, dedup once. Both directions are emitted here
+  // so consumers skip their own symmetrize pass — vs the former
+  // self-join this halves the shuffled volume (no second sort side, no
+  // second distinct). Memoized ([[graft.core.Shared]]): the build is the
+  // dominant cost of a traversal, and at scale the co-purchase graph is
+  // derived once, not once per traversal — memoizing also makes the
+  // bench's cold/warm spread attributable via `shared_builds`. Shared by
+  // [[bfsHops]] and [[graphDiameter]].
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "bfs_copurchase_edges", dir) {
       val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
       li.groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("ps"))
@@ -43,9 +44,64 @@ object Algorithms extends QueryModule {
         .where(col("u") =!= col("v"))
         .distinct()
     }
-    Bfs.hopsFrom(edges, src = 1L, maxHops = 3, trace = Some("bfs_hops"),
-      symmetrized = true)
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame =
+    Bfs.hopsFrom(coPurchaseEdges(spark, dir), src = 1L, maxHops = 3,
+      trace = Some("bfs_hops"), symmetrized = true)
+
+  /** Graph-diameter lower bound by the classic double sweep: BFS from the
+    * max-degree vertex, then a second BFS from the farthest vertex found —
+    * the second eccentricity is a (usually tight) diameter lower bound at
+    * the cost of TWO bounded traversals, where the exact diameter needs
+    * all-pairs. Reuses the shared co-purchase edge frame and
+    * [[Bfs.hopsFrom]]'s delta-frontier rounds; the only driver state is
+    * three 1-row argmax collects (source pick, far pick, eccentricity),
+    * each with a deterministic (metric DESC, id ASC) tiebreak the
+    * oracle's recursive-CTE replay mirrors exactly. Hop caps bound the
+    * work (and are part of the operator's contract: ecc_lb is "within
+    * `maxHops`").
+    */
+  def graphDiameter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, dir)
+    val src0 = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(1)
+      .head().getLong(0)
+    val d1 = Bfs.hopsFrom(edges, src0, maxHops = 4,
+      trace = Some("graph_diameter_s1"), symmetrized = true)
+    val far = d1.orderBy(col("hops").desc, col("part_id")).limit(1)
+      .head().getLong(0)
+    val d2 = Bfs.hopsFrom(edges, far, maxHops = 4,
+      trace = Some("graph_diameter_s2"), symmetrized = true)
+    val ecc = d2.agg(max(col("hops"))).head().getInt(0)
+    Seq((src0, far, ecc)).toDF("src_node", "far_node", "ecc_lb")
   }
+
+  private val graphDiameterSql =
+    """WITH RECURSIVE ed AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |),
+      |s0 AS (
+      |  SELECT u FROM (SELECT u, count(*) AS deg FROM ed GROUP BY u)
+      |  ORDER BY deg DESC, u LIMIT 1
+      |),
+      |w1(v, d) AS (
+      |  SELECT u, 0 FROM s0
+      |  UNION
+      |  SELECT ed.v, w1.d + 1 FROM w1 JOIN ed ON ed.u = w1.v WHERE w1.d < 4
+      |),
+      |h1 AS (SELECT v, min(d) AS hops FROM w1 GROUP BY v),
+      |far AS (SELECT v FROM h1 ORDER BY hops DESC, v LIMIT 1),
+      |w2(v, d) AS (
+      |  SELECT v, 0 FROM far
+      |  UNION
+      |  SELECT ed.v, w2.d + 1 FROM w2 JOIN ed ON ed.u = w2.v WHERE w2.d < 4
+      |),
+      |h2 AS (SELECT v, min(d) AS hops FROM w2 GROUP BY v)
+      |SELECT (SELECT u FROM s0) AS src_node, (SELECT v FROM far) AS far_node,
+      |  (SELECT CAST(max(hops) AS INTEGER) FROM h2) AS ecc_lb""".stripMargin
 
   private val bfsSql =
     """WITH RECURSIVE ed AS (
@@ -452,6 +508,7 @@ object Algorithms extends QueryModule {
     QueryDef("kcore_graph", kcoreGraph, Some(kcoreSql)),
     QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
+    QueryDef("graph_diameter", graphDiameter, Some(graphDiameterSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
     QueryDef("approx_topk", approxTopKTokens, Some(approxTopKSql)),
     QueryDef("approx_quantiles", approxQuantilesBinned, Some(approxQuantilesSql)),
