@@ -61,4 +61,42 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized PageRank: teleport mass flows ONLY to the seed set, so
+    * ranks measure proximity to the seeds rather than global centrality —
+    * the "expand a curated corpus to everything near it" primitive (seed
+    * docs are trusted; high-PPR non-seeds are the candidates to pull in).
+    * Same determinism contract as [[run]] (integer ranks, rational
+    * damping, fixed rounds — oracle replays as chained CTEs); same
+    * two-shuffle round shape; the only difference is the per-node
+    * teleport base: seeds start at [[Scale]] and keep the base term,
+    * non-seeds start (and teleport) at zero.
+    *
+    * @param seeds single-column `id` frame, a subset of `nodes`
+    */
+  def personalized(nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+                   iters: Int, trace: Option[String] = None): DataFrame = {
+    val base = (DampDen - DampNum) * Scale / DampDen
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = graft.core.Materialize(edges.join(deg, "src"))
+    val tagged = graft.core.Materialize(
+      nodes.join(seeds.select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("is_seed"), lit(0)).as("is_seed")))
+    var r = graft.core.Materialize(tagged.select(col("id"),
+      when(col("is_seed") === 1, lit(Scale)).otherwise(lit(0L)).as("rank")))
+    for (i <- 0 until iters) {
+      val contrib = e.join(r, e("src") === r("id"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val round = tagged.join(contrib, tagged("id") === contrib("dst"), "left")
+        .select(tagged("id"),
+          (when(col("is_seed") === 1, lit(base)).otherwise(lit(0L)) +
+            expr(s"(coalesce(s, cast(0 as bigint)) * $DampNum) div $DampDen"))
+            .as("rank"))
+      r = graft.core.Materialize(round)
+      trace.foreach(t =>
+        graft.core.PlanTrace.capture(round, s"${t}_round${i + 1}"))
+    }
+    r
+  }
 }

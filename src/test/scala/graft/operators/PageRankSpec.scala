@@ -51,4 +51,19 @@ class PageRankSpec extends SparkSpec {
       assert(run(nodes, edges, 3) === replay(nodes, edges, 3), s"seed $seed")
     }
   }
+
+  test("personalized: mass flows from the seed; unreachable nodes stay 0") {
+    // edge 1↔2, seed {1}, isolated 3 — two rounds by hand at Scale 10¹²:
+    // r1 = (base, 0.85·S, 0); r2 = (base + 0.85²·S, 0.85·base, 0)
+    val got = PageRank.personalized(
+      Seq(1L, 2L, 3L).toDF("id"), Seq(1L).toDF("id"),
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = PageRank.Scale
+    val base = 15L * s / 100L
+    assert(got === Map(
+      1L -> (base + (85L * s / 100L) * 85L / 100L),
+      2L -> (base * 85L / 100L),
+      3L -> 0L))
+  }
 }
