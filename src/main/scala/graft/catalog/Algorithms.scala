@@ -178,6 +178,37 @@ object Algorithms extends QueryModule {
       |FROM cum JOIN p ON cum * 100 >= pct * n
       |GROUP BY pct""".stripMargin
 
+  /** Grouped binned quantiles ([[Quantiles.binnedByKey]]): p50/p90/p99 of
+    * event value per event_type — the per-tenant latency-percentile shape.
+    * Shuffle carries one row per (key, occupied bin); every window is
+    * PARTITIONED by the key (no global frame), so groups parallelize and
+    * each group's cumulative pass is bounded by its own bin count. The
+    * exact grouped rank (`percentiles_exact`, `mad_outliers`) re-sorts
+    * whole groups instead. Values are positive here, so Spark's
+    * truncating `div` and DuckDB's floor `//` agree on every bin.
+    */
+  def approxQuantilesGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type").as("k"),
+        round(col("value") * 100).cast("long").as("v"))
+    Quantiles.binnedByKey(cents, binWidth = 100L, pcts = Seq(50, 90, 99))
+      .select(col("k").as("event_type"), col("pct"), col("value"))
+  }
+
+  private val approxQuantilesGroupedSql =
+    """WITH b AS (
+      |  SELECT event_type AS k, round(value * 100)::BIGINT // 100 AS bin,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT k, bin, sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum,
+      |         sum(c) OVER (PARTITION BY k) AS n
+      |  FROM b
+      |), p AS (SELECT unnest([50, 90, 99]) AS pct)
+      |SELECT k AS event_type, pct, CAST(min(bin) * 100 AS BIGINT) AS value
+      |FROM cum JOIN p ON cum * 100 >= pct * n
+      |GROUP BY 1, 2""".stripMargin
+
   private val heavyHittersSql =
     """WITH toks AS (
       |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
@@ -512,6 +543,8 @@ object Algorithms extends QueryModule {
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
     QueryDef("approx_topk", approxTopKTokens, Some(approxTopKSql)),
     QueryDef("approx_quantiles", approxQuantilesBinned, Some(approxQuantilesSql)),
+    QueryDef("approx_quantiles_grouped", approxQuantilesGrouped,
+      Some(approxQuantilesGroupedSql)),
     QueryDef("approx_distinct_kmv", approxDistinctKmv, Some(approxDistinctKmvSql)),
     QueryDef("approx_freq_cms", approxFreqCms, Some(approxFreqCmsSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),

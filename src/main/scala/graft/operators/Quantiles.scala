@@ -62,4 +62,36 @@ object Quantiles {
       .groupBy("pct")
       .agg((min(col("bin")) * binWidth).as("value"))
   }
+
+  /** Grouped variant of [[binned]]: one histogram per key, windows
+    * PARTITIONED by the key (no global window anywhere — each group's
+    * cumulative frame is bounded by ITS occupied bins, and groups
+    * parallelize across the cluster). The shuffle carries one row per
+    * (key, occupied bin): at 100 TB this is the per-tenant / per-slice
+    * latency-percentile shape — the exact grouped rank (`mad_outliers`'s
+    * windows, `percentiles_exact`) re-sorts every group's rows instead.
+    *
+    * @param values columns `k` (group key) and `v` (integer-quantized)
+    * @return `k`, `pct`, `value` — same rank rule as [[binned]], per key
+    */
+  def binnedByKey(values: DataFrame, binWidth: Long, pcts: Seq[Int]): DataFrame = {
+    require(binWidth > 0 && pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val spark = values.sparkSession
+    import spark.implicits._
+
+    val hist = values
+      .select(col("k"), expr(s"v div $binWidth").as("bin"))
+      .groupBy("k", "bin").agg(count(lit(1)).as("c"))
+    val byK = Window.partitionBy("k").orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        byK.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy("k").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val p = pcts.toDF("pct")
+    cum.join(broadcast(p), col("cum") * 100 >= col("pct").cast("long") * col("n"))
+      .groupBy("k", "pct")
+      .agg((min(col("bin")) * binWidth).as("value"))
+  }
 }

@@ -40,4 +40,26 @@ class QuantilesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Quantiles.binned(cents, 0L, Seq(50)) }
     intercept[IllegalArgumentException] { Quantiles.binned(cents, 10L, Seq(0)) }
   }
+
+  test("grouped variant isolates groups and keeps the per-group rank rule") {
+    import spark.implicits._
+    // group a: 1..100; group b: 1000·(1..10) — disjoint ranges, so any
+    // cross-group bleed moves a quantile by orders of magnitude
+    val rows = (1L to 100L).map(v => ("a", v)) ++ (1L to 10L).map(v => ("b", v * 1000))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = Quantiles.binnedByKey(df, binWidth = 10L, pcts = Seq(50, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a: rank ⌈50·100/100⌉ = 50 → value 50 lives in bin 5 → edge 50;
+    //    rank ⌈99⌉ = 99 → bin 9 → edge 90
+    assert(got(("a", 50)) == 50L && got(("a", 99)) == 90L)
+    // b: rank ⌈0.5·10⌉ = 5 → 5000 → bin edge 5000; p99 rank 10 → 10000
+    assert(got(("b", 50)) == 5000L && got(("b", 99)) == 10000L)
+    // per-group answers agree with running the global op on each slice
+    Seq("a", "b").foreach { k =>
+      val solo = Quantiles.binned(
+        df.where(col("k") === k).select(col("v")), 10L, Seq(50, 99))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Seq(50, 99).foreach(p => assert(got((k, p)) == solo(p), s"$k p$p"))
+    }
+  }
 }
