@@ -316,6 +316,67 @@ object Algorithms extends QueryModule {
        |GROUP BY pc.word""".stripMargin
   }
 
+  /** Equi-join cardinality estimation by CMS inner product (Cormode &
+    * Muthukrishnan §4.2) — the optimizer-infrastructure use of the sketch:
+    * |A ⋈ B| on the token key is Σ_w cntA(w)·cntB(w), and the row-wise
+    * sketch dot product min_r Σ_c A[r][c]·B[r][c] upper-bounds it from
+    * two CONSTANT-size summaries, never touching either side's data
+    * again. This is how a planner prices a join between two 100 TB
+    * corpus slices from kilobytes of statistics. Both the estimate and
+    * the exact count ride in the output: exact ships as the
+    * accuracy-visible baseline (its count-table join is vocab-bounded),
+    * est ≥ exact always (spec-pinned). Integer end-to-end → the oracle
+    * replays both bit-identically.
+    */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def toks(f: org.apache.spark.sql.Column) = docs.where(f)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+    val en = toks(col("lang") === "en")
+    val rest = toks(col("lang") =!= "en")
+    val a = CmsSketch.cells(en, CmsDepth, CmsWidth).withColumnRenamed("cnt", "ca")
+    val b = CmsSketch.cells(rest, CmsDepth, CmsWidth).withColumnRenamed("cnt", "cb")
+    val est = a.join(b, Seq("r", "c"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(coalesce(min(col("dot")), lit(0L)).as("est_pairs"))
+    val exact = en.groupBy(col("word")).agg(count(lit(1)).as("na"))
+      .join(rest.groupBy(col("word")).agg(count(lit(1)).as("nb")), "word")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_pairs"))
+    est.crossJoin(exact)
+  }
+
+  private val cmsJoinSizeSql = {
+    val ha = PortableHash.h48Sql("CAST(g.r AS VARCHAR) || ':' || word")
+    s"""WITH ta AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS word
+       |  FROM documents WHERE lang = 'en'
+       |), tb AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS word
+       |  FROM documents WHERE lang <> 'en'
+       |),
+       |ca AS (
+       |  SELECT g.r AS r, $ha % $CmsWidth AS c, count(*) AS ca
+       |  FROM ta CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g
+       |  WHERE word <> '' GROUP BY 1, 2
+       |),
+       |cb AS (
+       |  SELECT g.r AS r, $ha % $CmsWidth AS c, count(*) AS cb
+       |  FROM tb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g
+       |  WHERE word <> '' GROUP BY 1, 2
+       |),
+       |dot AS (
+       |  SELECT ca.r, sum(ca.ca * cb.cb) AS dot
+       |  FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY 1
+       |),
+       |na AS (SELECT word, count(*) AS n FROM ta WHERE word <> '' GROUP BY 1),
+       |nb AS (SELECT word, count(*) AS n FROM tb WHERE word <> '' GROUP BY 1)
+       |SELECT
+       |  CAST(coalesce((SELECT min(dot) FROM dot), 0) AS BIGINT) AS est_pairs,
+       |  CAST(coalesce((SELECT sum(na.n * nb.n)
+       |                 FROM na JOIN nb USING (word)), 0) AS BIGINT) AS exact_pairs""".stripMargin
+  }
+
   /** 2-D Pareto frontier (skyline) of parts minimizing (p_size,
     * p_retailprice). Decomposition: (1) per-size min price — a key
     * aggregate that collapses the data to ≤ |distinct sizes| rows;
@@ -547,6 +608,7 @@ object Algorithms extends QueryModule {
       Some(approxQuantilesGroupedSql)),
     QueryDef("approx_distinct_kmv", approxDistinctKmv, Some(approxDistinctKmvSql)),
     QueryDef("approx_freq_cms", approxFreqCms, Some(approxFreqCmsSql)),
+    QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),
     QueryDef("typo_join", typoJoin, Some(typoJoinSql)),
     QueryDef("gap_fill", gapFill, Some(gapFillSql)),
