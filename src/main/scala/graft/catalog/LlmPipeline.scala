@@ -92,6 +92,69 @@ object LlmPipeline extends QueryModule {
        |WHERE shared::DOUBLE / (na + nb - shared) >= $ExactJaccardThreshold""".stripMargin
   }
 
+  /** Recall audit of the banded dedup path: exact Jaccard-threshold pairs
+    * (PPJoin prefix filter — lossless) vs the MinHash-LSH pipeline's
+    * verified pairs at the SAME shingle width and threshold. LSH-verified
+    * pairs are a subset of the exact set (verification is exact Jaccard),
+    * so `n_missed` counts true pairs the banding dropped and
+    * `recall_permille` lands in the DRIVER GATE — the production question
+    * "what does the probabilistic path lose" answered as an attested
+    * number, not a spec-only assertion. Composes two already-scalable
+    * pipelines plus one anti-join on the (small) pair sets; 1-row output.
+    */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = graft.operators.SetSimJoin.jaccardPairs(
+      MinHashLsh.explodeShingles(docs, "doc_id", "text", ShingleN),
+      ExactJaccardThreshold).select(col("doc_a"), col("doc_b"))
+    val lsh = MinHashLsh.nearDupPairs(docs, "doc_id", "text", ShingleN,
+      ExactJaccardThreshold).select(col("doc_a"), col("doc_b"))
+    val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .select(col("n_exact"), col("n_lsh"), col("n_missed"),
+        expr("CASE WHEN n_exact = 0 THEN 1000 " +
+          "ELSE (1000 * (n_exact - n_missed)) div n_exact END")
+          .cast("long").as("recall_permille"))
+  }
+
+  private val lshRecallAuditSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", ShingleN)
+    val lshFull = MinHashLsh.nearDupSql("documents", "doc_id", "text",
+      ShingleN, ExactJaccardThreshold)
+    s"""WITH shx AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $ShingleN
+       |), ex AS (
+       |  SELECT id, unnest(shingles) AS shingle, len(shingles) AS n FROM shx
+       |), exact_p AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |  HAVING count(*)::DOUBLE
+       |    / (any_value(a.n) + any_value(b.n) - count(*))
+       |    >= $ExactJaccardThreshold
+       |), lsh_p AS (
+       |  SELECT doc_a, doc_b FROM ($lshFull)
+       |), m AS (
+       |  SELECT count(*) AS n_missed FROM exact_p e
+       |  LEFT JOIN lsh_p l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+       |  WHERE l.doc_a IS NULL
+       |)
+       |SELECT
+       |  CAST((SELECT count(*) FROM exact_p) AS BIGINT) AS n_exact,
+       |  CAST((SELECT count(*) FROM lsh_p) AS BIGINT) AS n_lsh,
+       |  CAST(n_missed AS BIGINT) AS n_missed,
+       |  CAST(CASE WHEN (SELECT count(*) FROM exact_p) = 0 THEN 1000
+       |       ELSE (1000 * ((SELECT count(*) FROM exact_p) - n_missed))
+       |            // (SELECT count(*) FROM exact_p) END AS BIGINT)
+       |    AS recall_permille
+       |FROM m""".stripMargin
+  }
+
   // ---- embedding-cosine near-dup (banded SRP engine path) -----------------
   private val CosineThreshold = 0.4
   private val Dim = 64
@@ -1294,6 +1357,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("ppr_seeded", pprSeeded, Some(pprSeededSql)),
+    QueryDef("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
