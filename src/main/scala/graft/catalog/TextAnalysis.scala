@@ -125,6 +125,50 @@ object TextAnalysis extends QueryModule {
        |FROM s""".stripMargin
   }
 
+  // ---- token distribution drift -------------------------------------------
+  /** Token-distribution drift between two corpus slices (the train/serve
+    * or batch-over-batch data-quality check): for each token, the
+    * cross-multiplied rate difference |na·NB − nb·NA| — zero iff the
+    * token's relative frequency matches across slices, and EXACT integer
+    * math (the na/NA − nb/NB float form would diverge across engines).
+    * One pass: tokens tagged by slice, ONE vocab-bounded conditional
+    * aggregate, 1-row totals broadcast back, top-20 by (score DESC, word)
+    * as TakeOrdered — no full sort. int64 holds to ~10⁹·10⁹ token
+    * products; lift `score` to decimal(38,0) beyond that.
+    */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((col("lang") === "en").cast("int").as("in_a"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+    val counts = toks.groupBy(col("word"))
+      .agg(sum(col("in_a").cast("long")).as("na"),
+        sum(lit(1L) - col("in_a")).as("nb"))
+    val totals = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("word"), col("na"), col("nb"),
+        abs(col("na") * col("tb") - col("nb") * col("ta")).as("drift_score"))
+      .orderBy(col("drift_score").desc, col("word"))
+      .limit(20)
+  }
+
+  private val tokenDriftSql =
+    """WITH toks AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+      |         unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents
+      |), c AS (
+      |  SELECT word, CAST(sum(in_a) AS BIGINT) AS na,
+      |         CAST(sum(1 - in_a) AS BIGINT) AS nb
+      |  FROM toks WHERE word <> '' GROUP BY word
+      |), t AS (
+      |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      |  FROM c
+      |)
+      |SELECT word, na, nb, CAST(abs(na * tb - nb * ta) AS BIGINT) AS drift_score
+      |FROM c CROSS JOIN t
+      |ORDER BY drift_score DESC, word LIMIT 20""".stripMargin
+
   // ---- BPE merge learning -------------------------------------------------
   private val BpeRounds = 6
 
@@ -832,6 +876,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("quality_classify", qualityClassify, Some(qualityClassifySql)),
     QueryDef("bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    QueryDef("token_drift", tokenDrift, Some(tokenDriftSql)),
     QueryDef("token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
