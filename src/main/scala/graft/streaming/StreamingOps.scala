@@ -134,6 +134,30 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Temporal (SCD2) stream enrichment: each event joins the dimension
+    * version that was valid AT ITS EVENT TIME — `key` equality plus
+    * `valid_from ≤ ts < valid_to` — not merely the current version, so a
+    * replayed or late event still lands on the attributes it saw when it
+    * happened (the correctness property plain `enrichStream` loses the
+    * moment a dimension row changes). Stream-static joins re-plan per
+    * micro-batch, so an SCD2 append (new version row + closed-out
+    * predecessor) takes effect live with ZERO streaming state; the range
+    * predicate rides the broadcast hash join on `key` as a residual
+    * filter — versions per key are few, so the per-row probe stays O(1).
+    *
+    * Dimension schema: (`key`, valid_from_us, valid_to_us, ...attrs) with
+    * half-open [from, to) validity — the `scd2_merge` output contract
+    * (open versions carry a far-future valid_to).
+    */
+  def enrichStreamAsOf(stream: DataFrame, dim: DataFrame, key: String,
+                       tsCol: String): DataFrame =
+    stream.join(broadcast(dim),
+      stream(key) === dim(key) &&
+        stream(tsCol) >= dim("valid_from_us") &&
+        stream(tsCol) < dim("valid_to_us"),
+      "left")
+      .drop(dim(key))
+
   /** Streaming ingestion admission — the streaming face of
     * [[graft.catalog.LlmPipeline.ingestDedup]]: each arriving doc is
     * vetted against the EXISTING corpus's pre-built dedup indexes and

@@ -321,6 +321,38 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("enrichStreamAsOf lands each event on its event-time dim version") {
+    implicit val sqlCtx = spark.sqlContext
+    // SCD2 dim: user 1 was "bronze" in [0, 100), "gold" from [100, ∞);
+    // user 2 has one open version; user 3 is absent (left join → null)
+    val dim = Seq(
+      (1L, 0L, 100L, "bronze"),
+      (1L, 100L, Long.MaxValue, "gold"),
+      (2L, 0L, Long.MaxValue, "silver"))
+      .toDF("user_id", "valid_from_us", "valid_to_us", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val sink = s"asof_${System.nanoTime()}"
+    val q = StreamingOps.enrichStreamAsOf(
+      in.toDF().toDF("user_id", "ts_us"), dim, "user_id", "ts_us")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", freshCheckpoint("asof"))
+      .start()
+    try {
+      // one batch carries events BOTH sides of user 1's version boundary,
+      // including the half-open edges: ts 99 → bronze, ts 100 → gold
+      in.addData((1L, 50L), (1L, 99L), (1L, 100L), (1L, 150L), (2L, 7L), (3L, 1L))
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .select(col("user_id"), col("ts_us"), col("tier"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+        .toSet
+      assert(got == Set(
+        (1L, 50L, "bronze"), (1L, 99L, "bronze"),
+        (1L, 100L, "gold"), (1L, 150L, "gold"),
+        (2L, 7L, "silver"), (3L, 1L, null)))
+    } finally q.stop()
+  }
+
   test("distinctStream carries the KMV sketch across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.{KmvEv, KmvOut}
