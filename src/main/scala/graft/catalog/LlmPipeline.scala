@@ -242,6 +242,53 @@ object LlmPipeline extends QueryModule {
     VectorOps.ivfTopKSql("embeddings", "vec_id", "embedding",
       IvfCentroidMod, IvfNProbe, LshK, Dim, QueryMod)
 
+  // ---- diverse subset selection (greedy k-center) -------------------------
+  private val KCenterK = 6
+  private val EmbDim = 64
+
+  /** Greedy k-center diverse subset over the embedding corpus
+    * ([[VectorOps.kCenterSelect]]): pick the [[KCenterK]] mutually most
+    * dissimilar vectors — the "cover the space" sampling complement of
+    * `semantic_dedup` (which removes the most similar). k map-only score
+    * rounds + 1-row argmin collects; no pairwise matrix.
+    */
+  def diverseSample(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.kCenterSelect(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", KCenterK)
+
+  private val diverseSampleSql = {
+    val q = VectorOps.quantizeSql("embedding")
+    def cos(a: String, b: String) =
+      s"round(${VectorOps.cosineQSql(a, b, EmbDim)}, 6)"
+    val rounds = (2 to KCenterK).map { r =>
+      val upd =
+        if (r == 2)
+          s"""m1 AS (
+             |  SELECT e.id, e.qv, ${cos("e.qv", "s.qv")} AS ms
+             |  FROM e CROSS JOIN s1 s WHERE e.id <> s.id
+             |)""".stripMargin
+        else
+          s"""m${r - 1} AS (
+             |  SELECT m.id, m.qv,
+             |    greatest(m.ms, ${cos("m.qv", "p.qv")}) AS ms
+             |  FROM m${r - 2} m CROSS JOIN p${r - 1} p WHERE m.id <> p.id
+             |)""".stripMargin
+      s"""$upd,
+         |p$r AS (SELECT id, qv, ms FROM m${r - 1} ORDER BY ms, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to KCenterK)
+      .map(r => s"SELECT $r AS pick_order, id AS vec_id, ms AS sim_at_pick FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, $q AS qv FROM embeddings
+       |),
+       |s1 AS (SELECT id, qv FROM e ORDER BY id LIMIT 1),
+       |$rounds
+       |SELECT 1 AS pick_order, id AS vec_id, NULL::DOUBLE AS sim_at_pick FROM s1
+       |UNION ALL
+       |$out""".stripMargin
+  }
+
   // ---- exact substring-span dedup ----------------------------------------
   private val SpanN = 8
 
@@ -1358,6 +1405,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("ppr_seeded", pprSeeded, Some(pprSeededSql)),
     QueryDef("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
+    QueryDef("diverse_sample", diverseSample, Some(diverseSampleSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),

@@ -345,4 +345,47 @@ object VectorOps {
       .select(col("a").as("vec_a"), col("b").as("vec_b"),
         round(col("cos_raw"), 6).as("cosine"))
   }
+
+  /** Greedy k-center (farthest-point-first, Gonzalez 1985) diverse subset
+    * selection — the training-mix counterpart of dedup: where SemDeDup
+    * REMOVES the most-similar docs, this SELECTS the k mutually most
+    * DISSIMILAR ones (2-approximation to the optimal k-center cover).
+    * Round shape is pure distributed scan-and-argmin: each candidate
+    * carries one running scalar `ms` (max cosine to any selected vector);
+    * a round broadcasts the newly selected vector as a LITERAL (the
+    * 1-row kmeans-centroid pattern), updates `ms` map-only, and collects
+    * the argmin row. No pairwise materialization ever — k·n scores total
+    * vs n²/2 for the distance matrix.
+    *
+    * Determinism: ranking on the ROUNDED cosine with id tie-break (the
+    * [[bruteForceTopK]] convention), integer dot/norms underneath, so
+    * the oracle replays every pick as chained CTEs. `sim_at_pick` (the
+    * pick's distance-to-set, a coverage-radius proxy) is NULL for the
+    * seed (id-min — no set to measure against yet).
+    */
+  def kCenterSelect(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"k-center needs k >= 2, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    val base = graft.core.Materialize(
+      vectors.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")))
+    val seed = base.orderBy(col("id")).limit(1).head()
+    val seedId = seed.getLong(0)
+    var picks = List[(Int, Long, Option[Double])]((1, seedId, None))
+    var cand = graft.core.Materialize(base.where(col("id") =!= seedId)
+      .withColumn("ms",
+        round(cosineQ(col("qv"), typedLit(seed.getSeq[Long](1))), 6)))
+    for (r <- 2 to k) {
+      val pick = cand.orderBy(col("ms").asc, col("id").asc).limit(1).head()
+      val (pid, pv, pms) = (pick.getLong(0), pick.getSeq[Long](1), pick.getDouble(2))
+      picks ::= ((r, pid, Some(pms)))
+      if (r < k)
+        cand = graft.core.Materialize(cand.where(col("id") =!= pid)
+          .withColumn("ms",
+            greatest(col("ms"), round(cosineQ(col("qv"), typedLit(pv)), 6))))
+    }
+    picks.reverse.toDF("pick_order", "vec_id", "sim_at_pick")
+  }
 }

@@ -80,4 +80,24 @@ class VectorOpsSpec extends SparkSpec {
     val recall = (ground intersect got).size.toDouble / ground.size
     assert(recall >= 0.9, s"SRP ANN recall $recall < 0.9 (${ground.size} truth pairs)")
   }
+
+  test("k-center picks the farthest-first order on a hand-built geometry") {
+    import spark.implicits._
+    // seed is min id (1); v4 is v1's antipode (cos −1) → picked second;
+    // v3 is orthogonal to both (ms 0) → third; the near-duplicate v2
+    // (cos ≈ 1 with the seed) is never chosen
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0.01f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.kCenterSelect(vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1, 1L), (2, 4L), (3, 3L)))
+    assert(got(0)._3.isEmpty)
+    assert(got(1)._3.get == -1.0) // antipode: exactly −1 after rounding
+    assert(got(2)._3.get == 0.0)  // orthogonal remainder
+  }
 }
