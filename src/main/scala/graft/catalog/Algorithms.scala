@@ -578,6 +578,89 @@ object Algorithms extends QueryModule {
        |)
        |SELECT v AS part_id, min(label) AS label FROM walk GROUP BY v""".stripMargin
 
+  // ---- link prediction (Adamic-Adar common-neighbor scoring) -------------
+  private val LpK = 20
+  private val LpDegCap = 32
+
+  /** Top-`LpK` NON-adjacent part pairs ranked by Adamic-Adar score — the
+    * classic "you may also like" link-prediction signal: pairs sharing
+    * many LOW-degree neighbors score high, Σ_w 1/ln(deg(w)). Evaluation is
+    * wedge enumeration over the support-filtered co-purchase graph — each
+    * common neighbor w contributes one (u,w,v) wedge via two equi-joins —
+    * then an anti-join drops already-connected pairs. The intermediate-
+    * degree cap `LpDegCap` is the skew guard that makes the wedge count
+    * Σ deg(w)² bounded per node at 100 TB (hubs carry ~no AA signal by
+    * construction: 1/ln(deg) → 0), mirrored exactly in the oracle.
+    * Per-neighbor weights are pre-rounded to integer micro-units
+    * (`round(1e6/ln(deg))`) so the ranking and the top-k cutoff are exact
+    * integer comparisons on both engines — no float-sum tie at the
+    * boundary can reorder membership. A common neighbor always has degree
+    * ≥ 2 (it touches both endpoints), so the `deg >= 2` floor in the cap
+    * filter drops nothing semantically — it only keeps `ln(deg)` away
+    * from zero before the join proves that.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val ed = weightedCoEdges(spark, dir).select(col("u"), col("v"))
+    val sed = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+    val mid = sed.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .where(col("deg").between(2, LpDegCap))
+      .select(col("u").as("w"),
+        expr("CAST(round(1000000.0 / ln(deg)) AS BIGINT)").as("aam"))
+    val cand = sed.toDF("a", "w").join(mid, "w")
+      .join(sed.toDF("w", "b"), "w")
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("u"), col("b").as("v"))
+      .agg(sum(col("aam")).as("aa_micro"), count(lit(1)).as("cn"))
+    val w = Window.orderBy(col("aa_micro").desc, col("u"), col("v"))
+    cand.join(ed, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("u"), col("v")).limit(LpK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  private val linkPredictSql =
+    s"""WITH $coEdgesSql,
+       |mid AS (
+       |  SELECT u AS w, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS aam
+       |  FROM (SELECT u, count(*) AS deg FROM sed GROUP BY u)
+       |  WHERE deg BETWEEN 2 AND $LpDegCap
+       |),
+       |cand AS (
+       |  SELECT e1.u AS u, e2.v AS v,
+       |    CAST(sum(m.aam) AS BIGINT) AS aa_micro, count(*) AS cn
+       |  FROM sed e1 JOIN mid m ON e1.v = m.w JOIN sed e2 ON e2.u = m.w
+       |  WHERE e1.u < e2.v
+       |  GROUP BY 1, 2
+       |)
+       |SELECT u, v, aa_micro, cn,
+       |  row_number() OVER (ORDER BY aa_micro DESC, u, v) AS rk
+       |FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = c.u AND ed.v = c.v)
+       |QUALIFY rk <= $LpK""".stripMargin
+
+  /** Degree assortativity (Pearson r of endpoint degrees across directed
+    * edges) — one number answering "do popular parts co-sell with popular
+    * parts?". Two key shuffles (degree count, edge⋈degree twice) and a
+    * single-row corr aggregate; corr is normalization-invariant so the
+    * engines' sample-vs-population factor choice cancels. Scale shape:
+    * the degree frame is node-sized and the joins are equi-joins on the
+    * edge key — nothing here is quadratic.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val ed = weightedCoEdges(spark, dir).select(col("u"), col("v"))
+    val sed = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+    val deg = sed.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    sed.join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .agg(count(lit(1)).as("n_edges"),
+        corr(col("du"), col("dv")).as("assortativity"))
+  }
+
+  private val graphAssortativitySql =
+    s"""WITH $coEdgesSql,
+       |deg AS (SELECT u, count(*) AS deg FROM sed GROUP BY u)
+       |SELECT count(*) AS n_edges, corr(du.deg, dv.deg) AS assortativity
+       |FROM sed JOIN deg du ON sed.u = du.u JOIN deg dv ON sed.v = dv.u""".stripMargin
+
   /** Bounded 2-core peeling ([[KCore.peel]], 3 rounds) over the same
     * support-filtered graph; survivors with their peeled-graph degree. */
   def kcoreGraph(spark: SparkSession, dir: String): DataFrame =
@@ -601,6 +684,8 @@ object Algorithms extends QueryModule {
     QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("graph_diameter", graphDiameter, Some(graphDiameterSql)),
+    QueryDef("link_predict", linkPredict, Some(linkPredictSql)),
+    QueryDef("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
     QueryDef("approx_topk", approxTopKTokens, Some(approxTopKSql)),
     QueryDef("approx_quantiles", approxQuantilesBinned, Some(approxQuantilesSql)),
