@@ -861,12 +861,159 @@ object TextAnalysis extends QueryModule {
        |  WHERE len(w) >= 2)
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ---- bigram next-token completion table ---------------------------------
+  private val NtK = 30
+
+  /** Markov completion table: for each of the `NtK` highest-outflow words,
+    * the single most likely next token with its count and probability —
+    * the greedy-decode row of a bigram language model (and the sanity
+    * probe run over every tokenizer/corpus drop). Two key shuffles
+    * (bigram count, per-prev outflow), then a per-prev argmax window —
+    * partitioned by `prev`, so the window never globalizes. Probabilities
+    * are emitted as integer micro-units of an exact integer ratio, so the
+    * compare is tolerance-free.
+    */
+  def bigramNextToken(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFns.tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    val c = Tables.documents(spark, dir)
+      .select(toks.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(grams).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("prev"),
+        substring_index(col("bigram"), " ", -1).as("next_tok"))
+      .groupBy(col("prev"), col("next_tok")).agg(count(lit(1)).as("n"))
+    val top = c.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("prev")).limit(NtK)
+    val w = Window.partitionBy(col("prev"))
+      .orderBy(col("n").desc, col("next_tok"))
+    c.join(top, "prev")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+      .withColumn("p_micro",
+        expr("CAST(round(1000000.0 * n / tot) AS BIGINT)"))
+  }
+
+  private val bigramNextTokenSql =
+    s"""WITH bg AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |  FROM (SELECT ${TextFns.tokensSql("text")} AS w FROM documents)
+       |  WHERE len(w) >= 2
+       |), c AS (
+       |  SELECT split_part(bigram, ' ', 1) AS prev,
+       |    split_part(bigram, ' ', 2) AS next_tok, count(*) AS n
+       |  FROM bg GROUP BY 1, 2
+       |), top AS (
+       |  SELECT prev, tot FROM (
+       |    SELECT prev, CAST(sum(n) AS BIGINT) AS tot,
+       |      row_number() OVER (ORDER BY sum(n) DESC, prev) AS pr
+       |    FROM c GROUP BY prev)
+       |  WHERE pr <= $NtK
+       |)
+       |SELECT c.prev, c.next_tok, c.n, top.tot,
+       |  CAST(round(1000000.0 * c.n / top.tot) AS BIGINT) AS p_micro
+       |FROM c JOIN top ON c.prev = top.prev
+       |QUALIFY row_number() OVER (PARTITION BY c.prev
+       |  ORDER BY c.n DESC, c.next_tok) = 1""".stripMargin
+
+  // ---- multinomial naive Bayes language classifier ------------------------
+  /** Train-and-classify in one pass: a multinomial naive Bayes language
+    * model fit on the 80% train split (`doc_id % 5 != 0`) and applied to
+    * the held-out 20% — the trainable upgrade of [[langId]]'s fixed
+    * stopword profiles, and the canonical "learn a classifier with
+    * nothing but GROUP BY" demonstration. All log-probabilities are
+    * pre-rounded per (class, token) to integer micro-units, so document
+    * scores are exact integer sums and the per-doc argmax (ties →
+    * alphabetically-first class) is reproducible bit-for-bit on both
+    * engines — the float boundary is confined to a single `ln` per
+    * distinct (class, token), never a per-document accumulation.
+    *
+    * Scale shape: the model is one (class × token) count shuffle; the
+    * class-constant frame is 5 rows (broadcast cross join); scoring joins
+    * test tokens to the model on the (class, token) key. Laplace
+    * smoothing handles unseen tokens via the per-class default term.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+    val train = tok.where(col("doc_id") % 5 =!= 0)
+    val vocab = train.select(col("tok")).distinct().count()
+    val ctc = train.groupBy(col("lang").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val nTrainDocs = Tables.documents(spark, dir)
+      .where(col("doc_id") % 5 =!= 0).count()
+    val cls = train.groupBy(col("lang").as("cls"))
+      .agg(sum(lit(1)).as("t"), count_distinct(col("doc_id")).as("nd"))
+      .withColumn("prior_micro",
+        expr(s"CAST(round(1000000.0 * ln(nd / ${nTrainDocs}.0)) AS BIGINT)"))
+      .withColumn("dflt_micro",
+        expr(s"CAST(round(1000000.0 * ln(1.0 / (t + $vocab))) AS BIGINT)"))
+    val dtc = tok.where(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("dc"))
+    val scored = dtc.crossJoin(broadcast(cls))
+      .join(ctc, Seq("cls", "tok"), "left")
+      .withColumn("term_micro", coalesce(
+        expr(s"CAST(round(1000000.0 * ln((cnt + 1.0) / (t + $vocab))) AS BIGINT)"),
+        col("dflt_micro")))
+      .groupBy(col("doc_id"), col("lang"), col("cls"), col("prior_micro"))
+      .agg(sum(col("dc") * col("term_micro")).as("s"))
+      .withColumn("score_micro", col("prior_micro") + col("s"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cls"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("pred_lang"),
+        col("score_micro"))
+  }
+
+  private val nbClassifySql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(${TextFns.tokensSql("text")}) AS tok
+       |  FROM documents
+       |), train AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+       |v AS (SELECT count(DISTINCT tok) AS vocab FROM train),
+       |ntd AS (SELECT count(*) AS nd FROM documents WHERE doc_id % 5 <> 0),
+       |ctc AS (
+       |  SELECT lang AS cls, tok, count(*) AS cnt FROM train GROUP BY 1, 2
+       |), cls AS (
+       |  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(round(1000000.0 * ln(count(DISTINCT doc_id) /
+       |      (SELECT nd FROM ntd)::DOUBLE)) AS BIGINT) AS prior_micro,
+       |    CAST(round(1000000.0 * ln(1.0 /
+       |      (count(*) + (SELECT vocab FROM v)))) AS BIGINT) AS dflt_micro
+       |  FROM train GROUP BY lang
+       |), dtc AS (
+       |  SELECT doc_id, lang, tok, count(*) AS dc
+       |  FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT d.doc_id, d.lang, c.cls, c.prior_micro,
+       |    CAST(sum(d.dc * coalesce(
+       |      CAST(round(1000000.0 * ln((ctc.cnt + 1.0) /
+       |        (c.t + (SELECT vocab FROM v)))) AS BIGINT),
+       |      c.dflt_micro)) AS BIGINT) AS s
+       |  FROM dtc d CROSS JOIN cls c
+       |  LEFT JOIN ctc ON ctc.cls = c.cls AND ctc.tok = d.tok
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_id, lang, cls AS pred_lang, prior_micro + s AS score_micro
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY prior_micro + s DESC, cls) = 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("doc_offsets", docOffsets, Some(docOffsetsSql)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     QueryDef("top_bigrams", topBigrams, Some(topBigramsSql)),
+    QueryDef("bigram_next_token", bigramNextToken, Some(bigramNextTokenSql)),
+    QueryDef("nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),
