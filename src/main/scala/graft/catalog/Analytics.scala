@@ -558,6 +558,100 @@ object Analytics extends QueryModule {
       |SELECT prev_type, event_type, count(*) AS n
       |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---- frequent 3-step event paths ---------------------------------------
+  private val TpK = 20
+
+  /** Sequential pattern mining, the 3-step cut: the `TpK` most frequent
+    * `a>b>c` event-type paths across all user timelines — the "what do
+    * users actually do" query behind funnel design. One user-partitioned
+    * window (two `lead`s resolve in a single sort), one count shuffle,
+    * and a top-k that TakeOrdereds per partition before merging — no
+    * global sort of the path space. Ordering ties break on event_id, so
+    * the path extraction is deterministic under any partitioning.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(TpK)
+  }
+
+  private val topPathsSql =
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER w AS e2,
+       |    lead(event_type, 2) OVER w AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |)
+       |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+       |FROM s WHERE e3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $TpK""".stripMargin
+
+  // ---- winsorized robust statistics --------------------------------------
+  /** Outlier-clamped per-type statistics: values are winsorized at the
+    * exact discrete P5/P95 ranks (the `percentiles_exact` integer-rank
+    * pick — no float boundary can miss a rank) and the clamped mean is
+    * reported next to the raw mean with the clamp count. This is the
+    * robust-stats companion to [[zscoreOutliers]]/MAD: those FLAG
+    * outliers, winsorization bounds their influence — the difference
+    * between a dashboard that survives one corrupt 1e9 reading and one
+    * that doesn't. Shape: one ranked window per type, bounds as a 5-row
+    * broadcast join back, then a plain aggregate.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pick(q: Int) = max(when(
+      col("rn") === expr(s"(n * $q + 99) div 100"), col("value")))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(pick(5).as("lo"), pick(95).as("hi"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(bounds), "event_type")
+      .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo")), 6).as("p05"),
+        round(min(col("hi")), 6).as("p95"),
+        round(avg(col("value")), 6).as("mean_raw"),
+        round(avg(col("wv")), 6).as("mean_winsorized"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clamped"))
+  }
+
+  private val winsorizedStatsSql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), b AS (
+      |  SELECT event_type,
+      |    max(value) FILTER (rn = (n * 5 + 99) // 100) AS lo,
+      |    max(value) FILTER (rn = (n * 95 + 99) // 100) AS hi
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  round(min(b.lo), 6) AS p05, round(min(b.hi), 6) AS p95,
+      |  round(avg(e.value), 6) AS mean_raw,
+      |  round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS mean_winsorized,
+      |  sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_clamped
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |GROUP BY e.event_type""".stripMargin
+
   /** Cohort retention: users grouped by first-seen day, counted per
     * (cohort_day, day_offset) of later activity. The cohort map is a
     * per-user aggregate joined back to the log — both legs shuffle on
@@ -955,6 +1049,8 @@ object Analytics extends QueryModule {
     QueryDef("window_pct_funcs", windowPctFuncs, Some(windowPctSql)),
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    QueryDef("top_paths", topPaths, Some(topPathsSql)),
+    QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("mad_outliers", madOutliers, Some(madOutliersSql)),

@@ -200,6 +200,64 @@ object LlmPipeline extends QueryModule {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  // ---- k-NN label classification over the embedding space -----------------
+  private val KnnK = 5
+
+  /** k-NN classification: each query vector takes the majority label of
+    * its `KnnK` exact nearest neighbors (self excluded) — the
+    * weak-supervision / label-propagation pass run over embedding stores
+    * to label new data from a labeled pool. Reuses the quantized
+    * brute-force top-k ([[VectorOps.bruteForceTopK]]— broadcast query
+    * batch, integer dot products, the same geometry the ANN paths
+    * approximate); the vote is a per-query integer count with
+    * (votes DESC, label ASC) tiebreak, so the prediction is exact on both
+    * engines. At scale the neighbor source swaps to the LSH/IVF path —
+    * the vote stage is identical.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val nn = VectorOps.bruteForceTopK(emb,
+      emb.where(col("vec_id") % QueryMod === 0), "vec_id", "embedding", KnnK)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = nn.join(lbl.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "true_label"), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+  }
+
+  private val knnClassifySql = {
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", Dim)
+    s"""WITH v AS (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id % $QueryMod = 0
+       |), nn AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.query_id, v.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round($cos, 6) DESC, v.vec_id) AS rank
+       |    FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+       |  WHERE rank <= $KnnK
+       |), votes AS (
+       |  SELECT nn.query_id, e.label, count(*) AS votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.cand_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT w.query_id, te.label AS true_label, w.label AS pred_label, w.votes
+       |FROM (SELECT query_id, label, votes, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+       |      FROM votes) w
+       |JOIN embeddings te ON te.vec_id = w.query_id
+       |WHERE w.rk = 1""".stripMargin
+  }
+
   // ---- ANN: multi-table SRP LSH (scale path) ------------------------------
   private val LshK = 3
   private val AnnRows = 4   // this corpus's true neighbors sit at cosine
@@ -334,6 +392,109 @@ object LlmPipeline extends QueryModule {
        |    / count(*), 6) AS dup_fraction
        |FROM e JOIN o ON o.shingle = e.shingle
        |GROUP BY e.id""".stripMargin
+  }
+
+  // ---- asymmetric containment pairs (template/quote detection) -----------
+  /** Ordered near-containment pairs: containment(A→B) = |S(A)∩S(B)|/|S(A)|
+    * over distinct word 3-gram shingles — the ASYMMETRIC companion to the
+    * Jaccard passes, and the signal that catches templates, quotations
+    * and subset-duplicates that symmetric similarity misses (a short doc
+    * fully embedded in a long one has high containment but low Jaccard).
+    * Shape: one exploded shingle frame, one inverted-index self-join, one
+    * pair count — the span_dedup shape, never all-pairs; hot shingles
+    * skew the join key and AQE skew handling applies. The τ=0.5 gate is
+    * evaluated as `2·inter ≥ |S(A)|` — pure integer comparison, so the
+    * cut is boundary-exact on both engines; the DOUBLE ratio column is
+    * reporting only.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ex = MinHashLsh.explodeShingles(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
+    val inter = ex.toDF("a_id", "shingle")
+      .join(ex.toDF("b_id", "shingle"), Seq("shingle"))
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter.join(sizes.withColumnRenamed("id", "a_id"), "a_id")
+      .where(col("inter") * 2 >= col("size_a"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("size_a"), 6))
+  }
+
+  private val containmentPairsSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", ShingleN)
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $ShingleN
+       |), e AS (
+       |  SELECT id, unnest(shingles) AS shingle FROM sh
+       |), sz AS (
+       |  SELECT id, count(*) AS size_a FROM e GROUP BY id
+       |), i AS (
+       |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id <> b.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.a_id, i.b_id, i.inter, sz.size_a,
+       |  round(i.inter::DOUBLE / sz.size_a, 6) AS containment
+       |FROM i JOIN sz ON sz.id = i.a_id
+       |WHERE 2 * i.inter >= sz.size_a""".stripMargin
+  }
+
+  // ---- rendezvous (highest-random-weight) shard routing -------------------
+  private val RvShards = 8
+  private val RvSeed = 31
+
+  /** Rendezvous (HRW) routing: each doc lands on the shard with the
+    * highest seeded hash h(seed, shard, doc) — the consistent-placement
+    * primitive for shard-local dedup indexes and embedding stores. Unlike
+    * `hash(doc) mod n`, removing one shard relocates ONLY that shard's
+    * docs (proven in-row: `shard_drop0` recomputes placement without
+    * shard 0 and `moved` flags exactly its former tenants). Map-only:
+    * the ×`RvShards` candidate explode happens in-stage and the argmax
+    * window is partitioned by doc — at 100 TB this is scan-speed routing
+    * with zero coordination state.
+    */
+  def rendezvousRoute(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(RvShards - 1))).as("shard"))
+      .withColumn("h", graft.functions.PortableHash.h48(
+        concat_ws(":", lit(RvSeed.toString), col("shard"), col("doc_id"))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h").desc, col("shard"))
+    val full = h.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("shard"))
+    val drop0 = h.where(col("shard") =!= 0)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("shard").as("shard_drop0"))
+    full.join(drop0, "doc_id")
+      .withColumn("moved", (col("shard") =!= col("shard_drop0")).cast("int"))
+  }
+
+  private val rendezvousRouteSql = {
+    val h = graft.functions.PortableHash.h48Sql(
+      s"'$RvSeed' || ':' || shard::VARCHAR || ':' || doc_id::VARCHAR")
+    s"""WITH c AS (
+       |  SELECT doc_id, unnest(range($RvShards)) AS shard FROM documents
+       |), h AS (
+       |  SELECT doc_id, shard, $h AS h FROM c
+       |), full_r AS (
+       |  SELECT doc_id, shard FROM (SELECT doc_id, shard,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) AS rk
+       |  FROM h) WHERE rk = 1
+       |), drop0 AS (
+       |  SELECT doc_id, shard AS shard_drop0 FROM (SELECT doc_id, shard,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) AS rk
+       |  FROM h WHERE shard <> 0) WHERE rk = 1
+       |)
+       |SELECT f.doc_id, f.shard, d.shard_drop0,
+       |  CAST(f.shard <> d.shard_drop0 AS INT) AS moved
+       |FROM full_r f JOIN drop0 d ON f.doc_id = d.doc_id""".stripMargin
   }
 
   // ---- domain mixture sampling -------------------------------------------
@@ -1391,9 +1552,12 @@ object LlmPipeline extends QueryModule {
     QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("ann_topk", annTopK, Some(annTopKSql)),
+    QueryDef("knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
+    QueryDef("containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    QueryDef("rendezvous_route", rendezvousRoute, Some(rendezvousRouteSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("quality_band_filter", qualityBandFilter, Some(qualityBandSql)),
