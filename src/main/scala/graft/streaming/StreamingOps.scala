@@ -41,6 +41,24 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Native session windows (`session_window(ts, gap)`): Spark's state
+    * store merges overlapping per-key gap windows itself — the DECLARATIVE
+    * twin of [[sessionizeStream]]'s hand-rolled flatMapGroupsWithState
+    * (same semantics, zero custom state code; a closed session's window
+    * end is last event + gap, where the custom op reports the last event
+    * itself — callers subtract the gap to convert). Sessions emit once
+    * the watermark passes their end (append mode), which is what bounds
+    * state; works identically on a batch frame. Prefer this form unless
+    * the session payload needs custom accumulation the agg can't express.
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, gap: String,
+                       watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** `ts` mirrors ts_us as a TimestampType column: the streaming path must
     * keep the WATERMARKED column itself flowing into the stateful operator
     * (the analyzer rejects event-time timeout if no watermarked attribute

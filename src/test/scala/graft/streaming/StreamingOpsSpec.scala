@@ -225,6 +225,53 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg merges gap windows natively, agrees with the custom op") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val sink = s"swin_${System.nanoTime()}"
+    val q = StreamingOps.sessionWindowAgg(df, "ts", "60 seconds", "10 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("swin"))
+      .start()
+    try {
+      // user 1: two merging events; user 2: one event; then the watermark
+      // advances far past both sessions' ends so append mode emits them
+      in.addData((ts(100), 1L, 1.0), (ts(110), 1L, 2.0), (ts(105), 2L, 8.0))
+      q.processAllAvailable()
+      in.addData((ts(10000), 3L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .select(col("user_id"), unix_seconds(col("session_start")),
+          unix_seconds(col("session_end")), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      // session end = last event + gap (the documented native convention)
+      assert(got.contains((1L, 100L, 170L, 2L, 3.0)), s"user 1 merged: $got")
+      assert(got.contains((2L, 105L, 165L, 1L, 8.0)), s"user 2 single: $got")
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg on a batch frame matches sessionizeStream sessions") {
+    val rows = Seq(
+      (ts(100), 1L, 1.0), (ts(110), 1L, 2.0), (ts(300), 1L, 4.0),
+      (ts(105), 2L, 8.0))
+    val df = rows.toDF("ts", "user_id", "value")
+    val native = StreamingOps.sessionWindowAgg(df, "ts", "60 seconds", "0 seconds")
+      .select(col("user_id"), unix_seconds(col("session_start")),
+        unix_seconds(col("session_end")) - 60, col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val custom = StreamingOps.sessionizeStream(df, "ts", gapUs = 60L * 1000000,
+      watermark = "0 seconds")
+      .collect()
+      .map(s => (s.user_id, s.session_start_us / 1000000,
+        s.session_end_us / 1000000, s.n_events)).toSet
+    assert(native === custom, "native end - gap must equal custom last-event end")
+  }
+
   test("admitStream labels arrivals exact/near/unique with zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     // corpus indexes, built batch-side: exact keys + bloom of span hashes
