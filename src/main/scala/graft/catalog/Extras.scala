@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Scratch, Tables}
@@ -347,6 +347,83 @@ object Extras extends QueryModule {
       |  EXCEPT
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin
 
+  // ---- declarative data-quality rule report -------------------------------
+  /** One data-quality sweep over the warehouse: each rule is a conditional
+    * aggregate (range, null-rate, NaN) or an anti-join (orphaned foreign
+    * keys), and the report is the union of their one-row results — the
+    * "is this corpus drop loadable" gate a pipeline runs before training.
+    * Shape: one scan per table with ALL of that table's conditional rules
+    * fused into a single aggregate (Catalyst collapses them — no
+    * rule-count × scan-count blowup), plus one broadcastable anti-join
+    * per FK rule; the union is rule-count rows, driver-tiny. At 100 TB
+    * every rule stays a scan-speed partial aggregate.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    def report(rule: String, checked: Column, violations: Column,
+               df: DataFrame): DataFrame =
+      df.agg(checked.cast("long").as("n_checked"),
+        violations.cast("long").as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val cnt = count(lit(1))
+    val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val orphanedLi = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val orphanedOrders = orders.select(col("o_custkey"))
+      .join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+    report("lineitem.quantity_in_1_50", cnt,
+        viol(!col("l_quantity").between(1, 50)), li)
+      .unionAll(report("lineitem.price_positive", cnt,
+        viol(col("l_extendedprice") <= 0), li))
+      .unionAll(report("lineitem.orderkey_resolves", lit(0),
+        cnt, orphanedLi).withColumn("n_checked",
+          lit(null).cast("long")))
+      .unionAll(report("orders.custkey_resolves", lit(0),
+        cnt, orphanedOrders).withColumn("n_checked",
+          lit(null).cast("long")))
+      .unionAll(report("orders.totalprice_positive", cnt,
+        viol(col("o_totalprice") <= 0), orders))
+      .unionAll(report("events.value_not_nan", cnt,
+        viol(isnan(col("value"))), ev))
+      .unionAll(report("documents.text_nonempty", cnt,
+        viol(length(trim(col("text"))) === 0), docs))
+  }
+
+  private val dqChecksSql =
+    """SELECT 'lineitem.quantity_in_1_50' AS rule, count(*) AS n_checked,
+      |  CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_violations FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem.price_positive', count(*),
+      |  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem.orderkey_resolves', NULL, count(*)
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'orders.custkey_resolves', NULL, count(*)
+      |FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'orders.totalprice_positive', count(*),
+      |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'events.value_not_nan', count(*),
+      |  CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM events
+      |UNION ALL
+      |SELECT 'documents.text_nonempty', count(*),
+      |  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM documents""".stripMargin
+
   // ---- end-to-end curation pipeline ---------------------------------------
   private val PipeMinChars = 100
   private val PipeDedupThreshold = 0.9
@@ -534,6 +611,7 @@ object Extras extends QueryModule {
     QueryDef("salted_agg", saltedAgg, Some(saltedAggSql)),
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
+    QueryDef("dq_checks", dqChecks, Some(dqChecksSql)),
     QueryDef("sudoku", sudoku, Some(sudokuSql)),
     QueryDef("pentomino", pentomino, Some(pentominoSql)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggSql)),
