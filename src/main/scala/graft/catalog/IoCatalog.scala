@@ -493,6 +493,73 @@ object IoCatalog extends QueryModule {
       |  round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // ---- parquet schema evolution (mergeSchema read) ------------------------
+  /** Schema-evolution read: two parquet drops written under DIFFERENT
+    * schemas (the second adds `lang`) load as ONE frame via
+    * `mergeSchema=true`, with the pre-evolution rows surfacing the new
+    * column as null — the "old shards keep working after the pipeline
+    * adds a field" contract every long-lived corpus needs. The merged
+    * scan stays distributed (schema reconciliation is footer-only, not a
+    * data pass); the oracle recomputes the same aggregate from the source
+    * table with the evolution boundary expressed as a CASE.
+    */
+  def schemaMergeRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("schema_merge", dir)
+    val docs = Tables.documents(spark, dir)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$path/v1")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy(coalesce(col("lang"), lit("<pre-evolution>")).as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  private val schemaMergeReadSql =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>' ELSE lang END
+      |    AS lang,
+      |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- malformed-record CSV ingestion (PERMISSIVE + corrupt column) -------
+  /** Dirty-ingest handling: a CSV drop where every 10th doc's line is
+    * malformed (non-numeric field + extra column) read in PERMISSIVE mode
+    * with a `_corrupt_record` column — the SkipBadRecords counterpart for
+    * the INGESTION edge (reference: mapred/SkipBadRecords.java handles
+    * crashes mid-map; this handles rows that never parse). Quarantined
+    * rows are counted, clean rows aggregate — nothing is silently
+    * dropped. The corruption rule is deterministic (doc_id % 10), so the
+    * oracle recomputes both populations from the source table without
+    * touching the file.
+    */
+  def csvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("csv_malformed", dir)
+    Tables.documents(spark, dir)
+      .select(when(col("doc_id") % 10 === 0,
+          concat_ws(",", col("doc_id"), lit("not_a_number,extra")))
+        .otherwise(concat_ws(",", col("doc_id"), col("n_chars"))).as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read
+      .schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("chars_good"))
+  }
+
+  private val csvMalformedSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT)
+      |    AS chars_good
+      |FROM documents""".stripMargin
+
   // ---- MultipleOutputFormat physical routed write -------------------------
   /** lineitem routed by return flag via partitionBy; the read-back frame
     * aggregates per route directory — green proves the on-disk routing.
@@ -741,6 +808,8 @@ object IoCatalog extends QueryModule {
     QueryDef("tfile_roundtrip", tfileRoundtrip, Some(tfileRoundtripSql)),
     QueryDef("multifile_wordcount", multifileWordcount, Some(multifileWordcountSql)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    QueryDef("schema_merge_read", schemaMergeRead, Some(schemaMergeReadSql)),
+    QueryDef("csv_malformed", csvMalformed, Some(csvMalformedSql)),
     QueryDef("compressed_roundtrip", compressedRoundtrip, Some(compressedRoundtripSql)),
     QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("multiple_outputs_write", multipleOutputsWrite, Some(multipleOutputsWriteSql)),
