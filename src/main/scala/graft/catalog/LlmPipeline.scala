@@ -1180,6 +1180,34 @@ object LlmPipeline extends QueryModule {
        |) s ON c.component = s.component""".stripMargin
   }
 
+  /** Dedup audit rollup: the cluster-size histogram of the near-dup
+    * component frame — "how much of the corpus is duplicated, at what
+    * multiplicity" is the ONE number reviewed before a dedup pass ships,
+    * and the histogram is where a broken shingle hash shows up as a
+    * single giant component. Consumes the memoized [[componentFrame]]
+    * (derive once, audit + act from the same frame); two count shuffles
+    * over component-sized data, output is max-multiplicity rows.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    componentFrame(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
+  private val clusterSizeHistSql =
+    s"""WITH RECURSIVE $shingleEdgeCtes, reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
+       |), comp AS (
+       |  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+       |), sz AS (
+       |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+       |)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY cluster_size""".stripMargin
+
   /** Quantile band filter: keep documents whose length sits inside the
     * per-language interquartile band — the "drop the trash and the
     * outliers" gate every corpus pipeline runs before training. The
@@ -1559,6 +1587,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     QueryDef("rendezvous_route", rendezvousRoute, Some(rendezvousRouteSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QueryDef("cluster_size_hist", clusterSizeHist, Some(clusterSizeHistSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("quality_band_filter", qualityBandFilter, Some(qualityBandSql)),
     QueryDef("pagerank", pagerank, Some(pagerankSql)),

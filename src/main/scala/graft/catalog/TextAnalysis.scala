@@ -919,6 +919,126 @@ object TextAnalysis extends QueryModule {
        |QUALIFY row_number() OVER (PARTITION BY c.prev
        |  ORDER BY c.n DESC, c.next_tok) = 1""".stripMargin
 
+  // ---- Zipf rank-frequency power-law fit ----------------------------------
+  private val ZipfTopN = 500
+
+  /** Zipf's-law audit: least-squares slope of ln(freq) on ln(rank) over
+    * the `ZipfTopN` most frequent tokens — natural corpora fit a slope
+    * near −1, so a corpus drop whose slope collapses toward 0 (template
+    * spam flattens the head) or dives steeply (mode collapse in synthetic
+    * data) fails review before training ever sees it. One vocab count
+    * shuffle, a top-N rank (TakeOrdered — never a full vocab sort), and
+    * the built-in `regr_slope`/`regr_r2` aggregates over N points. The
+    * regression inputs are ln's of exact integers — transcendental, so
+    * the outputs live in tolerance-compared VALUE columns (rounded,
+    * never ranking keys; see [[pmiBigrams]] for the policy's origin).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(ZipfTopN)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+    ranked.agg(
+      count(lit(1)).as("n_points"),
+      round(expr("regr_slope(ln(f), ln(r))"), 6).as("slope"),
+      round(expr("regr_intercept(ln(f), ln(r))"), 6).as("intercept"),
+      round(expr("regr_r2(ln(f), ln(r))"), 6).as("r2"))
+  }
+
+  private val zipfFitSql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH freq AS (
+       |  SELECT tok, count(*) AS f
+       |  FROM (SELECT unnest($w) AS tok FROM documents) GROUP BY tok
+       |), ranked AS (
+       |  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+       |  FROM freq ORDER BY f DESC, tok LIMIT $ZipfTopN
+       |)
+       |SELECT count(*) AS n_points,
+       |  round(regr_slope(ln(f), ln(r)), 6) AS slope,
+       |  round(regr_intercept(ln(f), ln(r)), 6) AS intercept,
+       |  round(regr_r2(ln(f), ln(r)), 6) AS r2
+       |FROM ranked""".stripMargin
+  }
+
+  // ---- PMI collocation mining ---------------------------------------------
+  private val PmiK = 20
+  private val PmiMinCount = 5
+
+  /** Collocation mining by pointwise mutual information: the `PmiK`
+    * bigrams whose observed frequency most exceeds what their words'
+    * independent frequencies predict — the "New York"/"machine learning"
+    * detector that raw bigram counts (dominated by stopword pairs) miss;
+    * the symmetric-association companion to [[bigramSurprisal]]'s
+    * conditional view. Support floor `PmiMinCount` kills the classic
+    * PMI pathology (hapax pairs scoring infinite). Two token shuffles
+    * (unigram + bigram counts), two equi-joins of the bigram frame to the
+    * unigram frame, a top-k. The association score is the LIFT ratio
+    * p(ab)/(p(a)p(b)) — rank-equivalent to PMI (ln is monotone) but free
+    * of the transcendental: every factor is an exactly-representable
+    * integer in a double (< 2^53 at this scale), so the quotient is the
+    * same correctly-rounded IEEE division on both engines and the
+    * micro-rounded score compares as an exact integer. (An earlier ln
+    * form lost one row to a 1-ulp Math.log-vs-libm boundary — that class
+    * of flake is why the catalog keeps transcendentals out of ranking
+    * keys. Beyond ~2^53-sized products, switch to log-space with
+    * coarser quantization.)
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextFns.tokens(col("text"))
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_u"))
+    val nu = uni.agg(sum(col("n_u"))).head().getLong(0)
+    val grams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    val bg = docs.select(toks.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(grams).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("prev"),
+        substring_index(col("bigram"), " ", -1).as("next_tok"))
+      .groupBy(col("prev"), col("next_tok")).agg(count(lit(1)).as("n"))
+    val nb = bg.agg(sum(col("n"))).head().getLong(0)
+    bg.where(col("n") >= PmiMinCount)
+      .join(uni.toDF("prev", "n_a"), "prev")
+      .join(uni.toDF("next_tok", "n_c"), "next_tok")
+      .withColumn("lift_micro", expr(
+        s"CAST(round(1000000.0 * (((n * 1.0) * $nu * $nu) / " +
+          s"(($nb * 1.0) * n_a * n_c))) AS BIGINT)"))
+      .select(col("prev"), col("next_tok"), col("n"), col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("prev"), col("next_tok"))
+      .limit(PmiK)
+  }
+
+  private val pmiBigramsSql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH uni AS (
+       |  SELECT tok, count(*) AS n_u
+       |  FROM (SELECT unnest($w) AS tok FROM documents) GROUP BY tok
+       |), nu AS (SELECT CAST(sum(n_u) AS BIGINT) AS v FROM uni),
+       |bg AS (
+       |  SELECT split_part(bigram, ' ', 1) AS prev,
+       |    split_part(bigram, ' ', 2) AS next_tok, count(*) AS n
+       |  FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |    FROM (SELECT $w AS w FROM documents) WHERE len(w) >= 2)
+       |  GROUP BY 1, 2
+       |), nb AS (SELECT CAST(sum(n) AS BIGINT) AS v FROM bg)
+       |SELECT bg.prev, bg.next_tok, bg.n,
+       |  CAST(round(1000000.0 * (((bg.n * 1.0) * (SELECT v FROM nu) *
+       |    (SELECT v FROM nu)) / (((SELECT v FROM nb) * 1.0) * ua.n_u *
+       |    uc.n_u))) AS BIGINT) AS lift_micro
+       |FROM bg
+       |JOIN uni ua ON ua.tok = bg.prev
+       |JOIN uni uc ON uc.tok = bg.next_tok
+       |WHERE bg.n >= $PmiMinCount
+       |ORDER BY lift_micro DESC, prev, next_tok LIMIT $PmiK""".stripMargin
+  }
+
   // ---- multinomial naive Bayes language classifier ------------------------
   /** Train-and-classify in one pass: a multinomial naive Bayes language
     * model fit on the 80% train split (`doc_id % 5 != 0`) and applied to
@@ -1013,6 +1133,8 @@ object TextAnalysis extends QueryModule {
     QueryDef("chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     QueryDef("top_bigrams", topBigrams, Some(topBigramsSql)),
     QueryDef("bigram_next_token", bigramNextToken, Some(bigramNextTokenSql)),
+    QueryDef("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
+    QueryDef("zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchSql)),
