@@ -595,6 +595,58 @@ object Analytics extends QueryModule {
        |FROM s WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT $TpK""".stripMargin
 
+  // ---- CUSUM drift detection ---------------------------------------------
+  /** CUSUM drift chart per event type: the running cumulative sum of each
+    * day's deviation from the type's overall daily-mean — a sustained
+    * shift accumulates linearly where noise cancels, so `max |cusum|` and
+    * the day it peaks localize WHEN a metric drifted (the data-quality
+    * alarm batch pipelines run between drops; the EWMA op smooths, CUSUM
+    * localizes). Two shuffles (daily rollup, per-type window over the
+    * day-count-sized frame); the running sum adds the same doubles in
+    * the same day order on both engines, so even the float path is
+    * reproducible. Deterministic peak tiebreak: earliest day.
+    */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr(s"(ts div 1000) div ${dayUs}L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(avg(col("value")).as("m"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    daily
+      .withColumn("mu", avg(col("m")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("cusum", sum(col("m") - col("mu")).over(wRun))
+      .withColumn("rk", row_number().over(wPeak))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("n_days"), col("day").as("peak_day"),
+        round(abs(col("cusum")), 6).as("max_abs_cusum"))
+  }
+
+  private val cusumDriftSql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, avg(value) AS m
+      |  FROM events GROUP BY 1, 2
+      |), c0 AS (
+      |  SELECT event_type, day, m,
+      |    avg(m) OVER (PARTITION BY event_type) AS mu,
+      |    count(*) OVER (PARTITION BY event_type) AS n_days
+      |  FROM daily
+      |), c AS (
+      |  SELECT event_type, day, n_days,
+      |    sum(m - mu) OVER (PARTITION BY event_type ORDER BY day) AS cusum
+      |  FROM c0
+      |)
+      |SELECT event_type, n_days, day AS peak_day,
+      |  round(abs(cusum), 6) AS max_abs_cusum
+      |FROM c
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY abs(cusum) DESC, day) = 1""".stripMargin
+
   // ---- winsorized robust statistics --------------------------------------
   /** Outlier-clamped per-type statistics: values are winsorized at the
     * exact discrete P5/P95 ranks (the `percentiles_exact` integer-rank
@@ -1051,6 +1103,7 @@ object Analytics extends QueryModule {
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("top_paths", topPaths, Some(topPathsSql)),
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
+    QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("mad_outliers", madOutliers, Some(madOutliersSql)),
