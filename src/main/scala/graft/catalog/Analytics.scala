@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -595,6 +595,148 @@ object Analytics extends QueryModule {
        |FROM s WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT $TpK""".stripMargin
 
+  // ---- RFM customer segmentation ------------------------------------------
+  /** RFM segmentation: every customer scored 1–5 on Recency (last order
+    * day), Frequency (order count) and Monetary (lifetime spend), composed
+    * into the classic 3-digit segment code — the marketing-warehouse
+    * rollup this engine's users run weekly. Quintile boundaries are the
+    * exact discrete-rank pick (the `percentiles_exact` integer device) at
+    * 20/40/60/80 over the CUSTOMER-level frame (3–4 orders of magnitude
+    * smaller than the fact table; at 100 TB swap the boundary probe to
+    * the binned quantile sketch — assignment is unchanged), broadcast
+    * back as a 1-row bound set; scores are pure comparisons, so no
+    * `ntile` remainder-distribution semantics can differ between engines.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("CAST(o_orderdate AS DATE)")).as("last_day"),
+        count(lit(1)).as("f"),
+        round(sum(col("o_totalprice")), 2).as("m"))
+      .withColumn("r", datediff(col("last_day"), lit("1992-01-01")).cast("long"))
+      .drop("last_day")
+    def bounds(c: String, tag: String) = {
+      val w = Window.orderBy(col(c), col("o_custkey"))
+      val ranked = perCust
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      def pick(q: Int) = max(when(
+        col("rn") === expr(s"(n * $q + 99) div 100"), col(c)))
+      ranked.agg(pick(20).as(s"${tag}1"), pick(40).as(s"${tag}2"),
+        pick(60).as(s"${tag}3"), pick(80).as(s"${tag}4"))
+    }
+    def score(c: Column, tag: String): Column =
+      lit(1) + (c > col(s"${tag}1")).cast("int") + (c > col(s"${tag}2")).cast("int") +
+        (c > col(s"${tag}3")).cast("int") + (c > col(s"${tag}4")).cast("int")
+    perCust
+      .crossJoin(broadcast(bounds("r", "rb")))
+      .crossJoin(broadcast(bounds("f", "fb")))
+      .crossJoin(broadcast(bounds("m", "mb")))
+      .select(col("o_custkey"), col("r"), col("f"), col("m"),
+        (score(col("r"), "rb") * 100 + score(col("f"), "fb") * 10 +
+          score(col("m"), "mb")).as("rfm"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    datediff('day', DATE '1992-01-01',
+      |      CAST(max(o_orderdate) AS DATE)) AS r,
+      |    count(*) AS f, round(sum(o_totalprice), 2) AS m
+      |  FROM orders GROUP BY o_custkey
+      |), rr AS (
+      |  SELECT *, row_number() OVER (ORDER BY r, o_custkey) AS rn_r,
+      |    row_number() OVER (ORDER BY f, o_custkey) AS rn_f,
+      |    row_number() OVER (ORDER BY m, o_custkey) AS rn_m,
+      |    count(*) OVER () AS n
+      |  FROM pc
+      |), b AS (
+      |  SELECT
+      |    max(r) FILTER (rn_r = (n * 20 + 99) // 100) AS rb1,
+      |    max(r) FILTER (rn_r = (n * 40 + 99) // 100) AS rb2,
+      |    max(r) FILTER (rn_r = (n * 60 + 99) // 100) AS rb3,
+      |    max(r) FILTER (rn_r = (n * 80 + 99) // 100) AS rb4,
+      |    max(f) FILTER (rn_f = (n * 20 + 99) // 100) AS fb1,
+      |    max(f) FILTER (rn_f = (n * 40 + 99) // 100) AS fb2,
+      |    max(f) FILTER (rn_f = (n * 60 + 99) // 100) AS fb3,
+      |    max(f) FILTER (rn_f = (n * 80 + 99) // 100) AS fb4,
+      |    max(m) FILTER (rn_m = (n * 20 + 99) // 100) AS mb1,
+      |    max(m) FILTER (rn_m = (n * 40 + 99) // 100) AS mb2,
+      |    max(m) FILTER (rn_m = (n * 60 + 99) // 100) AS mb3,
+      |    max(m) FILTER (rn_m = (n * 80 + 99) // 100) AS mb4
+      |  FROM rr
+      |)
+      |SELECT o_custkey, r, f, m,
+      |  (1 + (r > rb1)::INT + (r > rb2)::INT + (r > rb3)::INT + (r > rb4)::INT)
+      |    * 100 +
+      |  (1 + (f > fb1)::INT + (f > fb2)::INT + (f > fb3)::INT + (f > fb4)::INT)
+      |    * 10 +
+      |  (1 + (m > mb1)::INT + (m > mb2)::INT + (m > mb3)::INT + (m > mb4)::INT)
+      |    AS rfm
+      |FROM pc CROSS JOIN b""".stripMargin
+
+  // ---- association rules over order baskets --------------------------------
+  private val ArMinPairOrders = 3
+  private val ArK = 25
+
+  /** Association-rule mining, the pair cut: directed rules a→b over order
+    * baskets with exact support/confidence/lift — "customers who bought a
+    * also bought b", the recommendation-seed query. The pair frame is the
+    * co-purchase build (per-order a<b self-join — bounded by basket
+    * size², never corpus-quadratic) with a ≥`ArMinPairOrders` support
+    * floor standing in for A-Priori pruning; per-part order counts join
+    * back, and every metric is a micro-rounded ratio of exact integers
+    * (same-engine-identical doubles), so the (confidence, lift) ranking
+    * and the top-`ArK` cut are exact on both engines.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val po = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = Tables.orders(spark, dir).count()
+    val perPart = po.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = po.toDF("o", "a")
+      .join(po.toDF("o", "b"), "o")
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= ArMinPairOrders)
+    pairs
+      .join(perPart.toDF("a", "n_a"), "a")
+      .join(perPart.toDF("b", "n_b"), "b")
+      .withColumn("support_ppm",
+        expr(s"CAST(round(1000000.0 * n_ab / $nOrders) AS BIGINT)"))
+      .withColumn("confidence_ppm",
+        expr("CAST(round(1000000.0 * n_ab / n_a) AS BIGINT)"))
+      .withColumn("lift_micro",
+        expr(s"CAST(round(1000000.0 * ((n_ab * 1.0) * $nOrders) / " +
+          "((n_a * 1.0) * n_b)) AS BIGINT)"))
+      .select(col("a"), col("b"), col("n_ab"), col("support_ppm"),
+        col("confidence_ppm"), col("lift_micro"))
+      .orderBy(col("confidence_ppm").desc, col("a"), col("b"))
+      .limit(ArK)
+  }
+
+  private val assocRulesSql =
+    s"""WITH po AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), n AS (SELECT count(*) AS v FROM orders),
+       |pp AS (SELECT p, count(*) AS n_p FROM po GROUP BY p),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b, count(*) AS n_ab
+       |  FROM po x JOIN po y ON x.o = y.o AND x.p <> y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $ArMinPairOrders
+       |)
+       |SELECT pairs.a, pairs.b, pairs.n_ab,
+       |  CAST(round(1000000.0 * pairs.n_ab / (SELECT v FROM n)) AS BIGINT)
+       |    AS support_ppm,
+       |  CAST(round(1000000.0 * pairs.n_ab / pa.n_p) AS BIGINT)
+       |    AS confidence_ppm,
+       |  CAST(round(1000000.0 * ((pairs.n_ab * 1.0) * (SELECT v FROM n)) /
+       |    ((pa.n_p * 1.0) * pb.n_p)) AS BIGINT) AS lift_micro
+       |FROM pairs
+       |JOIN pp pa ON pa.p = pairs.a
+       |JOIN pp pb ON pb.p = pairs.b
+       |ORDER BY confidence_ppm DESC, a, b LIMIT $ArK""".stripMargin
+
   // ---- CUSUM drift detection ---------------------------------------------
   /** CUSUM drift chart per event type: the running cumulative sum of each
     * day's deviation from the type's overall daily-mean — a sustained
@@ -1104,6 +1246,8 @@ object Analytics extends QueryModule {
     QueryDef("top_paths", topPaths, Some(topPathsSql)),
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),
+    QueryDef("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("assoc_rules", assocRules, Some(assocRulesSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QueryDef("mad_outliers", madOutliers, Some(madOutliersSql)),
