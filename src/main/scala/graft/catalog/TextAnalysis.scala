@@ -1039,6 +1039,69 @@ object TextAnalysis extends QueryModule {
        |ORDER BY lift_micro DESC, prev, next_tok LIMIT $PmiK""".stripMargin
   }
 
+  // ---- bigram-model held-out evaluation -----------------------------------
+  /** Held-out evaluation of the greedy bigram model: train per-word argmax
+    * next-token on the 80% split, score top-1 hit rate on the held-out
+    * 20% — the eval loop every [[bigramNextToken]]-style model needs, in
+    * the same two-shuffle shape (train counts, test transitions) plus one
+    * model equi-join. Transitions whose context never appeared in
+    * training count as misses (left join, not inner — silently dropping
+    * unseen contexts would inflate accuracy). The rate is a micro-rounded
+    * exact integer ratio.
+    */
+  def bigramAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFns.tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(grams).as("bigram"))
+      .select(col("doc_id"),
+        substring_index(col("bigram"), " ", 1).as("prev"),
+        substring_index(col("bigram"), " ", -1).as("next_tok"))
+    val w = Window.partitionBy(col("prev"))
+      .orderBy(col("n").desc, col("next_tok"))
+    val model = bg.where(col("doc_id") % 5 =!= 0)
+      .groupBy(col("prev"), col("next_tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("prev"), col("next_tok").as("pred"))
+    bg.where(col("doc_id") % 5 === 0)
+      .join(model, Seq("prev"), "left")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("pred") === col("next_tok"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .withColumn("acc_ppm",
+        expr("CAST(round(1000000.0 * n_hits / n_transitions) AS BIGINT)"))
+  }
+
+  private val bigramAccuracySql =
+    s"""WITH bg AS (
+       |  SELECT doc_id, split_part(bigram, ' ', 1) AS prev,
+       |    split_part(bigram, ' ', 2) AS next_tok
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |    FROM (SELECT doc_id, ${TextFns.tokensSql("text")} AS w FROM documents)
+       |    WHERE len(w) >= 2)
+       |), model AS (
+       |  SELECT prev, next_tok AS pred FROM (
+       |    SELECT prev, next_tok, count(*) AS n,
+       |      row_number() OVER (PARTITION BY prev
+       |        ORDER BY count(*) DESC, next_tok) AS rk
+       |    FROM bg WHERE doc_id % 5 <> 0 GROUP BY prev, next_tok)
+       |  WHERE rk = 1
+       |)
+       |SELECT count(*) AS n_transitions,
+       |  CAST(sum(CASE WHEN m.pred = t.next_tok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(round(1000000.0 *
+       |    sum(CASE WHEN m.pred = t.next_tok THEN 1 ELSE 0 END) / count(*))
+       |    AS BIGINT) AS acc_ppm
+       |FROM bg t LEFT JOIN model m ON m.prev = t.prev
+       |WHERE t.doc_id % 5 = 0""".stripMargin
+
   // ---- multinomial naive Bayes language classifier ------------------------
   /** Train-and-classify in one pass: a multinomial naive Bayes language
     * model fit on the 80% train split (`doc_id % 5 != 0`) and applied to
@@ -1136,6 +1199,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     QueryDef("zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("nb_classify", nbClassify, Some(nbClassifySql)),
+    QueryDef("bigram_accuracy", bigramAccuracy, Some(bigramAccuracySql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql)),

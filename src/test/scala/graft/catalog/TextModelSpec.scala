@@ -69,6 +69,25 @@ class TextModelSpec extends SparkSpec {
     assert(rows === expect)
   }
 
+  test("bigram_accuracy: matches brute-force held-out top-1 hit rate") {
+    val perDoc = docs().map(d => (d._1, d._3))
+    val trainBg = perDoc.filter(_._1 % 5 != 0).flatMap(_._2.sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val model = trainBg.groupBy(_._1).map { case (p, vs) =>
+      p -> vs.groupBy(_._2).map { case (b, v) => (b, v.size) }.toSeq
+        .sortBy { case (b, n) => (-n, b) }.head._1
+    }
+    val testBg = perDoc.filter(_._1 % 5 == 0).flatMap(_._2.sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val hits = testBg.count { case (p, n) => model.get(p).contains(n) }
+    val r = TextAnalysis.bigramAccuracy(spark, dir).head()
+    assert(r.getLong(0) === testBg.size.toLong)
+    assert(r.getLong(1) === hits.toLong)
+    assert(r.getLong(2) === math.round(1000000.0 * hits / testBg.size))
+  }
+
   test("nb_classify: one prediction per held-out doc, log-scores negative") {
     // note on accuracy: the synthetic corpus draws every lang's text from
     // ONE shared vocabulary, so `lang` is not text-derivable by design —
