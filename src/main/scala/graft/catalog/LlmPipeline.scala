@@ -258,6 +258,62 @@ object LlmPipeline extends QueryModule {
        |WHERE w.rk = 1""".stripMargin
   }
 
+  // ---- label-cluster separation audit -------------------------------------
+  /** Embedding-space quality audit: per label, the mean distance of its
+    * vectors to their OWN centroid vs the nearest FOREIGN centroid — the
+    * cheap silhouette stand-in ("are the label clusters actually
+    * separated?") run before anyone trusts [[knnClassify]]-style label
+    * transfer on a new embedding drop. separation > 1 = separable.
+    * Shape: one posexplode to (dim, value) rows, one (label × dim)
+    * centroid aggregate (label-count × dim rows — broadcastable), one
+    * equi-join on dim for the distance pass, two rollups. Nothing is
+    * pairwise in the corpus — vectors meet only centroids, so the pass
+    * is linear in corpus size at any scale.
+    */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+    val cent = ex.groupBy(col("label"), col("dim")).agg(avg(col("v")).as("c"))
+    val d2 = ex.withColumnRenamed("label", "vlabel")
+      .join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("vlabel"), col("label"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+    val per = d2.groupBy(col("vec_id"), col("vlabel"))
+      .agg(sum(when(col("label") === col("vlabel"), col("d2"))).as("intra"),
+        min(when(col("label") =!= col("vlabel"), col("d2"))).as("inter"))
+    per.groupBy(col("vlabel").as("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(sqrt(col("intra"))), 6).as("mean_intra"),
+        round(avg(sqrt(col("inter"))), 6).as("mean_inter"),
+        round(avg(sqrt(col("inter"))) / avg(sqrt(col("intra"))), 6)
+          .as("separation"))
+  }
+
+  private val labelSeparationSql =
+    """WITH ex AS (
+      |  SELECT vec_id, label, unnest(embedding) AS v,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, dim, avg(v) AS c FROM ex GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT ex.vec_id, ex.label AS vlabel, cent.label,
+      |    sum((ex.v - cent.c) * (ex.v - cent.c)) AS d2
+      |  FROM ex JOIN cent ON ex.dim = cent.dim
+      |  GROUP BY 1, 2, 3
+      |), per AS (
+      |  SELECT vec_id, vlabel,
+      |    sum(CASE WHEN label = vlabel THEN d2 END) AS intra,
+      |    min(CASE WHEN label <> vlabel THEN d2 END) AS inter
+      |  FROM d2 GROUP BY 1, 2
+      |)
+      |SELECT vlabel AS label, count(*) AS n,
+      |  round(avg(sqrt(intra)), 6) AS mean_intra,
+      |  round(avg(sqrt(inter)), 6) AS mean_inter,
+      |  round(avg(sqrt(inter)) / avg(sqrt(intra)), 6) AS separation
+      |FROM per GROUP BY 1""".stripMargin
+
   // ---- ANN: multi-table SRP LSH (scale path) ------------------------------
   private val LshK = 3
   private val AnnRows = 4   // this corpus's true neighbors sit at cosine
@@ -1581,6 +1637,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("embed_neardup", embedNearDup, Some(embedNearDupSql)),
     QueryDef("ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("knn_classify", knnClassify, Some(knnClassifySql)),
+    QueryDef("label_separation", labelSeparation, Some(labelSeparationSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),

@@ -70,6 +70,39 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("label_separation: matches brute-force centroid distances") {
+    val vecs = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim)(d => vs.map(_._3(d)).sum / vs.size)
+    }
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val expect = vecs.groupBy(_._2).map { case (l, vs) =>
+      val intra = vs.map(v => dist(v._3, cents(l))).sum / vs.size
+      val inter = vs.map(v =>
+        cents.collect { case (o, c) if o != l => dist(v._3, c) }.min).sum / vs.size
+      l -> (vs.size.toLong, intra, inter)
+    }
+    val got = LlmPipeline.labelSeparation(spark, dir).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, intra, inter) = expect(r.getInt(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - intra) < 1e-5)
+      assert(math.abs(r.getDouble(3) - inter) < 1e-5)
+    }
+    // no separability claim here: at sf0.001 (≈25 vecs across 20 labels
+    // in 64-d) every label's separation sits just under 1 — the metric
+    // correctly reports non-separable, which is itself the point of the
+    // audit. The exact agreement above is the contract being pinned.
+    val seps = got.map(_.getDouble(4))
+    assert(seps.forall(s => s > 0.5 && s < 5.0))
+  }
+
   test("knn_classify: vote matches brute force over exact neighbor lists") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val nn = graft.operators.VectorOps.bruteForceTopK(emb,
