@@ -312,6 +312,44 @@ object StreamingOps {
       }
   }
 
+  final case class HhEv(source: String, word: String)
+  final case class HhState(counters: Map[String, Long], n_seen: Long)
+  final case class HhOut(source: String, n_seen: Long, n_candidates: Int,
+                         top_word: String, top_count: Long)
+
+  /** Streaming Misra-Gries heavy hitters: per-source bounded counter state
+    * — at most k entries regardless of vocabulary (the streaming twin of
+    * the batch `approx_topk` candidate pass; same decrement-all step, so
+    * the same guarantee holds: any key with true frequency > n/k is
+    * guaranteed present among the candidates). State is O(k) forever —
+    * the unbounded-vocabulary `groupBy(word).count` this replaces is
+    * exactly what a long-running stream cannot afford. Counts are MG
+    * lower bounds; the emitted top is the candidate leader (ties → the
+    * lexicographically larger word, deterministic), which a periodic
+    * batch recount confirms — the [[graft.operators.HeavyHitters]]
+    * serving split.
+    */
+  def heavyHittersStream(events: Dataset[HhEv], k: Int): Dataset[HhOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.source)
+      .mapGroupsWithState[HhState, HhOut](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[HhEv], state: GroupState[HhState]) =>
+          val st = state.getOption.getOrElse(HhState(Map.empty, 0L))
+          var c = st.counters
+          var n = st.n_seen
+          rows.foreach { e =>
+            n += 1L
+            if (c.contains(e.word)) c = c.updated(e.word, c(e.word) + 1L)
+            else if (c.size < k) c = c.updated(e.word, 1L)
+            else c = c.map { case (w, v) => w -> (v - 1L) }.filter(_._2 > 0L)
+          }
+          state.update(HhState(c, n))
+          val (tw, tc) =
+            if (c.isEmpty) ("", 0L) else c.maxBy { case (w, v) => (v, w) }
+          HhOut(source, n, c.size, tw, tc)
+      }
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

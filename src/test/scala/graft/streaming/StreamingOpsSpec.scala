@@ -272,6 +272,35 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(native === custom, "native end - gap must equal custom last-event end")
   }
 
+  test("heavyHittersStream: bounded state, true heavy hitter survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.HhEv]
+    val sink = s"hh_${System.nanoTime()}"
+    val q = StreamingOps.heavyHittersStream(in.toDS(), k = 8)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation", freshCheckpoint("hh"))
+      .start()
+    try {
+      // batch 1: 'alpha' dominates among 20 distinct noise words (> k)
+      val b1 = Seq.fill(40)(StreamingOps.HhEv("s", "alpha")) ++
+        (1 to 20).map(i => StreamingOps.HhEv("s", s"noise$i"))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2: more noise, alpha keeps flowing — state must carry over
+      val b2 = Seq.fill(30)(StreamingOps.HhEv("s", "alpha")) ++
+        (21 to 40).map(i => StreamingOps.HhEv("s", s"noise$i"))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table(sink).orderBy(col("n_seen").desc).head()
+      assert(last.getLong(1) === (b1.size + b2.size).toLong)
+      assert(last.getInt(2) <= 8, "candidate state must stay within k")
+      assert(last.getString(3) === "alpha",
+        "a key with freq > n/k must survive the MG state across batches")
+      assert(last.getLong(4) <= 70L, "MG count is a lower bound")
+    } finally q.stop()
+  }
+
   test("admitStream labels arrivals exact/near/unique with zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     // corpus indexes, built batch-side: exact keys + bloom of span hashes
