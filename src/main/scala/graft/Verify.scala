@@ -50,11 +50,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // dump only the oracles for the queries this run attempted — the
-    // checker treats an oracle key with no dump as a crashed query, which
-    // is only true when the key was in this run's filter
+    // always dump the FULL oracle map, even under a query filter: a
+    // filtered dev run would otherwise clobber the map a prior full run
+    // wrote, and every unfiltered dump sitting in outDir would fail the
+    // next selfcheck with a missing-oracle KeyError. The checker iterates
+    // the union of oracle keys and dump dirs, so in a fresh workspace a
+    // filtered run still reports the un-run keys as missing — correct,
+    // since they genuinely have no dump to compare.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1222,8 +1222,52 @@ object Analytics extends QueryModule {
       |  arg_max(ewma, rk) AS ewma_cents
       |FROM r GROUP BY user_id""".stripMargin
 
+  // ---- OHLC time-series downsampling --------------------------------------
+  /** Per-(user, hour) OHLC bars — the resample/downsample operator every
+    * event pipeline needs before charting or feature extraction: open/close
+    * are the FIRST/LAST value in the bar by (ts, event_id), high/low the
+    * extremes. Values quantize to cents (the zscore convention) so the bar
+    * fields are exact integers.
+    *
+    * Scale shape: ONE hash aggregate with map-side partial agg — open and
+    * close ride as `min/max(struct(ts, event_id, cv))` (structs compare
+    * lexicographically, so the extremal struct IS the first/last event and
+    * partial aggregation composes), never a sort or a window over the raw
+    * stream. At 100 TB this is the only shape that works: per-bar
+    * first/last via row_number would shuffle and rank every event; the
+    * struct-extremum form reduces each partition to one candidate per bar
+    * before the exchange. Unique event_id makes the tie-break total, so
+    * the bars are bit-identical across engines.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cv"))
+      .withColumn("hour_bucket", expr(s"(ts div 1000) div ${hourUs}L"))
+      .groupBy(col("user_id"), col("hour_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("cv")))
+          .getField("cv").as("open_cents"),
+        max(struct(col("ts"), col("event_id"), col("cv")))
+          .getField("cv").as("close_cents"),
+        max(col("cv")).as("high_cents"),
+        min(col("cv")).as("low_cents"))
+  }
+
+  private val ohlcBarsSql =
+    """SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+      |  count(*) AS n_events,
+      |  first(round(value * 100)::BIGINT ORDER BY ts, event_id) AS open_cents,
+      |  last(round(value * 100)::BIGINT ORDER BY ts, event_id) AS close_cents,
+      |  max(round(value * 100)::BIGINT) AS high_cents,
+      |  min(round(value * 100)::BIGINT) AS low_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
+    QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
     QueryDef("ewma_user", ewmaUser, Some(ewmaUserSql)),
     QueryDef("props_json_agg", propsJsonAgg, Some(propsJsonSql)),
     QueryDef("rolling_anomaly", rollingAnomaly, Some(rollingAnomalySql)),

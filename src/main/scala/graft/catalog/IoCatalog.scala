@@ -229,6 +229,47 @@ object IoCatalog extends QueryModule {
       |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM merged GROUP BY source""".stripMargin
 
+  // ---- incremental aggregate maintenance ----------------------------------
+  /** MERGE-refresh of a STORED aggregate — the materialized-view
+    * maintenance shape beside [[upsertPartitioned]]'s row-level merge: a
+    * per-source summary (count / sum / max) over the base corpus is
+    * persisted to parquet, and when the delta batch arrives the refresh is
+    * `stored ∪ partial-agg(delta) → re-aggregate` — cost O(delta + keys),
+    * NEVER a rescan of the base. This works because count/sum/max are
+    * commutative monoids — the same algebra that lets Catalyst partial-
+    * aggregate map-side is applied across TIME; avg is deliberately
+    * derived from (sum, count) at read-out, since avg itself does not
+    * merge. At 100 TB the stored-summary + delta-merge refresh is the
+    * difference between a nightly full scan and a seconds-long update.
+    * The oracle recomputes from the full corpus — merged partials must
+    * equal the scratch-free recompute exactly.
+    */
+  def deltaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("delta_agg", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        max(col("n_chars")).as("max_chars"))
+    // "yesterday's" stored summary: the base slice, aggregated + persisted
+    partial(docs.where(expr("doc_id % 5 != 0")))
+      .write.mode("overwrite").parquet(path)
+    // refresh: stored partials ∪ delta partials, merged per key
+    spark.read.parquet(path)
+      .unionByName(partial(docs.where(expr("doc_id % 5 = 0"))))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
+        max(col("max_chars")).as("max_chars"))
+      .withColumn("avg_chars", expr("chars div n_docs"))
+  }
+
+  private val deltaAggSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---- z-order (Morton) clustered layout ----------------------------------
   /** Multi-dimensional clustering ([[graft.operators.ZOrder]]): lineitem
     * laid out by the Morton code of (l_partkey, l_suppkey) — both dims
@@ -798,6 +839,7 @@ object IoCatalog extends QueryModule {
     QueryDef("arrayfile_lookup", arrayfileLookup, Some(arrayfileLookupSql)),
     QueryDef("har_roundtrip", harRoundtrip, Some(harRoundtripSql)),
     QueryDef("upsert_partitioned", upsertPartitioned, Some(upsertPartitionedSql)),
+    QueryDef("delta_agg", deltaAgg, Some(deltaAggSql)),
     QueryDef("zorder_cluster", zorderCluster, Some(zorderClusterSql)),
     QueryDef("partition_prune", partitionPrune, Some(partitionPruneSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),

@@ -1189,8 +1189,60 @@ object TextAnalysis extends QueryModule {
        |QUALIFY row_number() OVER (PARTITION BY doc_id
        |  ORDER BY prior_micro + s DESC, cls) = 1""".stripMargin
 
+  // ---- character-distribution entropy -------------------------------------
+  /** Per-doc character entropy — the gibberish/boilerplate detector beside
+    * [[qualityScore]]'s ratio features: near-zero entropy flags repeated-
+    * character junk ("aaaa…"), near-log₂26 flags random-key noise; prose
+    * sits in a stable mid band. True Shannon H needs libm logs, so (the
+    * [[tokenSurprisal]] device) each class contributes
+    * cnt · (⌊log₂ n⌋ − ⌊log₂ cnt⌋) bits via `length(bin(x))` — pure
+    * integer/string ops, bit-identical across engines, within 1 bit per
+    * class of the real value (plenty for a band filter).
+    *
+    * Scale shape: MAP-ONLY over a bounded 27-class alphabet (a–z + other)
+    * — per-class counts are `length(t) − length(translate(t, c, ''))`
+    * codegen expressions, the entropy sum is 27 `when` terms, and no row
+    * ever explodes: a per-character explode would multiply a 100 TB corpus
+    * by the average doc length before its first aggregate. Zero shuffles.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val n = length(t)
+    val counts: Seq[Column] =
+      ('a' to 'z').map(c => n - length(translate(t, c.toString, "")))
+    val other = counts.foldLeft(n)(_ - _)
+    val ent = (counts :+ other).map(c =>
+        when(c > 0, c.cast("long") *
+          (length(bin(n.cast("long"))) - length(bin(c.cast("long")))))
+          .otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), n.cast("long").as("n_chars_txt"),
+        ent.as("ent_bits"))
+      .withColumn("avg_mbits",
+        floor(col("ent_bits").cast("double") * 1000000 / col("n_chars_txt")))
+  }
+
+  private val charEntropySql = {
+    val counts = ('a' to 'z').map(c =>
+      s"length(t) - length(replace(t, '$c', ''))")
+    val other = counts.mkString("length(t) - (", " + ", ")")
+    val terms = (counts :+ other).map(c =>
+      s"CASE WHEN $c > 0 THEN ($c)::BIGINT * (len(bin(length(t)::BIGINT)) - len(bin(($c)::BIGINT))) ELSE 0 END")
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) > 0
+       |)
+       |SELECT doc_id, length(t)::BIGINT AS n_chars_txt,
+       |  (${terms.mkString(" + ")})::BIGINT AS ent_bits,
+       |  floor((${terms.mkString(" + ")})::DOUBLE * 1000000 / length(t))::BIGINT
+       |    AS avg_mbits
+       |FROM d""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("char_entropy", charEntropy, Some(charEntropySql)),
     QueryDef("doc_offsets", docOffsets, Some(docOffsetsSql)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
