@@ -274,6 +274,150 @@ object VectorOps {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
 
+  // ---- PQ (product-quantization) ANN --------------------------------------
+
+  /** Product-quantization ANN — the memory-compression member of the ANN
+    * family (IVF routes, SRP hashes, PQ COMPRESSES): the vector splits into
+    * `m` subspaces, each subspace gets a `cbSize`-entry codebook, and every
+    * corpus vector's index entry is just `m` small codes (m·log₂cbSize
+    * bits instead of dim floats — a 32× memory cut at the catalog geometry,
+    * which at 100 TB is the difference between an index that fits in
+    * cluster RAM and one that doesn't). ADC (asymmetric distance
+    * computation) scores a candidate as Σ_m lut_m[code_m], where lut_m is
+    * the query's precomputed distance to each codebook entry of subspace m
+    * — no raw vector is touched until the refine stage.
+    *
+    * Determinism: the codebook is the first `cbSize` vectors by id, sliced
+    * per subspace (the [[KMeans]]-init seed convention standing in for a
+    * trained codebook, exactly like [[ivfTopK]]'s seed centroids — no RNG,
+    * so the oracle replays it); encode argmin ties break to the lower code;
+    * all distances are exact integer squared-L2 over quantized components.
+    *
+    * Two-stage serving (the production IVFPQ+refine shape): ADC over the
+    * compressed codes prunes the corpus to a per-query `shortlist`, then an
+    * EXACT integer squared-L2 rescore over just those shortlist·|queries|
+    * raw vectors picks the final top-k — the index answers from codes, and
+    * original vectors are read only for the tiny refine set.
+    *
+    * Scale shape: the codebook is m·cbSize·(dim/m) = cbSize·dim longs —
+    * collected once (the k-means-centroid pattern) and baked into BOTH the
+    * encode and the LUT expressions as literals, so ENCODE is map-only
+    * (struct-min over cbSize literal distances per subspace, no join) and
+    * ADC SCORING is a broadcast of the tiny query LUT frame against the
+    * coded corpus — per-candidate work is m array lookups, not a
+    * dim-length dot product. The shortlist (queries·shortlist rows) then
+    * broadcasts back against the corpus for the refine join; the per-query
+    * top-k windows only ever see shortlist-sized groups.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int, cbSize: Int, dim: Int,
+             shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("qv"))
+    val seeds: Array[Array[Long]] = cand.orderBy(col("cand_id")).limit(cbSize)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length == cbSize,
+      s"PQ codebook needs ≥ $cbSize vectors, corpus has only ${seeds.length}")
+    // cb(mi)(j) = subspace-mi slice of seed j
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(m, cbSize) { (mi, j) =>
+      seeds(j).slice(mi * sub, (mi + 1) * sub)
+    }
+    def subvec(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    def sqNorm(c: Array[Long]): Long = c.map(x => x * x).sum
+    // integer sq-L2 between a subvector column and a literal codebook entry
+    def d2(xs: Column, nx: Column, c: Array[Long]): Column =
+      nx - lit(2L) * dotQ(xs, typedlit(c.toSeq)) + lit(sqNorm(c))
+    // encode: per subspace, argmin over cbSize literal entries (tie → lower j)
+    val codeCols = (0 until m).map { mi =>
+      val xs = subvec(col("qv"), mi)
+      val nx = dotQ(xs, xs)
+      val entries = (0 until cbSize).map(j =>
+        struct(d2(xs, nx, cb(mi)(j)).as("d"), lit(j).as("j")))
+      // array_min, not array_sort+element_at: the argmin is O(cbSize) and
+      // the codegen tree stays small enough to fold into one stage even at
+      // m·cbSize = 256 distance expressions per row
+      array_min(array(entries: _*)).getField("j").as(s"code_$mi")
+    }
+    val encoded = cand.select(col("cand_id") +: codeCols: _*)
+    // query LUTs: lut_mi[j+1] = sq-L2(query subvector mi, codebook entry j)
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qq"))
+    val lutCols = (0 until m).map { mi =>
+      val qs = subvec(col("qq"), mi)
+      val nq = dotQ(qs, qs)
+      array((0 until cbSize).map(j => d2(qs, nq, cb(mi)(j))): _*).as(s"lut_$mi")
+    }
+    val qlut = q.select(col("query_id") +: lutCols: _*)
+    val adc = encoded.crossJoin(broadcast(qlut))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (0 until m).map(mi =>
+          element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+          .as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    val short = adc.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= shortlist).select("query_id", "cand_id")
+    // refine: exact integer sq-L2 over the shortlist only — the raw vectors
+    // are read for shortlist·|queries| candidates, never the whole corpus
+    val rescored = cand.join(broadcast(short), "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        (dotQ(col("qv"), col("qv")) - lit(2L) * dotQ(col("qv"), col("qq")) +
+          dotQ(col("qq"), col("qq"))).as("sq_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist"), col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[pqTopK]] (queries = rows with id % queryMod = 0). */
+  def pqTopKSql(table: String, id: String, vec: String, m: Int, cbSize: Int,
+                dim: Int, shortlist: Int, k: Int, queryMod: Int): String = {
+    val sub = dim / m
+    def sq(v: String, cvi: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($v[mi * $sub + i] - $cvi[i]) * ($v[mi * $sub + i] - $cvi[i])))"
+    val exact =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> (vq.qv[i] - vc.qv[i]) * (vq.qv[i] - vc.qv[i])))"
+    s"""WITH v AS (
+       |  SELECT $id AS vid, ${quantizeSql(vec)} AS qv FROM $table
+       |), seeds AS (
+       |  SELECT qv, row_number() OVER (ORDER BY vid) - 1 AS j
+       |  FROM v ORDER BY vid LIMIT $cbSize
+       |), cb AS (
+       |  SELECT mi, j, qv[mi * $sub + 1 : (mi + 1) * $sub] AS cv
+       |  FROM seeds CROSS JOIN (SELECT unnest(range($m)) AS mi) s
+       |), enc AS (
+       |  SELECT vid AS cand_id, mi, j AS code FROM (
+       |    SELECT v.vid, cb.mi, cb.j, ${sq("v.qv", "cb.cv")} AS d
+       |    FROM v CROSS JOIN cb)
+       |  QUALIFY row_number() OVER (PARTITION BY vid, mi ORDER BY d, j) = 1
+       |), lut AS (
+       |  SELECT q.vid AS query_id, cb.mi, cb.j, ${sq("q.qv", "cb.cv")} AS d
+       |  FROM v q CROSS JOIN cb WHERE q.vid % $queryMod = 0
+       |), short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT l.query_id, e.cand_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+       |    FROM enc e JOIN lut l ON l.mi = e.mi AND l.j = e.code
+       |    WHERE e.cand_id <> l.query_id
+       |    GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist, cand_id) <= $shortlist
+       |), rescored AS (
+       |  SELECT s.query_id, s.cand_id, CAST($exact AS BIGINT) AS sq_dist
+       |  FROM short s
+       |  JOIN v vq ON vq.vid = s.query_id
+       |  JOIN v vc ON vc.vid = s.cand_id
+       |)
+       |SELECT query_id, cand_id, sq_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sq_dist, cand_id) AS INTEGER) AS rank
+       |FROM rescored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   // ---- DuckDB oracle twins for the SRP paths ------------------------------
 
   /** VALUES rows `(plane_index, [±1, …])` mirroring [[srpSigns]]. */

@@ -81,6 +81,47 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"SRP ANN recall $recall < 0.9 (${ground.size} truth pairs)")
   }
 
+  test("PQ ANN: an exact duplicate of a seed vector scores ADC distance 0 and ranks first") {
+    // corpus: v1/v2 are the 2 codebook seeds; v3 duplicates v1 → encodes to
+    // v1's codes in every subspace, so the query v1's LUT scores it 0
+    val df = vecs(
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(1f, 0f, 0f, 0f),
+      4L -> Seq(-1f, -1f, 1f, 1f))
+    val out = VectorOps.pqTopK(df, df.where(col("vec_id") === 1), "vec_id",
+      "embedding", 2, 2, 4, 2, 1).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getInt(3)) == (3L, 0L, 1))
+  }
+
+  test("PQ ANN recall vs exact integer-L2 top-k at the catalog geometry") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") % 5 === 0)
+    val got = VectorOps.pqTopK(emb, queries, "vec_id", "embedding", 16, 16, 64, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 ground truth, replayed in-process over the quantized vectors
+    val all = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x * 1e6).toLong).toArray)
+    val qs = all.filter(_._1 % 5 == 0)
+    val truth = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          (cid, qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(3)
+        .map { case (cid, _) => (qid, cid) }
+    }.toSet
+    // every query answered with k rows
+    assert(got.size == truth.size)
+    val recall = (truth intersect got).size.toDouble / truth.size
+    // after the exact refine, recall = P(true neighbor in the ADC
+    // shortlist) — measured 0.85 at this geometry on the synthetic
+    // near-uniform corpus (the seed codebook is the limiting factor; see
+    // the ann_ivf data-pathology note). The floor pins the measured value
+    // so geometry regressions fail loudly
+    assert(recall >= 0.8, s"PQ recall $recall < 0.8 (${truth.size} truth pairs)")
+  }
+
   test("k-center picks the farthest-first order on a hand-built geometry") {
     import spark.implicits._
     // seed is min id (1); v4 is v1's antipode (cos −1) → picked second;
