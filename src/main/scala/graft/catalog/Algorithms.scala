@@ -649,17 +649,39 @@ object Algorithms extends QueryModule {
     val ed = weightedCoEdges(spark, dir).select(col("u"), col("v"))
     val sed = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
     val deg = sed.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // Pearson r from EXACT integer moment sums (degrees are small longs),
+    // with one identical float tail — a native corr() accumulates doubles
+    // and its 12th significant digit is summation-order-dependent, which
+    // flaked the cross-engine compare (DuckDB's parallel agg reorders)
     sed.join(deg.toDF("u", "du"), "u")
       .join(deg.toDF("v", "dv"), "v")
-      .agg(count(lit(1)).as("n_edges"),
-        corr(col("du"), col("dv")).as("assortativity"))
+      .agg(count(lit(1)).as("n"), sum(col("du")).as("sx"),
+        sum(col("dv")).as("sy"), sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"),
+        sum(col("du") * col("dv")).as("sxy"))
+      .select(col("n").as("n_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("assortativity"))
   }
 
   private val graphAssortativitySql =
     s"""WITH $coEdgesSql,
-       |deg AS (SELECT u, count(*) AS deg FROM sed GROUP BY u)
-       |SELECT count(*) AS n_edges, corr(du.deg, dv.deg) AS assortativity
-       |FROM sed JOIN deg du ON sed.u = du.u JOIN deg dv ON sed.v = dv.u""".stripMargin
+       |deg AS (SELECT u, count(*) AS deg FROM sed GROUP BY u),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n, CAST(sum(du.deg) AS BIGINT) AS sx,
+       |    CAST(sum(dv.deg) AS BIGINT) AS sy,
+       |    CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+       |    CAST(sum(dv.deg * dv.deg) AS BIGINT) AS syy,
+       |    CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+       |  FROM sed JOIN deg du ON sed.u = du.u JOIN deg dv ON sed.v = dv.u
+       |)
+       |SELECT n AS n_edges,
+       |  round((n * sxy - sx * sy)::DOUBLE /
+       |    (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)),
+       |    6) AS assortativity
+       |FROM m""".stripMargin
 
   /** Bounded 2-core peeling ([[KCore.peel]], 3 rounds) over the same
     * support-filtered graph; survivors with their peeled-graph degree. */
@@ -677,7 +699,37 @@ object Algorithms extends QueryModule {
        |s3 AS (SELECT e.u, e.v FROM s2 e JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
        |SELECT u AS part_id, count(*) AS degree FROM s3 GROUP BY u""".stripMargin
 
+  // ---- bucketed-bitmap distinct counting ----------------------------------
+  /** Exact COUNT(DISTINCT) via 64-bit bucket bitmaps — the bitmap-index
+    * primitive: users bucket by `user_id div 64`, each (event_type,
+    * bucket) partial is ONE long (`bit_or` of `1 << (user_id % 64)`), and
+    * the distinct count is Σ bit_count(bitmap). The shuffle carries one
+    * long per OCCUPIED bucket per group — dense id spaces compress 64
+    * users into 8 bytes, where a plain COUNT(DISTINCT) expand ships every
+    * (group, user) pair; and unlike a distinct-shuffle, the bitmap partial
+    * is a commutative monoid, so map-side combine does the heavy lifting.
+    * This is the engine-level trick behind bitmap indexes and
+    * BITMAP_CONSTRUCT_AGG in warehouse engines. The oracle attests with an
+    * INDEPENDENT implementation — DuckDB's native count(DISTINCT) — so the
+    * bitmap algebra itself is what's being verified.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("user_id div 64").as("bkt"),
+        expr("shiftleft(1L, int(user_id % 64))").as("bit"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bit_or(bit)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n_users"),
+        count(lit(1)).as("n_buckets"))
+
+  private val bitmapDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT user_id // 64) AS n_buckets
+      |FROM events GROUP BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QueryDef("sssp_weighted", ssspWeighted, Some(ssspSql)),
     QueryDef("label_prop", labelProp, Some(labelPropSql)),
     QueryDef("kcore_graph", kcoreGraph, Some(kcoreSql)),

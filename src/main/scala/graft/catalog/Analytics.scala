@@ -1265,9 +1265,64 @@ object Analytics extends QueryModule {
       |  min(round(value * 100)::BIGINT) AS low_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- interval-overlap concurrency sweep ---------------------------------
+  /** Peak concurrency per day — the interval-stabbing operator (max
+    * simultaneous sessions, licenses, connections): each event opens a
+    * 5-minute session [ts, ts+300 s); the sweep explodes every session
+    * into a +1 open and a −1 close boundary, runs a per-day ordered prefix
+    * sum over the boundaries, and takes the day's max. Boundary ties
+    * process opens BEFORE closes (delta DESC) so a session starting
+    * exactly as another ends counts as concurrent; event_id makes the
+    * order total, so the peak is bit-identical across engines.
+    *
+    * Scale shape: the prefix sum is a window partitioned by day — the
+    * sweep never globally orders the corpus, and within a partition it is
+    * one sort. Days far beyond a partition's memory would switch to the
+    * [[graft.catalog.TextAnalysis.docOffsets]] two-pass range-partitioned
+    * prefix sum; the day-partitioned window is the declarative form of the
+    * same computation. Sessions here never cross the day boundary used for
+    * partitioning (5 min ≪ 1 day; crossing sessions would need a
+    * clip-or-duplicate pass first).
+    */
+  def concurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000 * 1000
+    val sessUs = 300L * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("us"))
+    val bounds = ev.select(col("event_id"), col("us").as("t"), lit(1L).as("delta"))
+      .unionByName(ev.select(col("event_id"),
+        (col("us") + sessUs).as("t"), lit(-1L).as("delta")))
+      .withColumn("day_bucket", expr(s"t div ${dayUs}L"))
+    val w = Window.partitionBy(col("day_bucket"))
+      .orderBy(col("t"), col("delta").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("load", sum(col("delta")).over(w))
+      .groupBy(col("day_bucket"))
+      .agg(max(col("load")).as("peak"),
+        expr("count(1) div 2").as("n_bounds"))
+  }
+
+  private val concurrencyPeakSql =
+    """WITH b AS (
+      |  SELECT event_id, epoch_us(ts) AS t, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_id, epoch_us(ts) + 300000000 AS t, -1 AS delta FROM events
+      |), s AS (
+      |  SELECT t // 86400000000 AS day_bucket,
+      |    sum(delta) OVER (PARTITION BY t // 86400000000
+      |      ORDER BY t, delta DESC, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS load
+      |  FROM b
+      |)
+      |SELECT day_bucket, CAST(max(load) AS BIGINT) AS peak,
+      |  (count(*) // 2)::BIGINT AS n_bounds
+      |FROM s GROUP BY day_bucket""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
+    QueryDef("concurrency_peak", concurrencyPeak, Some(concurrencyPeakSql)),
     QueryDef("ewma_user", ewmaUser, Some(ewmaUserSql)),
     QueryDef("props_json_agg", propsJsonAgg, Some(propsJsonSql)),
     QueryDef("rolling_anomaly", rollingAnomaly, Some(rollingAnomalySql)),

@@ -525,6 +525,87 @@ object LlmPipeline extends QueryModule {
        |WHERE 2 * i.inter >= sz.size_a""".stripMargin
   }
 
+  // ---- TF-IDF weighted all-pairs cosine (sparse similarity join) ----------
+  /** Weighted sparse all-pairs similarity — the TF-IDF member of the
+    * near-dup family: [[embedNearDup]] is dense-vector cosine,
+    * [[ngramJaccard]] set-overlap, [[containmentPairs]] asymmetric subset;
+    * this is the classic term-weighted document cosine (the Bayardo
+    * all-pairs problem). Weights are integer tf · idf_bits with idf_bits =
+    * ⌊log₂N⌋−⌊log₂df⌋ (the [[TextAnalysis.tokenSurprisal]] device), so
+    * dots and norms are exact integers and the τ = 0.5 gate is the pure
+    * integer identity 4·dot² ≥ |a|²·|b|² (boundary-exact on both engines;
+    * the DOUBLE cosine column is reporting only).
+    *
+    * Scale shape: one inverted-index self-join on the term key — candidate
+    * volume is Σ_t df(t)², bounded two ways: stopwords self-prune (df in
+    * N's bit-class ⇒ idf_bits = 0 ⇒ weight 0) and a df-fraction cap
+    * (4·df > N drops the term from the index — the standard df-pruning of
+    * all-pairs search, and the similarity is DEFINED in the pruned space).
+    * Never an n² doc-pair loop; hot surviving terms skew the join key and
+    * AQE skew handling applies.
+    */
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("id")).as("n_docs"))
+    val wts = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .where(col("df") * 4 <= col("n_docs"))
+      .select(col("id"), col("term"),
+        (col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))))
+          .cast("long")).as("w"))
+      .where(col("w") > 0)
+    val norms = wts.groupBy(col("id")).agg(sum(col("w") * col("w")).as("nrm"))
+    val dots = wts.toDF("a_id", "term", "wa")
+      .join(wts.toDF("b_id", "term", "wb"), Seq("term"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.toDF("a_id", "na"), "a_id")
+      .join(norms.toDF("b_id", "nb"), "b_id")
+      .where(col("dot") > 0 &&
+        lit(4L) * col("dot") * col("dot") >= col("na") * col("nb"))
+      .select(col("a_id"), col("b_id"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("cosine"))
+  }
+
+  private val tfidfPairsSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, unnest($w) AS term FROM documents
+       |), tf AS (
+       |  SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dft AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), n AS (
+       |  SELECT count(DISTINCT id) AS n_docs FROM tf
+       |), wts AS (
+       |  SELECT tf.id, tf.term,
+       |    (tf.tf * (len(bin(n.n_docs)) - len(bin(dft.df))))::BIGINT AS w
+       |  FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN n
+       |  WHERE dft.df * 4 <= n.n_docs
+       |    AND (tf.tf * (len(bin(n.n_docs)) - len(bin(dft.df)))) > 0
+       |), nrm AS (
+       |  SELECT id, CAST(sum(w * w) AS BIGINT) AS nrm FROM wts GROUP BY id
+       |), dots AS (
+       |  SELECT a.id AS a_id, b.id AS b_id, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |  FROM wts a JOIN wts b ON a.term = b.term AND a.id < b.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.a_id, d.b_id, d.dot,
+       |  round(d.dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6)
+       |    AS cosine
+       |FROM dots d
+       |JOIN nrm na ON na.id = d.a_id
+       |JOIN nrm nb ON nb.id = d.b_id
+       |WHERE d.dot > 0 AND 4 * d.dot * d.dot >= na.nrm * nb.nrm""".stripMargin
+  }
+
   // ---- rendezvous (highest-random-weight) shard routing -------------------
   private val RvShards = 8
   private val RvSeed = 31
@@ -1669,6 +1750,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_pq", annPq, Some(annPqSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    QueryDef("tfidf_pairs", tfidfPairs, Some(tfidfPairsSql)),
     QueryDef("rendezvous_route", rendezvousRoute, Some(rendezvousRouteSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("cluster_size_hist", clusterSizeHist, Some(clusterSizeHistSql)),
