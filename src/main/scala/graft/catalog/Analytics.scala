@@ -1319,10 +1319,66 @@ object Analytics extends QueryModule {
       |  (count(*) // 2)::BIGINT AS n_bounds
       |FROM s GROUP BY day_bucket""".stripMargin
 
+  // ---- seasonal-baseline forecast evaluation ------------------------------
+  /** Day-of-week seasonal forecast with holdout evaluation — the batch
+    * forecasting shape every metrics pipeline runs: train the per-(type,
+    * day-of-week) mean on the first 3 weeks, predict each later day as its
+    * weekday's training mean, and score per type with mean absolute error.
+    * All math is integer cents with floor-div means, so train means,
+    * predictions and MAE are bit-identical across engines (a float mean
+    * would wobble in its last ulp under reordered summation — the
+    * graph_assortativity lesson).
+    *
+    * Scale shape: the model is a ≤ |types|·7-row aggregate — broadcast
+    * back to the holdout slice (model tables small enough to broadcast are
+    * the rule for seasonal baselines); two hash aggregates and one
+    * broadcast join, no window, no per-day sort.
+    */
+  def seasonalForecast(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val TrainDays = 21L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"(ts div 1000) div ${dayUs}L").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+      .withColumn("dow", col("day") % 7)
+    val t0 = ev.agg(min(col("day")).as("d0"))
+    val tagged = ev.crossJoin(broadcast(t0))
+    val model = tagged.where(col("day") < col("d0") + TrainDays)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(cv) div count(1)").as("pred_cents"))
+    tagged.where(col("day") >= col("d0") + TrainDays)
+      .join(broadcast(model), Seq("event_type", "dow"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_holdout"),
+        expr("sum(abs(cv - pred_cents)) div count(1)").as("mae_cents"))
+  }
+
+  private val seasonalForecastSql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    round(value * 100)::BIGINT AS cv,
+      |    (epoch_us(ts) // 86400000000) % 7 AS dow
+      |  FROM events
+      |), t0 AS (SELECT min(day) AS d0 FROM ev),
+      |model AS (
+      |  SELECT event_type, dow,
+      |    CAST(sum(cv) // count(*) AS BIGINT) AS pred_cents
+      |  FROM ev CROSS JOIN t0 WHERE day < d0 + 21
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.event_type, count(*) AS n_holdout,
+      |  CAST(sum(abs(e.cv - m.pred_cents)) // count(*) AS BIGINT) AS mae_cents
+      |FROM ev e CROSS JOIN t0
+      |JOIN model m ON m.event_type = e.event_type AND m.dow = e.dow
+      |WHERE e.day >= t0.d0 + 21
+      |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
     QueryDef("concurrency_peak", concurrencyPeak, Some(concurrencyPeakSql)),
+    QueryDef("seasonal_forecast", seasonalForecast, Some(seasonalForecastSql)),
     QueryDef("ewma_user", ewmaUser, Some(ewmaUserSql)),
     QueryDef("props_json_agg", propsJsonAgg, Some(propsJsonSql)),
     QueryDef("rolling_anomaly", rollingAnomaly, Some(rollingAnomalySql)),

@@ -606,6 +606,53 @@ object LlmPipeline extends QueryModule {
        |WHERE d.dot > 0 AND 4 * d.dot * d.dot >= na.nrm * nb.nrm""".stripMargin
   }
 
+  // ---- binned percentile-rank normalization -------------------------------
+  /** Rank (quantile) normalization of a feature — the scaling step before
+    * mixing heterogeneous quality signals: each doc's `n_chars` maps to
+    * its corpus permille rank, computed from a BINNED cumulative histogram
+    * rather than a global rank window. Resolution is one bin (16 chars);
+    * the permille is `(docs in strictly lower bins)·1000 div n_docs` —
+    * pure integer math, bit-identical across engines.
+    *
+    * Scale shape (the [[graft.operators.Quantiles]] device applied to
+    * normalization): the only data-sized operations are one
+    * `groupBy(bin).count()` histogram (map-side combine; shuffle = one row
+    * per occupied bin) and one broadcast join of the ≤ few-hundred-row
+    * cumulative table back onto the corpus — where `percent_rank()` would
+    * shuffle AND sort every row in one unpartitioned window. The
+    * cumulative window here runs on the bin table only (bounded frame, so
+    * its single-partition window is O(bins), not O(corpus)).
+    */
+  def rankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bin", expr("n_chars div 16"))
+    val hist = docs.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.join(broadcast(cum.select(col("bin"), col("below"))), "bin")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_chars"),
+        expr("(below * 1000) div n_docs").as("permille"))
+  }
+
+  private val rankNormalizeSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, n_chars // 16 AS bin FROM documents
+      |), h AS (
+      |  SELECT bin, count(*) AS c FROM d GROUP BY bin
+      |), cum AS (
+      |  SELECT bin, coalesce(sum(c) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM h
+      |), n AS (SELECT count(*) AS n_docs FROM d)
+      |SELECT d.doc_id, d.n_chars,
+      |  CAST((cum.below * 1000) // n.n_docs AS BIGINT) AS permille
+      |FROM d JOIN cum ON cum.bin = d.bin CROSS JOIN n""".stripMargin
+
   // ---- rendezvous (highest-random-weight) shard routing -------------------
   private val RvShards = 8
   private val RvSeed = 31
@@ -1751,6 +1798,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     QueryDef("tfidf_pairs", tfidfPairs, Some(tfidfPairsSql)),
+    QueryDef("rank_normalize", rankNormalize, Some(rankNormalizeSql)),
     QueryDef("rendezvous_route", rendezvousRoute, Some(rendezvousRouteSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("cluster_size_hist", clusterSizeHist, Some(clusterSizeHistSql)),

@@ -59,6 +59,32 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Windowed OHLC bars — the streaming twin of the batch `ohlc_bars`
+    * downsampler, and the same algebra: open/close ride as min/max over
+    * `struct(ts_us, event_id, cents)` (struct extrema are commutative
+    * monoids, so partial aggregation across micro-batches composes exactly
+    * like map-side combine does in batch), high/low as plain extremes on
+    * the cents. State is one struct-pair per open bar, evicted once the
+    * watermark passes the bar end; works identically on a batch frame.
+    */
+  def ohlcStream(events: DataFrame, tsCol: String, windowDur: String,
+                 watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col("user_id"), col("event_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts_us"), col("event_id"), col("cv")))
+          .getField("cv").as("open_cents"),
+        max(struct(col("ts_us"), col("event_id"), col("cv")))
+          .getField("cv").as("close_cents"),
+        max(col("cv")).as("high_cents"),
+        min(col("cv")).as("low_cents"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("n_events"), col("open_cents"), col("close_cents"),
+        col("high_cents"), col("low_cents"))
+
   /** `ts` mirrors ts_us as a TimestampType column: the streaming path must
     * keep the WATERMARKED column itself flowing into the stateful operator
     * (the analyzer rejects event-time timeout if no watermarked attribute

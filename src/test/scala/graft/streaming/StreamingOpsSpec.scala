@@ -56,6 +56,33 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("ohlcStream emits first/last/high/low per bar across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "event_id", "value")
+    val sink = s"ohlc_${System.nanoTime()}"
+    val q = StreamingOps.ohlcStream(df, "ts", "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", freshCheckpoint("ohlc"))
+      .start()
+    try {
+      // batch 1: open at t=1 (3.00), low at t=3 (1.00)
+      in.addData((ts(1), 7L, 100L, 3.0), (ts(3), 7L, 101L, 1.0))
+      q.processAllAvailable()
+      // batch 2: high at t=5 (9.00), close at t=8 (4.00) — the bar's
+      // open/close must still come from the merged cross-batch extrema
+      in.addData((ts(5), 7L, 102L, 9.0), (ts(8), 7L, 103L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select(unix_seconds(col("window_start")), col("user_id"), col("n_events"),
+          col("open_cents"), col("close_cents"), col("high_cents"), col("low_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(rows.toSet == Set((0L, 7L, 4L, 300L, 400L, 900L, 100L)))
+    } finally q.stop()
+  }
+
   test("slidingAgg counts each event into every overlapping hop window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
