@@ -748,6 +748,63 @@ object Algorithms extends QueryModule {
   private val hllDistinctSql = graft.operators.HllSketch.distinctByKeySql(
     "lineitem", "l_returnflag", PortableHash.h48Sql("l_orderkey::VARCHAR"))
 
+  /** Sketch-merge rollup: per-flag AND all-flags distinct estimates from
+    * ONE register build — the merged 'ALL' scope is the per-register max
+    * of the per-flag registers (HLL registers are a max-monoid, so the
+    * sketch of a union is the element-wise max of the sketches; this is
+    * WHY warehouses store HLL state per partition and roll it up without
+    * rescans). One rollup aggregate computes both granularities in a
+    * single pass; its grand-total row is dropped (j IS NULL) and never
+    * carries data. The invariant the oracle attests: est('ALL') is
+    * derived from merged REGISTERS, not from re-hashing the union — yet
+    * equals exactly what a direct pass over the union would produce.
+    */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HllSketch
+    val hv = PortableHash.h48(col("l_orderkey").cast("string"))
+    val regs = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("k"), hv.as("hv"))
+      .select(col("k"), HllSketch.register(col("hv")).as("j"),
+        HllSketch.rank(col("hv")).as("r"))
+      .rollup(col("j"), col("k")).agg(max(col("r")).as("mj"))
+      .where(col("j").isNotNull)
+      .select(coalesce(col("k"), lit("ALL")).as("scope"), col("j"), col("mj"))
+    HllSketch.estimateRegisters(regs, "scope")
+  }
+
+  private val hllMergeSql = {
+    import graft.operators.HllSketch.{EstNum, LcTable, LcThreshold, M, P, W}
+    val h = PortableHash.h48Sql("l_orderkey::VARCHAR")
+    val lcList = LcTable.mkString("[", ", ", "]")
+    s"""WITH hm_h AS (
+       |  SELECT l_returnflag AS k, $h AS hv FROM lineitem
+       |), hm_f AS (
+       |  SELECT k, hv // ${1L << (48 - P)} AS j,
+       |         (hv // ${1L << (48 - P - W)}) % ${1L << W} AS v
+       |  FROM hm_h
+       |), hm_r AS (
+       |  SELECT k, j, CASE WHEN v = 0 THEN ${W + 1}
+       |                    ELSE ${W + 1} - length(bin(v)) END AS r
+       |  FROM hm_f
+       |), hm_m AS (
+       |  SELECT coalesce(k, 'ALL') AS scope, j, max(r) AS mj
+       |  FROM hm_r GROUP BY GROUPING SETS ((j, k), (j))
+       |), hm_a AS (
+       |  SELECT scope, count(*) AS pres,
+       |         CAST(sum(1::BIGINT << (${W + 1} - mj)) AS BIGINT) AS tpres
+       |  FROM hm_m GROUP BY scope
+       |), hm_e AS (
+       |  SELECT scope, pres,
+       |         $EstNum // (1000 * (tpres + ($M - pres) * ${1L << (W + 1)})) AS raw
+       |  FROM hm_a
+       |)
+       |SELECT scope,
+       |  CAST(CASE WHEN raw <= $LcThreshold AND pres < $M
+       |            THEN ($lcList)[$M - pres] ELSE raw END AS BIGINT)
+       |    AS est_distinct
+       |FROM hm_e""".stripMargin
+  }
+
   // ---- KMV sketch set algebra ---------------------------------------------
   /** Union / intersection / Jaccard ESTIMATES between two order-key sets
     * (return-flag A vs R) from their k=64 [[KmvSketch]] sketches alone —
@@ -828,6 +885,7 @@ object Algorithms extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    QueryDef("hll_merge", hllMerge, Some(hllMergeSql)),
     QueryDef("kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)),
     QueryDef("bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     QueryDef("sssp_weighted", ssspWeighted, Some(ssspSql)),

@@ -1374,7 +1374,99 @@ object Analytics extends QueryModule {
       |WHERE e.day >= t0.d0 + 21
       |GROUP BY 1""".stripMargin
 
+  // ---- per-user OLS spend trend -------------------------------------------
+  /** Per-user least-squares trend of spend over time, in EXACT integer
+    * cross-multiplied form: x = event day, y = cents, and the OLS slope
+    * num/den pair (n·Σxy − Σx·Σy, n·Σxx − Σx²) is emitted as exact BIGINTs
+    * with the milli-slope as one integer division — no float moment
+    * accumulation, so the cross-engine compare is exact (a native
+    * regr_slope sums doubles whose 12th digit is partition-order-dependent
+    * — the same flake class [[graphAssortativity]]'s integer rework fixed;
+    * here there are 150 chances per round to hit it, one per user).
+    * Shape: one partial-aggregated groupBy over the raw stream — moments
+    * are a commutative monoid, so map-side combine collapses each
+    * partition to one row per user before the shuffle. Headroom: day ~2e4,
+    * cents ≤ 5e4, so n·Σxy stays under 2^63 to ~10^9 events per user.
+    * Spark `div` and DuckDB `//` both truncate toward zero, so the signed
+    * milli-slope divides identically (verified: -7 div 2 = -7 // 2 = -3).
+    */
+  def linregTrend(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("x"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .where(col("n") >= 20)
+      .select(col("user_id"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("trend_milli",
+        when(col("slope_den") === 0, 0L)
+          .otherwise(expr("(1000 * slope_num) div slope_den")))
+
+  private val linregTrendSql =
+    """WITH m AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+      |               CAST(round(value * 100) AS BIGINT) AS y FROM events)
+      |  GROUP BY user_id HAVING count(*) >= 20
+      |)
+      |SELECT user_id, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |            ELSE (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+      |       END AS BIGINT) AS trend_milli
+      |FROM m""".stripMargin
+
+  // ---- deterministic A/B experiment readout -------------------------------
+  private val AbSeed = 20260814
+
+  /** Hash-bucketed experiment analysis: users deterministically assigned to
+    * two arms by seeded portable hash (the same device as split_assign's
+    * train/val/test split — assignment is a pure function of the id, so
+    * every engine, every rerun, and every downstream join agrees without a
+    * stored assignment table), then the per-arm purchase metrics read out
+    * in exact integer cents. The readout is one filtered aggregate;
+    * user-level distinct is the only expensive term and is exact here
+    * (bounded arms would use [[Algorithms.hllDistinct]] at extreme scale).
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.PortableHash
+      .h48(col("user_id").cast("string"), AbSeed) % 2
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(bucket.as("arm"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("cents_per_user", expr("revenue_cents div n_users"))
+      .withColumn("avg_ticket_cents", expr("revenue_cents div n_purchases"))
+  }
+
+  private val abTestSql = {
+    val h = graft.functions.PortableHash.h48Sql("user_id::VARCHAR", AbSeed)
+    s"""SELECT $h % 2 AS arm,
+       |  count(DISTINCT user_id) AS n_users, count(*) AS n_purchases,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       |  CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |       // count(DISTINCT user_id) AS BIGINT) AS cents_per_user,
+       |  CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |       // count(*) AS BIGINT) AS avg_ticket_cents
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
+    QueryDef("ab_test", abTest, Some(abTestSql)),
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsSql)),
     QueryDef("concurrency_peak", concurrencyPeak, Some(concurrencyPeakSql)),

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Scratch, Tables}
@@ -598,7 +599,50 @@ object Extras extends QueryModule {
       |           99999999) = 99999999 AS is_current
       |FROM u""".stripMargin
 
+  // ---- join-key skew diagnosis --------------------------------------------
+  /** Skew report for a join key — the diagnostic a planner (or an engineer
+    * deciding whether [[MiscOps]]' salted join is warranted) reads before
+    * shuffling 100 TB on that key: the 5 hottest key values with their row
+    * share in basis points, plus the key's global skew factor
+    * (hottest-key count ÷ mean count, ×1000 — 1000 = perfectly uniform).
+    * One partial-aggregated groupBy + a 5-row top-k; the per-key count
+    * table never leaves the cluster and the scalars that do are bounded.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    // orderBy+limit plans as TakeOrdered (per-partition top-5, then a
+    // 5·partitions merge) — never a global single-partition sort of the
+    // whole count table; the rank window runs over the 5 survivors only
+    val top5 = counts.orderBy(col("cnt").desc, col("l_partkey")).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("l_partkey"))))
+    top5
+      .crossJoin(counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys")))
+      .select(col("rank"), col("l_partkey"), col("cnt"),
+        expr("(10000 * cnt) div total").as("share_bp"),
+        expr("(1000 * cnt * n_keys) div total").as("skew_x1000"))
+  }
+
+  private val skewReportSql =
+    """WITH counts AS (
+      |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys
+      |  FROM counts
+      |), ranked AS (
+      |  SELECT l_partkey, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank
+      |  FROM counts
+      |)
+      |SELECT rank, l_partkey, cnt,
+      |  CAST((10000 * cnt) // total AS BIGINT) AS share_bp,
+      |  CAST((1000 * cnt * n_keys) // total AS BIGINT) AS skew_x1000
+      |FROM ranked, tot WHERE rank <= 5""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("skew_report", skewReport, Some(skewReportSql)),
     QueryDef("table_profile", tableProfile, Some(tableProfileSql)),
     QueryDef("scd2_merge", scd2Merge, Some(scd2MergeSql)),
     QueryDef("set_ops", setOps, Some(setOpsSql)),

@@ -312,6 +312,44 @@ object IoCatalog extends QueryModule {
       |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 39
       |GROUP BY 1""".stripMargin
 
+  // ---- Hilbert-curve clustered layout -------------------------------------
+  /** [[zorderCluster]]'s locality-superior twin
+    * ([[graft.operators.HilbertCurve]]): same rank-scale → curve-sort →
+    * drop pipeline, but the continuous Hilbert index replaces the Morton
+    * interleave — every curve step moves one cell, so file curve-ranges
+    * tile into more compact boxes and a 2-D box predicate overlaps fewer
+    * row-groups (HilbertSpec measures the layouts head-to-head). The curve
+    * value is pure unrolled column arithmetic (8 when/xor rounds,
+    * codegen'd, no UDF, no lookup join). The oracle answers the box from
+    * the unclustered corpus — layout must never change results.
+    */
+  def hilbertCluster(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("hilbert_cluster", dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    graft.operators.HilbertCurve.withIndex(li, 8,
+        graft.operators.ZOrder.scaleTo256(col("l_partkey"), b.getLong(0), b.getLong(1)),
+        graft.operators.ZOrder.scaleTo256(col("l_suppkey"), b.getLong(2), b.getLong(3)),
+        "h")
+      .repartitionByRange(16, col("h"))
+      .sortWithinPartitions("h")
+      .drop("h")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(800, 999) && col("l_suppkey").between(60, 79))
+      .groupBy((col("l_suppkey") % 8).as("sk_band"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+  }
+
+  private val hilbertClusterSql =
+    """SELECT l_suppkey % 8 AS sk_band, count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 800 AND 999 AND l_suppkey BETWEEN 60 AND 79
+      |GROUP BY 1""".stripMargin
+
   // ---- partitioned layout + partition pruning -----------------------------
   /** Hive-style partitioned parquet layout (`partitionBy(day_bucket)`) and
     * the read that justifies it: a day-range filter that must resolve at
@@ -841,6 +879,7 @@ object IoCatalog extends QueryModule {
     QueryDef("upsert_partitioned", upsertPartitioned, Some(upsertPartitionedSql)),
     QueryDef("delta_agg", deltaAgg, Some(deltaAggSql)),
     QueryDef("zorder_cluster", zorderCluster, Some(zorderClusterSql)),
+    QueryDef("hilbert_cluster", hilbertCluster, Some(hilbertClusterSql)),
     QueryDef("partition_prune", partitionPrune, Some(partitionPruneSql)),
     QueryDef("seqfile_binary_roundtrip", seqfileBinaryRoundtrip, Some(seqfileBinaryRoundtripSql)),
     QueryDef("seqfile_block_compressed", seqfileBlockCompressed, Some(seqfileBlockCompressedSql)),

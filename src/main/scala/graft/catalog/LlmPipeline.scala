@@ -1783,7 +1783,51 @@ object LlmPipeline extends QueryModule {
       |  substr(md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR), 1, 8) AS frame_key
       |FROM f""".stripMargin
 
+  // ---- gram / covariance matrix -------------------------------------------
+  /** Quantization scale for the gram pass: 1e-4 per-component resolution
+    * keeps xi·xj ≤ 10^8, so the int64 accumulator survives ~9·10^10 rows —
+    * a deliberately COARSER grid than [[graft.operators.VectorOps.Scale]]
+    * (1e6), whose 10^12 products would overflow a global sum beyond ~10^6
+    * rows. Statistics tolerate 1e-4 rounding; per-pair cosine doesn't.
+    */
+  private val GramScale = 10000L
+
+  /** Distributed gram matrix Gᵀ·G over the embedding corpus — the
+    * covariance/PCA building block. The scale-critical shape: NO join.
+    * Each row explodes to its own d² component products in-stage (two
+    * nested generators, narrow), and Catalyst's partial HashAggregate
+    * folds them map-side to the d(d+1)/2 upper-triangle cells before the
+    * only shuffle — which carries d² rows per partition, independent of
+    * corpus size. The naive alternative (self-join of (vec_id, dim, x) on
+    * vec_id) shuffles the full n·d expansion; this plan ships 2080 cells.
+    * Components quantize to ints ([[GramScale]]) so the sums are exact and
+    * order-free — the DuckDB twin (lateral range × range) is bit-identical.
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * GramScale).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(q.as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "xi")), col("q"))
+      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(sum(col("xi") * col("xj")).as("s"))
+  }
+
+  private val gramMatrixSql =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |           x -> floor(x::DOUBLE * $GramScale)::BIGINT) AS qv
+       |  FROM embeddings
+       |)
+       |SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS s
+       |FROM q, range(0, 64) AS t1(i), range(0, 64) AS t2(j)
+       |WHERE j >= i
+       |GROUP BY i, j""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashSql)),
     QueryDef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

@@ -73,11 +73,20 @@ object HllSketch {
     when(v === 0, W + 1).otherwise(lit(W + 1) - length(bin(v)))
   }
 
-  /** Full pipeline: df(keyCol, hv) → (keyCol, est_distinct). */
-  def distinctByKey(df: DataFrame, keyCol: String): DataFrame = {
-    val lcArr = array(LcTable.map(lit): _*)
+  /** Register table df(keyCol, hv) → (keyCol, j, mj) — the sketch's
+    * merge-level representation. Registers form a max-monoid: the sketch
+    * of any UNION of slices is the per-register max of their register
+    * tables, so rollups (see the hll_merge catalog query) merge these 64
+    * rows per key instead of rescanning raw data.
+    */
+  def registersByKey(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol), register(col("hv")).as("j"), rank(col("hv")).as("r"))
       .groupBy(col(keyCol), col("j")).agg(max(col("r")).as("mj"))
+
+  /** Fold a register table (keyCol, j, mj) into (keyCol, est_distinct). */
+  def estimateRegisters(regs: DataFrame, keyCol: String): DataFrame = {
+    val lcArr = array(LcTable.map(lit): _*)
+    regs
       .groupBy(col(keyCol)).agg(
         count(lit(1)).as("pres"),
         expr(s"sum(shiftleft(CAST(1 AS BIGINT), ${W + 1} - mj))").as("tpres"))
@@ -90,6 +99,10 @@ object HllSketch {
           element_at(lcArr, (lit(M) - col("pres")).cast("int")))
           .otherwise(col("raw")).cast("long").as("est_distinct"))
   }
+
+  /** Full pipeline: df(keyCol, hv) → (keyCol, est_distinct). */
+  def distinctByKey(df: DataFrame, keyCol: String): DataFrame =
+    estimateRegisters(registersByKey(df, keyCol), keyCol)
 
   /** DuckDB twin of the whole chain, for oracle authors. `hvSql` must be
     * the portable 48-bit hash expression over the attested column.

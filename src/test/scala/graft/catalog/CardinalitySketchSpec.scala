@@ -49,6 +49,22 @@ class CardinalitySketchSpec extends SparkSpec {
     }
   }
 
+  test("hll_merge: register-merged ALL equals a direct pass over the union") {
+    val merged = Algorithms.hllMerge(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-flag scopes must equal hll_distinct's rows exactly
+    val perFlag = Algorithms.hllDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perFlag.foreach { case (k, v) => assert(merged(k) === v, s"scope $k") }
+    // ALL must equal the estimate a direct single-scope pass produces
+    val hv = graft.functions.PortableHash.h48(col("l_orderkey").cast("string"))
+    val direct = HllSketch.distinctByKey(
+      graft.core.Tables.lineitem(spark, dir)
+        .select(lit("ALL").as("scope"), hv.as("hv")),
+      "scope").head().getLong(1)
+    assert(merged("ALL") === direct)
+  }
+
   test("kmv_set_ops: estimates bracket the exact set algebra") {
     val li = graft.core.Tables.lineitem(spark, dir)
     def keys(flag: String): Set[Long] = li
