@@ -1826,8 +1826,128 @@ object LlmPipeline extends QueryModule {
        |WHERE j >= i
        |GROUP BY i, j""".stripMargin
 
+  // ---- top principal component --------------------------------------------
+  private val PcaRounds = 10
+
+  /** Top principal direction of the embedding corpus by power iteration on
+    * the [[gramMatrix]] — the PCA primitive. The distributed work is the
+    * gram pass (linear in corpus size, one d²-row shuffle); the iteration
+    * itself runs driver-side on the collected d×d matrix — 4160 longs,
+    * the same bounded-driver-state contract as k-means centroids. All
+    * iteration arithmetic is integer fixed-point: the gram is normalized
+    * to Q30 by its max |entry| (exact via BigInt/HUGEINT cross-multiply),
+    * the vector renormalized to Q20 by max |component| each round, so
+    * products stay ≤ 2^56 and the DuckDB oracle — ten mechanically
+    * generated CTE rounds of the same multiply-normalize — reproduces
+    * every bit. Sign is deterministic too: iteration starts from the
+    * all-ones vector, so no eigenvector sign ambiguity exists to flake
+    * on. 10 rounds is the attested contract, not "until converged" —
+    * accuracy vs a double-precision replay is spec-pinned (cos ≥ 0.999).
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val G = Array.ofDim[Long](d, d)
+    gramMatrix(spark, dir).collect().foreach { r =>
+      val (i, j, s) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      G(i)(j) = s; G(j)(i) = s
+    }
+    val maxG = G.map(_.map(math.abs).max).max
+    val Gn = G.map(_.map(v => ((BigInt(v) << 30) / maxG).toLong))
+    var v = Array.fill(d)(1L << 20)
+    (1 to PcaRounds).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => Gn(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = w.map(x => ((BigInt(x) << 20) / mx).toLong)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
+      .toDF("dim", "loading_q20")
+  }
+
+  private val pcaPowerSql = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    // each round references its w-CTE twice — un-materialized, the whole
+    // 10-round chain re-inlines exponentially (2^10 copies of the gram
+    // scan) and the oracle runs for minutes instead of milliseconds
+    val rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"n${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT g.i AS i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+         |  FROM gn g JOIN $prev v ON g.j = v.i GROUP BY g.i
+         |), n$k AS MATERIALIZED (
+         |  SELECT i, CAST((w::HUGEINT * 1048576) // (SELECT max(abs(w)) FROM w$k)
+         |       AS BIGINT) AS v
+         |  FROM w$k
+         |)"""
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |           x -> floor(x::DOUBLE * $GramScale)::BIGINT) AS qv
+       |  FROM embeddings
+       |), gram AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS s
+       |  FROM q, range(0, 64) AS t1(i), range(0, 64) AS t2(j)
+       |  WHERE j >= i GROUP BY i, j
+       |), full_g AS MATERIALIZED (
+       |  SELECT i, j, s FROM gram
+       |  UNION ALL SELECT j AS i, i AS j, s FROM gram WHERE i <> j
+       |), mg AS (
+       |  SELECT max(abs(s)) AS m FROM full_g
+       |), gn AS MATERIALIZED (
+       |  SELECT i, j, CAST((s::HUGEINT * 1073741824) // m AS BIGINT) AS g
+       |  FROM full_g, mg
+       |), v0 AS (
+       |  SELECT i, 1048576::BIGINT AS v FROM range(0, 64) t(i)
+       |), $rounds
+       |SELECT i AS dim, v AS loading_q20 FROM n$PcaRounds""".stripMargin
+  }
+
+  // ---- per-label embedding-space profile ----------------------------------
+  /** [[Extras]]' table_profile, extended to vector columns: per (label,
+    * dimension) count / mean / variance in exact integer fixed-point —
+    * the QA readout run on every new embedding drop before anything joins
+    * or classifies against it (a shifted per-dim mean between drops =
+    * embedding-version skew, the vector analog of schema drift). Same
+    * monoid shape as [[Analytics.linregTrend]]: one partial-aggregated
+    * groupBy over (label, dim) moment sums, map-side combined; output is
+    * labels × dims rows regardless of corpus size. mean is Q4 (the
+    * [[GramScale]] grid), variance Q8; both exact integer divisions.
+    */
+  def embedProfile(spark: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * GramScale).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(q).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("label"), col("dim"), col("n"),
+        expr("sx div n").as("mean_q4"),
+        expr("(n * sxx - sx * sx) div (n * n)").as("var_q8"))
+  }
+
+  private val embedProfileSql =
+    s"""WITH q AS (
+       |  SELECT label, list_transform(embedding,
+       |           x -> floor(x::DOUBLE * $GramScale)::BIGINT) AS qv
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT label, i AS dim, qv[i + 1] AS x
+       |  FROM q, range(0, 64) AS t(i)
+       |), m AS (
+       |  SELECT label, dim, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM e GROUP BY label, dim
+       |)
+       |SELECT label, dim, n, CAST(sx // n AS BIGINT) AS mean_q4,
+       |  CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_q8
+       |FROM m""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
+    QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
+    QueryDef("embed_profile", embedProfile, Some(embedProfileSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashSql)),
     QueryDef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
