@@ -1424,6 +1424,155 @@ object Analytics extends QueryModule {
       |       END AS BIGINT) AS trend_milli
       |FROM m""".stripMargin
 
+  // ---- multivariate OLS (closed-form normal equations) --------------------
+  /** Day offset that centers x1: keeps the normal-matrix entries small
+    * enough that the oracle's int128 Cramer determinants stay exact
+    * (uncentered, (n·day²)³ blows past int128 almost immediately).
+    */
+  private val OlsDayCenter = 19700L
+
+  /** Two-regressor least squares (spend ~ day + hour-of-day) solved in
+    * closed form from the normal equations — the multivariate upgrade of
+    * [[linregTrend]]. The distributed pass is ONE aggregate producing the
+    * nine exact integer moment sums (a commutative monoid, map-side
+    * combined, 9 longs to the driver no matter the corpus size); the 3×3
+    * Cramer solve runs driver-side in BigInt, so every determinant is
+    * exact and the oracle — the same determinant expansions in DuckDB's
+    * int128 — reproduces each milli-coefficient bit-for-bit. Truncating
+    * division matches across BigInt `/` and DuckDB `//`. Driver-side
+    * arithmetic is unbounded; the ORACLE's int128 bounds the attestable
+    * scale at roughly 10^12 centered-day rows — far past the test corpus.
+    */
+  def olsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .select(
+        expr(s"(ts div 1000) div 86400000000 - $OlsDayCenter").as("x1"),
+        expr("((ts div 1000) div 3600000000) % 24").as("x2"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .head()
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (0 until 9).map(i => BigInt(m.getLong(i)))
+    // row-major normal matrix and rhs; det along the first row
+    val a = Array(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b = Array(sy, s1y, s2y)
+    def det3(v: Array[BigInt]): BigInt =
+      v(0) * (v(4) * v(8) - v(5) * v(7)) -
+        v(1) * (v(3) * v(8) - v(5) * v(6)) +
+        v(2) * (v(3) * v(7) - v(4) * v(6))
+    val det = det3(a)
+    def coefMilli(k: Int): Long = {
+      val ak = a.indices.map(i => if (i % 3 == k) b(i / 3) else a(i)).toArray
+      ((BigInt(1000) * det3(ak)) / det).toLong
+    }
+    import spark.implicits._
+    Seq((m.getLong(0), coefMilli(0), coefMilli(1), coefMilli(2)))
+      .toDF("n", "b0_milli", "b1_milli", "b2_milli")
+  }
+
+  private val olsMultiSql =
+    s"""WITH r AS (
+       |  SELECT epoch_us(ts) // 86400000000 - $OlsDayCenter AS x1,
+       |         (epoch_us(ts) // 3600000000) % 24 AS x2,
+       |         CAST(round(value * 100) AS BIGINT) AS y
+       |  FROM events
+       |), s AS (
+       |  SELECT count(*)::HUGEINT AS n, sum(x1)::HUGEINT AS s1,
+       |    sum(x2)::HUGEINT AS s2, sum(x1 * x1)::HUGEINT AS s11,
+       |    sum(x1 * x2)::HUGEINT AS s12, sum(x2 * x2)::HUGEINT AS s22,
+       |    sum(y)::HUGEINT AS sy, sum(x1 * y)::HUGEINT AS s1y,
+       |    sum(x2 * y)::HUGEINT AS s2y
+       |  FROM r
+       |), d AS (
+       |  SELECT n,
+       |    n  * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
+       |       + s2 * (s1  * s12 - s11 * s2) AS det,
+       |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+       |       + s2 * (s1y * s12 - s11 * s2y) AS det0,
+       |    n  * (s1y * s22 - s12 * s2y) - sy * (s1  * s22 - s12 * s2)
+       |       + s2 * (s1  * s2y - s1y * s2) AS det1,
+       |    n  * (s11 * s2y - s1y * s12) - s1 * (s1  * s2y - s1y * s2)
+       |       + sy * (s1  * s12 - s11 * s2) AS det2
+       |  FROM s
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST((1000 * det0) // det AS BIGINT) AS b0_milli,
+       |  CAST((1000 * det1) // det AS BIGINT) AS b1_milli,
+       |  CAST((1000 * det2) // det AS BIGINT) AS b2_milli
+       |FROM d""".stripMargin
+
+  // ---- one-way ANOVA group-difference readout ------------------------------
+  /** One-way ANOVA over spend-by-event-type: F statistic and
+    * variance-explained (η²) from the per-group moment sums alone — the
+    * "is this segmentation real?" test run before anyone acts on a group
+    * difference. Distributed work is one 5-row moment aggregate (n, Σy,
+    * Σy² per group — map-side combined); the statistic assembles driver-
+    * side in BigInt from 15 scalars. Quantization contract: group means
+    * are truncated to MILLI-cents first and the sums of squares defined
+    * against those quantized means, so every intermediate is an exact
+    * integer and the oracle (same formulas in int128) matches bit-for-bit
+    * — a float ANOVA's Σy² accumulation order would flake the compare.
+    * Output units: SSB/SSW in cents² (milli² scaled down by 10^6).
+    */
+  def anovaGroups(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .collect()
+    val k = BigInt(g.length)
+    val nT = BigInt(g.map(_.getLong(1)).sum)
+    val sT = BigInt(g.map(_.getLong(2)).sum)
+    val mq = (BigInt(1000) * sT) / nT
+    var ssb = BigInt(0); var ssw = BigInt(0)
+    g.foreach { r =>
+      val (n, s, ss) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      val mqg = (BigInt(1000) * s) / n
+      ssb += n * (mqg - mq) * (mqg - mq)
+      // Σ_rows (1000·y − mq_g)² from the moments, all integer
+      ssw += BigInt(1000000) * ss - BigInt(2000) * s * mqg + n * mqg * mqg
+    }
+    val fMilli = ((BigInt(1000) * ssb * (nT - k)) / (ssw * (k - 1))).toLong
+    val etaBp = ((BigInt(10000) * ssb) / (ssb + ssw)).toLong
+    import spark.implicits._
+    Seq((nT.toLong, k.toLong, (ssb / 1000000).toLong, (ssw / 1000000).toLong,
+      fMilli, etaBp))
+      .toDF("n", "k", "ssb_c2", "ssw_c2", "f_milli", "eta_bp")
+  }
+
+  private val anovaGroupsSql =
+    """WITH g AS (
+      |  SELECT event_type, count(*)::HUGEINT AS n,
+      |    sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS s,
+      |    sum(CAST(round(value * 100) AS BIGINT)
+      |        * CAST(round(value * 100) AS BIGINT))::HUGEINT AS ss
+      |  FROM events GROUP BY event_type
+      |), t AS (
+      |  SELECT count(*)::HUGEINT AS k, sum(n) AS nt, sum(s) AS st FROM g
+      |), q AS (
+      |  SELECT g.n, g.s, g.ss, (1000 * g.s) // g.n AS mqg,
+      |    (1000 * t.st) // t.nt AS mq
+      |  FROM g, t
+      |), a AS (
+      |  SELECT sum(n * (mqg - mq) * (mqg - mq)) AS ssb,
+      |    sum(1000000 * ss - 2000 * s * mqg + n * mqg * mqg) AS ssw
+      |  FROM q
+      |)
+      |SELECT CAST(t.nt AS BIGINT) AS n, CAST(t.k AS BIGINT) AS k,
+      |  CAST(a.ssb // 1000000 AS BIGINT) AS ssb_c2,
+      |  CAST(a.ssw // 1000000 AS BIGINT) AS ssw_c2,
+      |  CAST((1000 * a.ssb * (t.nt - t.k)) // (a.ssw * (t.k - 1)) AS BIGINT)
+      |    AS f_milli,
+      |  CAST((10000 * a.ssb) // (a.ssb + a.ssw) AS BIGINT) AS eta_bp
+      |FROM a, t""".stripMargin
+
   // ---- deterministic A/B experiment readout -------------------------------
   private val AbSeed = 20260814
 
@@ -1466,6 +1615,8 @@ object Analytics extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
+    QueryDef("ols_multi", olsMulti, Some(olsMultiSql)),
+    QueryDef("anova_groups", anovaGroups, Some(anovaGroupsSql)),
     QueryDef("ab_test", abTest, Some(abTestSql)),
     QueryDef("q1_agg", q1Agg, Some(q1Sql)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsSql)),

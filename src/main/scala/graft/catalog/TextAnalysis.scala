@@ -1240,7 +1240,61 @@ object TextAnalysis extends QueryModule {
        |FROM d""".stripMargin
   }
 
+  // ---- corpus datasheet ----------------------------------------------------
+  /** One-row corpus card — the datasheet stapled to a training-data drop:
+    * volume (docs, chars, tokens), diversity (sources, langs, vocabulary),
+    * and integrity (exact-duplicate rate from content hashes). Two
+    * independent single-pass aggregates (doc-level and token-level)
+    * cross-joined as 1-row frames; every number is an exact integer, the
+    * duplicate count via [[graft.functions.PortableHash.h48]] content
+    * hashes so the oracle agrees on WHICH docs are dups, not just how
+    * many. At 100 TB each distinct-count term can be swapped for its
+    * [[graft.operators.HllSketch]] estimate without changing the shape.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val docAgg = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(graft.functions.PortableHash.h48(col("text")))
+        .as("distinct_texts"))
+    val tokAgg = d.select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab"))
+    docAgg.crossJoin(tokAgg)
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_chars"), col("n_tokens"), col("vocab"),
+        expr("n_chars div n_docs").as("mean_chars"),
+        (col("n_docs") - col("distinct_texts")).as("dup_docs"),
+        expr("(10000 * (n_docs - distinct_texts)) div n_docs")
+          .as("dup_rate_bp"))
+  }
+
+  private val corpusCardSql = {
+    val h = graft.functions.PortableHash.h48Sql("text")
+    val w = TextFns.tokensSql("text")
+    s"""WITH doc AS (
+       |  SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    count(DISTINCT $h) AS distinct_texts
+       |  FROM documents
+       |), tok AS (
+       |  SELECT count(*) AS n_tokens, count(DISTINCT tok) AS vocab
+       |  FROM (SELECT unnest($w) AS tok FROM documents)
+       |)
+       |SELECT n_docs, n_sources, n_langs, n_chars, n_tokens, vocab,
+       |  CAST(n_chars // n_docs AS BIGINT) AS mean_chars,
+       |  n_docs - distinct_texts AS dup_docs,
+       |  CAST((10000 * (n_docs - distinct_texts)) // n_docs AS BIGINT)
+       |    AS dup_rate_bp
+       |FROM doc, tok""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_card", corpusCard, Some(corpusCardSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("char_entropy", charEntropy, Some(charEntropySql)),
     QueryDef("doc_offsets", docOffsets, Some(docOffsetsSql)),
