@@ -558,6 +558,71 @@ object Analytics extends QueryModule {
       |SELECT prev_type, event_type, count(*) AS n
       |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---- Markov stationary distribution --------------------------------------
+  private val MarkovRounds = 10
+
+  /** Stationary distribution of the [[eventTransitions]] Markov chain —
+    * the long-run "where do users spend their time" vector that a single
+    * transition-count table only implies. The distributed pass is the
+    * transition aggregate (bounded by event-type vocabulary squared); the
+    * 10-round power iteration runs on that k×k table — driver-side here
+    * (25 cells), join-shaped in the oracle. Fixed-point contract mirrors
+    * [[LlmPipeline.pcaPower]]: π is a Q20 probability vector (Σπ ≈ 2^20),
+    * each round's per-edge term is the truncating integer division
+    * (n_ab·π_a) div outdeg_a — term-wise truncation makes the sum
+    * order-free, so the DuckDB replay (10 MATERIALIZED CTE rounds; the
+    * materialization lesson from pca_power applies) is bit-identical.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val c = eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val dom = c.map(_._1).distinct.sorted
+    val rs = c.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+    var pi: Map[String, Long] = dom.map(_ -> (1L << 20)).toMap
+    (1 to MarkovRounds).foreach { _ =>
+      val w = c.filter(e => dom.contains(e._2) && pi.contains(e._1))
+        .groupBy(_._2).map { case (b, es) =>
+          b -> es.map(e => e._3 * pi(e._1) / rs(e._1)).sum
+        }
+      val s = w.values.sum
+      pi = w.map { case (b, v) => b -> ((BigInt(v) << 20) / s).toLong }
+    }
+    import spark.implicits._
+    pi.toSeq.sortBy(_._1).toDF("event_type", "pi_q20")
+  }
+
+  private val markovStationarySql = {
+    val rounds = (1 to MarkovRounds).map { k =>
+      val prev = if (k == 1) "p0" else s"mn${k - 1}"
+      s"""mw$k AS MATERIALIZED (
+         |  SELECT c.b AS t, CAST(sum((c.n * p.p) // r.rs) AS BIGINT) AS w
+         |  FROM mc c JOIN $prev p ON c.a = p.t JOIN mr r ON c.a = r.a
+         |       JOIN mdom d ON c.b = d.t
+         |  GROUP BY c.b
+         |), mn$k AS MATERIALIZED (
+         |  SELECT t, CAST((w::HUGEINT * 1048576) // (SELECT sum(w) FROM mw$k)
+         |       AS BIGINT) AS p
+         |  FROM mw$k
+         |)"""
+    }.mkString(", ")
+    s"""WITH ms AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events
+       |), mc AS MATERIALIZED (
+       |  SELECT prev_type AS a, event_type AS b, count(*)::BIGINT AS n
+       |  FROM ms WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), mr AS MATERIALIZED (
+       |  SELECT a, CAST(sum(n) AS BIGINT) AS rs FROM mc GROUP BY a
+       |), mdom AS MATERIALIZED (
+       |  SELECT DISTINCT a AS t FROM mc
+       |), p0 AS (
+       |  SELECT t, 1048576::BIGINT AS p FROM mdom
+       |), $rounds
+       |SELECT t AS event_type, p AS pi_q20 FROM mn$MarkovRounds""".stripMargin
+  }
+
   // ---- frequent 3-step event paths ---------------------------------------
   private val TpK = 20
 
@@ -1641,6 +1706,7 @@ object Analytics extends QueryModule {
     QueryDef("window_pct_funcs", windowPctFuncs, Some(windowPctSql)),
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    QueryDef("markov_stationary", markovStationary, Some(markovStationarySql)),
     QueryDef("top_paths", topPaths, Some(topPathsSql)),
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),

@@ -45,6 +45,29 @@ class OlsMultiSpec extends SparkSpec {
       ((coef(0), coef(1), coef(2))))
   }
 
+  test("markov_stationary: Q20 vector tracks the double-precision chain") {
+    val got = Analytics.markovStationary(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Q20 probability vector: sums to 1.0 up to per-type truncation
+    assert(math.abs(got.values.sum - (1L << 20)) <= got.size.toLong)
+    // double-precision replay of the same 10 rounds
+    val c = Analytics.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2).toDouble))
+    val rs = c.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+    var pi = c.map(_._1).distinct.map(_ -> 1.0).toMap
+    (1 to 10).foreach { _ =>
+      val w = c.groupBy(_._2).map { case (b, es) =>
+        b -> es.map(e => e._3 * pi(e._1) / rs(e._1)).sum
+      }
+      val s = w.values.sum
+      pi = w.map { case (b, v) => b -> v / s }
+    }
+    pi.foreach { case (t, p) =>
+      assert(math.abs(got(t).toDouble / (1L << 20) - p) < 1e-3,
+        s"type $t: ${got(t)} vs $p")
+    }
+  }
+
   test("anova_groups: equals a brute-force replay over raw rows") {
     val raw = graft.core.Tables.events(spark, dir)
       .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
