@@ -558,6 +558,46 @@ object Analytics extends QueryModule {
       |SELECT prev_type, event_type, count(*) AS n
       |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---- last-touch conversion attribution -----------------------------------
+  /** Marketing-style attribution: each purchase credits the user's most
+    * recent NON-purchase event before it (last-touch). One user-partitioned
+    * window pass — `last(..., ignoreNulls)` over the preceding-rows frame
+    * resolves the latest qualifying touch without a self-join against the
+    * timeline — then a bounded per-touch-type aggregate of conversions and
+    * integer-cents revenue. The window sorts within user partitions only
+    * (the same shuffle profile as [[eventTransitions]]); nothing global.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("touch").isNotNull)
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
+  private val attributionLastTouchSql =
+    """WITH t AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events
+      |)
+      |SELECT touch, count(*) AS n_conversions,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM t WHERE event_type = 'purchase' AND touch IS NOT NULL
+      |GROUP BY touch""".stripMargin
+
   // ---- Markov stationary distribution --------------------------------------
   private val MarkovRounds = 10
 
@@ -1707,6 +1747,8 @@ object Analytics extends QueryModule {
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("markov_stationary", markovStationary, Some(markovStationarySql)),
+    QueryDef("attribution_last_touch", attributionLastTouch,
+      Some(attributionLastTouchSql)),
     QueryDef("top_paths", topPaths, Some(topPathsSql)),
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),

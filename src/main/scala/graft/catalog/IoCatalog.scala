@@ -806,6 +806,30 @@ object IoCatalog extends QueryModule {
     """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin
 
+  // ---- Avro container-file round trip --------------------------------------
+  /** Avro object-container roundtrip through the stock `avro-mapred`
+    * formats ([[graft.sources.AvroIO]]) — documents land as schema'd Avro
+    * records and come back through the self-describing header, then
+    * aggregate per source. The oracle answers from the raw table: the
+    * format boundary must be lossless for every field type it carries.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("avro_roundtrip", dir)
+    graft.sources.AvroIO.write(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")), path)
+    graft.sources.AvroIO.read(spark, path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("id")).as("id_sum"))
+  }
+
+  private val avroRoundtripSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---- schema'd JSON-lines round trip --------------------------------------
   /** JSON-lines sink + schema'd re-read: the semi-structured props string is
     * promoted to a typed struct BEFORE the write (from_json, codegen'd), and
@@ -867,6 +891,7 @@ object IoCatalog extends QueryModule {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("avro_roundtrip", avroRoundtrip, Some(avroRoundtripSql)),
     QueryDef("compact_files", compactFiles, Some(compactFilesSql)),
     QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("kv_text_separator", kvTextSeparator, Some(kvTextSeparatorSql)),
