@@ -20,6 +20,7 @@ object SparkEntry {
     LlmPipeline,
     TextAnalysis,
     AggregateFramework,
+    EvalMetrics,
     IoCatalog,
     MiscOps,
     MrFacade,

@@ -1,0 +1,562 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Model- and signal-evaluation readouts — the metrics a curation team
+  * runs before trusting a quality gate with 100 TB of corpus: exact ROC
+  * AUC (tie-corrected rank-sum), a confusion-matrix readout with
+  * precision/recall/F1, a calibration curve, chi-squared token/label
+  * association (feature selection for the classifier), inter-rater
+  * agreement (Cohen's kappa between two independent keep gates), and
+  * lagged autocorrelation of the daily revenue series.
+  *
+  * Everything follows the repo's exact-integer attestation discipline:
+  * counts aggregate as BIGINTs, products with 100 TB headroom lift to
+  * decimal(38,0) (Spark) / HUGEINT (DuckDB), and every reported ratio is
+  * ONE truncating integer division (`div` / `//` — both truncate toward
+  * zero), so the DuckDB oracle replays bit-for-bit; no float statistics
+  * anywhere.
+  *
+  * The graded model is [[TextAnalysis.classifierScore]] (the hashed
+  * linear quality gate); ground truth for the binary metrics is
+  * `lang = 'en'` — a real weak-supervision readout ("does the score
+  * separate English?") with a well-balanced positive rate on this corpus.
+  *
+  * Reference analog: the reference has no evaluation library — this is
+  * additive capability in the same spirit as its aggregate framework
+  * (`src/mapred/.../lib/aggregate/ValueAggregatorJob.java`): fixed
+  * per-record functions folded by commutative aggregates.
+  */
+object EvalMetrics extends QueryModule {
+
+  private val dec = "decimal(38,0)"
+
+  /** (score, pos) per document — the shared scan every binary metric
+    * starts from; map-only, no shuffle of its own.
+    */
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      TextAnalysis.classifierScore.as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+
+  private val scoredSql =
+    s"""SELECT ${TextAnalysis.classifierScoreSql} AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents""".stripMargin
+
+  // ---- confusion matrix / precision / recall / F1 -------------------------
+  /** Binary confusion of the quality gate (keep = score > 0) against the
+    * `lang = 'en'` ground truth, with precision/recall/F1 in integer
+    * basis points. ONE map-only scan folded by one global aggregate —
+    * 4 counters cross the wire regardless of corpus size; the ratios are
+    * integer divisions over those counters (10⁴-scaled products stay
+    * under 2^63 to ~10^14 docs).
+    */
+  def evalConfusion(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pos") === 1 && col("score") > 0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pos") === 0 && col("score") > 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pos") === 1 && col("score") <= 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pos") === 0 && col("score") <= 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, 0L)
+          .otherwise(expr("(10000 * tp) div (tp + fp)")).as("precision_bp"),
+        when(col("tp") + col("fn") === 0, 0L)
+          .otherwise(expr("(10000 * tp) div (tp + fn)")).as("recall_bp"),
+        when(expr("2 * tp + fp + fn") === 0, 0L)
+          .otherwise(expr("(20000 * tp) div (2 * tp + fp + fn)")).as("f1_bp"))
+
+  private val evalConfusionSql =
+    s"""WITH s AS ($scoredSql),
+       |c AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN pos = 1 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN pos = 0 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN pos = 1 AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN pos = 0 AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM s
+       |)
+       |SELECT n_docs, tp, fp, fn, tn,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (10000 * tp) // (tp + fp) END AS BIGINT) AS precision_bp,
+       |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (10000 * tp) // (tp + fn) END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (20000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_bp
+       |FROM c""".stripMargin
+
+  // ---- exact ROC AUC (tie-corrected rank-sum) -----------------------------
+  /** Exact ROC AUC of the score against `lang = 'en'`, computed the
+    * scale-right way: aggregate to the per-score histogram (n_pos, n_neg)
+    * — ONE shuffle, |distinct scores| rows, data-bounded not
+    * corpus-bounded — then a running negative-count window over that
+    * compact table. AUC = (C + T/2) / (P·N) with C = concordant pairs
+    * (pos score > neg score) and T = ties; both from the histogram, never
+    * from pair enumeration. Reported doubled (`auc_num2x = 2C + T`,
+    * `auc_den2x = 2·P·N`) so the tie half stays integer, plus one
+    * truncated `auc_bp`. Pair-count products lift to decimal(38,0) —
+    * P·N overflows int64 past ~3·10^9 docs — and the output casts back
+    * to BIGINT (exact to ~9·10^5 billion-doc corpora; the decimal output
+    * is the documented lift beyond). The single-partition window is over
+    * the score histogram only (bounded by the score range, ~10^4 rows),
+    * the same compact-domain justification as `skyline_parts`.
+    */
+  def aucRank(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scored(spark, dir)
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("p"), sum(col("nn")).as("n"),
+        sum(col("np").cast(dec) * col("cneg")).as("c"),
+        sum(col("np").cast(dec) * col("nn")).as("t"))
+      .select(
+        col("p").as("n_pos"), col("n").as("n_neg"),
+        expr("CAST(2 * c + t AS BIGINT)").as("auc_num2x"),
+        expr(s"CAST(2 * CAST(p AS $dec) * n AS BIGINT)").as("auc_den2x"),
+        expr(s"""CASE WHEN p = 0 OR n = 0 THEN 0L
+                |ELSE (10000 * (2 * c + t)) div (2 * CAST(p AS $dec) * n)
+                |END""".stripMargin).as("auc_bp"))
+  }
+
+  private val aucRankSql =
+    s"""WITH s AS ($scoredSql),
+       |h AS (
+       |  SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS nn
+       |  FROM s GROUP BY score
+       |), r AS (
+       |  SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+       |  FROM h
+       |), a AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n,
+       |    sum(np::HUGEINT * cneg) AS c, sum(np::HUGEINT * nn) AS t
+       |  FROM r
+       |)
+       |SELECT p AS n_pos, n AS n_neg,
+       |  CAST(2 * c + t AS BIGINT) AS auc_num2x,
+       |  CAST(2 * p::HUGEINT * n AS BIGINT) AS auc_den2x,
+       |  CAST(CASE WHEN p = 0 OR n = 0 THEN 0
+       |       ELSE (10000 * (2 * c + t)) // (2 * p::HUGEINT * n) END AS BIGINT) AS auc_bp
+       |FROM a""".stripMargin
+
+  // ---- calibration curve --------------------------------------------------
+  /** Width of one calibration bin in score units. */
+  private val CalBinWidth = 500L
+
+  /** Calibration curve of the quality gate: fixed-width score bins
+    * (`score div 500` — truncation toward zero in BOTH engines, so the
+    * binning is identical) with observed positive rate and mean score per
+    * bin. Fixed-width bins instead of ntile deciles on purpose: deciles
+    * need a global rank (a total-order sort of every doc), fixed bins are
+    * MAP-ONLY + one |bins|-row aggregate — the 100 TB shape. A monotone
+    * pos_rate_bp over bins = the score is calibrated rank-wise.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .groupBy(expr(s"score div $CalBinWidth").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(col("score")).as("ssum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("(10000 * n_pos) div n_docs").as("pos_rate_bp"),
+        expr("(1000 * ssum) div n_docs").as("mean_score_milli"))
+
+  private val calibrationBinsSql =
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT CAST(score // $CalBinWidth AS BIGINT) AS bin,
+       |    count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(score) AS BIGINT) AS ssum
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT bin, n_docs, n_pos,
+       |  CAST((10000 * n_pos) // n_docs AS BIGINT) AS pos_rate_bp,
+       |  CAST((1000 * ssum) // n_docs AS BIGINT) AS mean_score_milli
+       |FROM b""".stripMargin
+
+  // ---- chi-squared token/label association --------------------------------
+  /** How many top-chi² tokens to report. */
+  private val Chi2TopK = 20
+
+  /** Chi-squared association of token presence with `lang = 'en'` — the
+    * classic feature-selection score (which tokens should the quality
+    * classifier actually look at). Per token, the 2×2 presence table
+    * (a = pos docs containing it, b = neg docs containing it, c/d the
+    * complements from broadcast totals) gives
+    * χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), reported ×1000
+    * truncated. Shape: distinct-token explode → ONE shuffle on the token
+    * key with map-side combine; totals are a broadcast 1-row frame; the
+    * top-k is orderBy+limit → TakeOrdered (per-partition heaps, no global
+    * sort). (ad − bc)² · n overflows int64 past ~10^5 docs, so the ratio
+    * computes in decimal(38,0)/HUGEINT — exact to ~10^8 docs, with the
+    * same decimal-output lift as [[aucRank]] beyond. Ties order by token
+    * — the cut is deterministic cross-engine.
+    */
+  def chi2Tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+      array_distinct(graft.functions.TextFns.tokens(lower(col("text")))).as("toks"))
+    val tot = docs.agg(sum(col("pos")).as("tp_all"),
+      (count(lit(1)) - sum(col("pos"))).as("tn_all"))
+    val perTok = docs
+      .select(col("pos"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("pos")).as("a"), (count(lit(1)) - sum(col("pos"))).as("b"))
+    perTok.crossJoin(broadcast(tot))
+      .withColumn("c", col("tp_all") - col("a"))
+      .withColumn("d", col("tn_all") - col("b"))
+      .withColumn("chi2_milli", expr(
+        s"""CASE WHEN (a + b) * (c + d) = 0 OR tp_all = 0 OR tn_all = 0 THEN 0L
+           |ELSE (1000 * CAST(tp_all + tn_all AS $dec)
+           |      * (CAST(a AS $dec) * d - CAST(b AS $dec) * c)
+           |      * (CAST(a AS $dec) * d - CAST(b AS $dec) * c))
+           |     div (CAST(a + b AS $dec) * (c + d) * tp_all * tn_all)
+           |END""".stripMargin))
+      .orderBy(col("chi2_milli").desc, col("token"))
+      .limit(Chi2TopK)
+      .select(col("token"), col("a").as("df_pos"), col("b").as("df_neg"),
+        col("chi2_milli"))
+  }
+
+  private val chi2TokensSql = {
+    val toks = graft.functions.TextFns.tokensSql("lower(text)")
+    s"""WITH d AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    list_distinct($toks) AS toks
+       |  FROM documents
+       |), tot AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS tp_all,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS tn_all
+       |  FROM d
+       |), t AS (
+       |  SELECT unnest(toks) AS token, pos FROM d
+       |), pt AS (
+       |  SELECT token, CAST(sum(pos) AS BIGINT) AS a,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS b
+       |  FROM t GROUP BY token
+       |), x AS (
+       |  SELECT token, a, b, tp_all - a AS c, tn_all - b AS d2,
+       |    tp_all, tn_all
+       |  FROM pt CROSS JOIN tot
+       |)
+       |SELECT token, a AS df_pos, b AS df_neg,
+       |  CAST(CASE WHEN (a+b) * (c+d2) * tp_all * tn_all = 0 THEN 0
+       |       ELSE (1000 * (tp_all + tn_all)
+       |             * (a::HUGEINT * d2 - b::HUGEINT * c)
+       |             * (a::HUGEINT * d2 - b::HUGEINT * c))
+       |            // ((a+b)::HUGEINT * (c+d2) * tp_all * tn_all) END
+       |       AS BIGINT) AS chi2_milli
+       |FROM x
+       |ORDER BY chi2_milli DESC, token
+       |LIMIT $Chi2TopK""".stripMargin
+  }
+
+  // ---- Cohen's kappa ------------------------------------------------------
+  /** Length threshold of the second (independent) keep gate. */
+  private val KappaLenGate = 300L
+
+  /** Inter-rater agreement between two independent keep gates — the
+    * hashed-classifier gate (score > 0) and a plain length gate
+    * (n_chars ≥ 300) — as Cohen's kappa in basis points. κ measures
+    * agreement BEYOND chance: κ = (p_o − p_e)/(1 − p_e), computed here
+    * fully cross-multiplied — κ_bp = 10⁴·(n·(a+d) − pe) div (n² − pe)
+    * with pe = (a+b)(a+c) + (c+d)(b+d) — so nothing is ever a float.
+    * n² overflows int64 past ~3·10^9 docs → decimal(38,0)/HUGEINT, same
+    * lift as [[aucRank]]. ONE map-only scan + one 4-counter aggregate.
+    */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((TextAnalysis.classifierScore > 0).as("ka"),
+        (col("n_chars") >= KappaLenGate).as("kb"))
+      .agg(
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("d"))
+      .select(col("a").as("both_keep"), col("b").as("only_score"),
+        col("c").as("only_length"), col("d").as("both_drop"),
+        (col("a") + col("b") + col("c") + col("d")).as("n_docs"),
+        expr(
+          s"""CASE WHEN CAST(a + b + c + d AS $dec) * (a + b + c + d)
+             |       - (CAST(a + b AS $dec) * (a + c) + CAST(c + d AS $dec) * (b + d)) = 0
+             |THEN 0L
+             |ELSE (10000 * (CAST(a + b + c + d AS $dec) * (a + d)
+             |       - (CAST(a + b AS $dec) * (a + c) + CAST(c + d AS $dec) * (b + d))))
+             |     div (CAST(a + b + c + d AS $dec) * (a + b + c + d)
+             |       - (CAST(a + b AS $dec) * (a + c) + CAST(c + d AS $dec) * (b + d)))
+             |END""".stripMargin).as("kappa_bp"))
+
+  private val cohenKappaSql =
+    s"""WITH g AS (
+       |  SELECT (${TextAnalysis.classifierScoreSql}) > 0 AS ka,
+       |    n_chars >= $KappaLenGate AS kb
+       |  FROM documents
+       |), c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM g
+       |)
+       |SELECT a AS both_keep, b AS only_score, c AS only_length,
+       |  d AS both_drop, a + b + c + d AS n_docs,
+       |  CAST(CASE WHEN (a+b+c+d)::HUGEINT * (a+b+c+d)
+       |              - ((a+b)::HUGEINT * (a+c) + (c+d)::HUGEINT * (b+d)) = 0
+       |       THEN 0
+       |       ELSE (10000 * ((a+b+c+d)::HUGEINT * (a+d)
+       |              - ((a+b)::HUGEINT * (a+c) + (c+d)::HUGEINT * (b+d))))
+       |            // ((a+b+c+d)::HUGEINT * (a+b+c+d)
+       |              - ((a+b)::HUGEINT * (a+c) + (c+d)::HUGEINT * (b+d))) END
+       |       AS BIGINT) AS kappa_bp
+       |FROM c""".stripMargin
+
+  // ---- autocorrelation of the daily revenue series ------------------------
+  /** Largest lag reported. */
+  private val AcfMaxLag = 7
+
+  /** Lag-1..7 autocorrelation of daily order revenue — the seasonality
+    * readout behind `seasonal_forecast`'s day-of-week model (a lag-7
+    * peak IS the weekly cycle). Exact integers throughout: the series is
+    * per-day cent sums (one shuffle, |days| rows), the mean is cleared by
+    * n-scaling — r_k = Σ(n·x_t − S)(n·x_{t+k} − S) / Σ(n·x_t − S)² over
+    * the pairs the lag leaves — and the products run in decimal(38,0)/
+    * HUGEINT ((n·x − S)² passes int64 already at ~10³ days of ~10⁶-cent
+    * daily volume). Lags come from ONE 7-lead window pass over the
+    * compact daily table (single-partition over |days| rows — the
+    * skyline_parts compact-domain justification), folded by one
+    * aggregate; `stack` unpivots the 7 readouts to rows. Truncating
+    * division keeps the signed milli-ACF identical cross-engine.
+    */
+  def acfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    val w = Window.orderBy(col("day"))
+    val withLeads = (1 to AcfMaxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"x$k", lead(col("x"), k).over(w))
+    }
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dev = (c: org.apache.spark.sql.Column) =>
+      c.cast(dec) * col("n") - col("s")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      sum(dev(col("x")) * dev(col("x"))).as("den") +:
+        (1 to AcfMaxLag).map(k =>
+          sum(when(col(s"x$k").isNotNull, dev(col("x")) * dev(col(s"x$k")))
+            .otherwise(lit(0).cast(dec))).as(s"num$k"))
+    val acfCols = (1 to AcfMaxLag).map(k =>
+      s"CAST($k AS BIGINT), CASE WHEN den = 0 THEN 0L ELSE (1000 * num$k) div den END")
+    withLeads.crossJoin(broadcast(st))
+      .agg(count(lit(1)).as("n_days"), aggs: _*)
+      .selectExpr("n_days",
+        s"stack($AcfMaxLag, ${acfCols.mkString(", ")}) AS (lag, acf_milli)")
+      .select(col("lag"), col("n_days"), col("acf_milli"))
+  }
+
+  private val acfDailySql = {
+    val lagRows = (1 to AcfMaxLag).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag, st.n AS n_days,
+         |  CAST(CASE WHEN m.den = 0 THEN 0
+         |       ELSE (1000 * m.num$k) // m.den END AS BIGINT) AS acf_milli
+         |FROM m CROSS JOIN st"""
+    }.mkString("\nUNION ALL\n")
+    val numCols = (1 to AcfMaxLag).map(k =>
+      s"""sum(CASE WHEN x$k IS NULL THEN 0
+         |      ELSE (x::HUGEINT * n - s) * (x$k::HUGEINT * n - s) END) AS num$k""")
+      .mkString(",\n    ")
+    val leadCols = (1 to AcfMaxLag).map(k =>
+      s"lead(x, $k) OVER (ORDER BY day) AS x$k").mkString(",\n    ")
+    s"""WITH daily AS (
+       |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1
+       |), st AS (
+       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily
+       |), led AS (
+       |  SELECT day, x,
+       |    $leadCols
+       |  FROM daily
+       |), m AS (
+       |  SELECT
+       |    sum((x::HUGEINT * n - s) * (x::HUGEINT * n - s)) AS den,
+       |    $numCols
+       |  FROM led CROSS JOIN st
+       |)
+       |$lagRows""".stripMargin
+  }
+
+  // ---- NDCG of the BM25 ranking -------------------------------------------
+  private val NdcgK = 10
+  private val NdcgQueryMod = 61
+
+  /** Integer discount table d_i = floor(10⁶ / log2(i + 1)) for ranks
+    * 1..k. Computed ONCE here and interpolated as literals into both the
+    * Spark expression and the DuckDB oracle — so no engine ever evaluates
+    * a logarithm at query time and the two sides agree by construction
+    * (the [[graft.operators.Bm25]] no-`ln` determinism rule applied to
+    * the evaluation layer).
+    */
+  private val NdcgDiscount: Seq[Long] =
+    (1 to NdcgK).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@10 of the BM25 ranking — the retrieval-quality readout for
+    * `bm25_topk`'s engine: how close each query's returned ORDER is to
+    * its ideal order. Graded relevance is deterministic by construction
+    * (rel = |query terms ∩ doc's distinct terms|, 0..5), gain = 2^rel − 1,
+    * discounts from [[NdcgDiscount]]; DCG and the per-query ideal
+    * (gain-sorted) DCG are exact integer sums, NDCG one truncating
+    * division. Scale shape: ranking and index come straight from the
+    * SHARED memoized BM25 index (`bm25_index` — built once per process);
+    * relevance grading probes that index with a BROADCAST of the
+    * |queries|·k ranked pairs, so the corpus-sized side never reshuffles;
+    * everything after the probe operates on ≤ |queries|·k rows. Ideal
+    * ordering ties are harmless: equal gains contribute the same Σ
+    * gain·disc whatever their relative order.
+    */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") % NdcgQueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(
+          graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
+    val idx = graft.core.Shared.memo(spark, "bm25_index", dir) {
+      graft.operators.Bm25.index(docs)
+    }
+    val ranked = graft.operators.Bm25
+      .topK(docs, queries, NdcgK, prebuilt = Some(idx))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // grade relevance: probe the inverted index with the (small) ranked
+    // pairs × query terms — index side stays put, probe side broadcasts
+    val pairs = ranked.join(queries, "query_id")
+      .select(col("query_id"), col("doc_id"), col("rank"), col("term"))
+    val rel = idx.select(col("doc_id"), col("term"))
+      .join(broadcast(pairs), Seq("doc_id", "term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+    val discCase = (rk: String) =>
+      s"CASE $rk ${NdcgDiscount.zipWithIndex.map { case (d, i) =>
+        s"WHEN ${i + 1} THEN ${d}L" }.mkString(" ")} END"
+    val graded = ranked.join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("gain", expr("shiftleft(1L, CAST(coalesce(rel, 0) AS INT)) - 1"))
+      .withColumn("irank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("gain").desc, col("doc_id"))))
+    graded
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain")).as("total_gain"),
+        sum(expr(s"gain * ${discCase("rank")}")).as("dcg"),
+        sum(expr(s"gain * ${discCase("irank")}")).as("idcg"))
+      .select(col("query_id"), col("total_gain"), col("dcg"), col("idcg"),
+        expr("CASE WHEN idcg = 0 THEN 0L ELSE (10000 * dcg) div idcg END")
+          .as("ndcg_bp"))
+  }
+
+  private val ndcgEvalSql = {
+    val rankedSql = graft.operators.Bm25.topKSql("documents", NdcgQueryMod, NdcgK)
+    val discCase = (rk: String) =>
+      s"CASE $rk ${NdcgDiscount.zipWithIndex.map { case (d, i) =>
+        s"WHEN ${i + 1} THEN ${d}::BIGINT" }.mkString(" ")} END"
+    val toks = graft.functions.TextFns.tokensSql("text")
+    s"""WITH ranked AS (
+       |$rankedSql
+       |), qt AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(($toks)[1:5])) AS term
+       |  FROM documents WHERE doc_id % $NdcgQueryMod = 0
+       |), dt AS (
+       |  SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents
+       |), rel AS (
+       |  SELECT r.query_id, r.doc_id, count(dt.term) AS rel
+       |  FROM ranked r JOIN qt ON qt.query_id = r.query_id
+       |  JOIN dt ON dt.doc_id = r.doc_id AND dt.term = qt.term
+       |  GROUP BY r.query_id, r.doc_id
+       |), graded AS (
+       |  SELECT r.query_id, r.doc_id, r.rank,
+       |    CAST((1::BIGINT << CAST(coalesce(rel.rel, 0) AS INTEGER)) - 1 AS BIGINT) AS gain
+       |  FROM ranked r LEFT JOIN rel USING (query_id, doc_id)
+       |), ideal AS (
+       |  SELECT query_id, doc_id, rank, gain,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY gain DESC, doc_id) AS INTEGER) AS irank
+       |  FROM graded
+       |)
+       |SELECT query_id, CAST(sum(gain) AS BIGINT) AS total_gain,
+       |  CAST(sum(gain * ${discCase("rank")}) AS BIGINT) AS dcg,
+       |  CAST(sum(gain * ${discCase("irank")}) AS BIGINT) AS idcg,
+       |  CAST(CASE WHEN sum(gain * ${discCase("irank")}) = 0 THEN 0
+       |       ELSE (10000 * sum(gain * ${discCase("rank")}))
+       |            // sum(gain * ${discCase("irank")}) END AS BIGINT) AS ndcg_bp
+       |FROM ideal
+       |GROUP BY query_id""".stripMargin
+  }
+
+  // ---- Gini concentration of customer revenue -----------------------------
+  /** Gini coefficient of per-customer revenue — the corpus-concentration
+    * readout (the same arithmetic grades domain concentration in a
+    * training mixture: a 0.9-Gini source list means a handful of domains
+    * dominate). Rank formula, fully cross-multiplied:
+    * gini_bp = 10⁴·(2·Σi·xᵢ − (n+1)·S) div (n·S) with i the ascending
+    * revenue rank — exact integers end-to-end, products in
+    * decimal(38,0)/HUGEINT (n·S passes int64 near 10^9 customers of 10^9
+    * cents). Shape: per-customer sums are ONE partial-aggregated shuffle;
+    * the rank window runs over that compact |customers|-row table
+    * (single-partition like `skyline_parts` — the documented 100 TB
+    * swap-in is the range-partitioned prefix-sum of `doc_offsets`). Tied
+    * revenues make Σi·xᵢ order-free (equal x across a rank block sums to
+    * x·Σi however the block is ordered), so cross-engine ranks need no
+    * tiebreak contract.
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    per.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("i").cast(dec) * col("x")).as("six"))
+      .select(col("n").as("n_customers"), col("s").as("total_cents"),
+        expr(s"""CASE WHEN CAST(n AS $dec) * s = 0 THEN 0L
+                |ELSE (10000 * (2 * six - CAST(n + 1 AS $dec) * s))
+                |     div (CAST(n AS $dec) * s)
+                |END""".stripMargin).as("gini_bp"))
+  }
+
+  private val giniConcentrationSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      |  FROM per
+      |), a AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+      |    sum(i::HUGEINT * x) AS six
+      |  FROM r
+      |)
+      |SELECT n AS n_customers, s AS total_cents,
+      |  CAST(CASE WHEN n::HUGEINT * s = 0 THEN 0
+      |       ELSE (10000 * (2 * six - (n + 1)::HUGEINT * s)) // (n::HUGEINT * s)
+      |       END AS BIGINT) AS gini_bp
+      |FROM a""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("eval_confusion", evalConfusion, Some(evalConfusionSql)),
+    QueryDef("auc_rank", aucRank, Some(aucRankSql)),
+    QueryDef("calibration_bins", calibrationBins, Some(calibrationBinsSql)),
+    QueryDef("chi2_tokens", chi2Tokens, Some(chi2TokensSql)),
+    QueryDef("cohen_kappa", cohenKappa, Some(cohenKappaSql)),
+    QueryDef("acf_daily", acfDaily, Some(acfDailySql)),
+    QueryDef("ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
+    QueryDef("gini_concentration", giniConcentration, Some(giniConcentrationSql)),
+  )
+}

@@ -252,13 +252,28 @@ object TextAnalysis extends QueryModule {
     * dispatch (src/core/.../lib/aggregate/ValueAggregatorBaseDescriptor
     * .java) — a fixed function applied per record, aggregated once.
     */
-  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document score of the hashed classifier — shared between the
+    * inference rollup here and [[EvalMetrics]]' evaluation readouts
+    * (AUC / confusion / calibration), which grade exactly this model.
+    */
+  private[catalog] def classifierScore: Column = {
     val toks = TextFns.tokens(lower(col("text")))
     val weight = (t: Column) => {
       val bucket = (PortableHash.h48(t) % ClassifierBuckets).cast("string")
       (PortableHash.h48(bucket, ClassifierSeed) % 2001) - 1000
     }
-    val score = aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
+    aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB twin of [[classifierScore]] (an expression over `text`). */
+  private[catalog] val classifierScoreSql: String = {
+    val bucket = s"CAST(${PortableHash.h48Sql("t")} % $ClassifierBuckets AS VARCHAR)"
+    val weight = s"(${PortableHash.h48Sql(s"'$ClassifierSeed' || ':' || $bucket")} % 2001) - 1000"
+    s"coalesce(list_sum(list_transform(${TextFns.tokensSql("lower(text)")}, t -> $weight)), 0)"
+  }
+
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val score = classifierScore
     Tables.documents(spark, dir)
       .select(col("source"), score.as("score"))
       .groupBy(col("source"))
@@ -269,12 +284,8 @@ object TextAnalysis extends QueryModule {
   }
 
   private val qualityClassifySql = {
-    val bucket = s"CAST(${PortableHash.h48Sql("t")} % $ClassifierBuckets AS VARCHAR)"
-    val weight = s"(${PortableHash.h48Sql(s"'$ClassifierSeed' || ':' || $bucket")} % 2001) - 1000"
     s"""WITH scored AS (
-       |  SELECT source,
-       |    coalesce(list_sum(list_transform(
-       |      ${TextFns.tokensSql("lower(text)")}, t -> $weight)), 0) AS score
+       |  SELECT source, $classifierScoreSql AS score
        |  FROM documents
        |)
        |SELECT source, count(*) AS n_docs,
