@@ -549,6 +549,190 @@ object EvalMetrics extends QueryModule {
       |       END AS BIGINT) AS gini_bp
       |FROM a""".stripMargin
 
+  // ---- Poisson-bootstrap confidence interval ------------------------------
+  private val BootstrapB = 32
+
+  /** Poisson(1) inverse-CDF thresholds scaled to 10⁶ — cum_k =
+    * floor(10⁶·P(X ≤ k)) for k = 0..8 (mass beyond 9 is < 10⁻⁶, below
+    * the grid). Computed once here and interpolated as literals into
+    * both engines, the [[NdcgDiscount]] device: no engine evaluates
+    * exp/factorial at query time.
+    */
+  private val PoissonCdfMicro: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var cum = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) p = p / k
+      cum += p
+      math.floor(cum * 1e6).toLong
+    }
+  }
+
+  private def poissonCase(u: String): String =
+    s"CASE ${PoissonCdfMicro.zipWithIndex.map { case (c, k) =>
+      s"WHEN $u < $c THEN ${k}L" }.mkString(" ")} ELSE 9L END"
+
+  private def poissonCaseSql(u: String): String =
+    s"CASE ${PoissonCdfMicro.zipWithIndex.map { case (c, k) =>
+      s"WHEN $u < $c THEN $k" }.mkString(" ")} ELSE 9 END"
+
+  /** 90% confidence interval on the mean order value by POISSON bootstrap
+    * — the resampling scheme that actually works distributed (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google
+    * 2012): instead of drawing n rows with replacement (which needs
+    * global coordination), each row enters replicate b with weight
+    * ~Poisson(1), drawn deterministically from the portable hash of
+    * (b, key) through the literal inverse-CDF table [[PoissonCdfMicro]].
+    * Shape: a B-way row fan-out (flat map, no shuffle) folded by ONE
+    * partial-aggregated groupBy(b) — the shuffle carries B·partitions
+    * rows no matter the corpus size — then rank-picks of the 2nd/31st
+    * replicate means (the exact discrete-percentile device over B = 32
+    * rows). Seeded hash weights make the "resample" bit-identical in
+    * both engines, so even the CI bounds hash-attest. Weighted sums lift
+    * to decimal(38,0)/HUGEINT; every mean is one truncating division.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val rep = base
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("u", graft.functions.PortableHash.h48(concat_ws(":",
+        col("b").cast("string"), col("o_orderkey").cast("string"))) % 1000000L)
+      .withColumn("w", expr(poissonCase("u")))
+    val means = rep.groupBy(col("b"))
+      .agg(sum(col("w")).as("nw"),
+        sum((col("w") * col("cents")).cast(dec)).as("sw"))
+      .select(col("b"),
+        expr(s"CASE WHEN nw = 0 THEN 0L ELSE (1000 * sw) div CAST(nw AS $dec) END")
+          .as("mean_milli"))
+    val loRank = math.ceil(0.05 * BootstrapB).toLong
+    val hiRank = math.ceil(0.95 * BootstrapB).toLong
+    val ci = means
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("mean_milli"), col("b"))))
+      .agg(
+        max(when(col("r") === loRank, col("mean_milli"))).as("ci_lo_milli"),
+        max(when(col("r") === hiRank, col("mean_milli"))).as("ci_hi_milli"),
+        count(lit(1)).as("n_replicates"))
+    base
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast(dec)).as("sc"))
+      .select(col("n_orders"),
+        expr(s"(1000 * sc) div CAST(n_orders AS $dec)").as("mean_milli"))
+      .crossJoin(broadcast(ci))
+  }
+
+  private val bootstrapCiSql = {
+    val h = graft.functions.PortableHash.h48Sql(
+      "CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |), rep AS (
+       |  SELECT b, cents, $h % 1000000 AS u
+       |  FROM base CROSS JOIN range(0, $BootstrapB) AS t(b)
+       |), wt AS (
+       |  SELECT b, cents, ${poissonCaseSql("u")} AS w FROM rep
+       |), m AS (
+       |  SELECT b, CAST(sum(w) AS BIGINT) AS nw, sum(w::HUGEINT * cents) AS sw
+       |  FROM wt GROUP BY b
+       |), means AS (
+       |  SELECT b, CAST(CASE WHEN nw = 0 THEN 0
+       |    ELSE (1000 * sw) // nw END AS BIGINT) AS mean_milli
+       |  FROM m
+       |), r AS (
+       |  SELECT b, mean_milli,
+       |    row_number() OVER (ORDER BY mean_milli, b) AS r
+       |  FROM means
+       |), ci AS (
+       |  SELECT
+       |    max(CASE WHEN r = ${math.ceil(0.05 * BootstrapB).toLong} THEN mean_milli END) AS ci_lo_milli,
+       |    max(CASE WHEN r = ${math.ceil(0.95 * BootstrapB).toLong} THEN mean_milli END) AS ci_hi_milli,
+       |    count(*) AS n_replicates
+       |  FROM r
+       |), pt AS (
+       |  SELECT count(*) AS n_orders,
+       |    CAST((1000 * sum(cents::HUGEINT)) // count(*) AS BIGINT) AS mean_milli
+       |  FROM base
+       |)
+       |SELECT pt.n_orders, pt.mean_milli, ci.ci_lo_milli, ci.ci_hi_milli,
+       |  ci.n_replicates
+       |FROM pt CROSS JOIN ci""".stripMargin
+  }
+
+  // ---- two-sample categorical drift (chi-squared) -------------------------
+  private val DriftYearA = 1995
+  private val DriftYearB = 1996
+
+  /** Two-sample chi-squared drift test: did the order-priority MIXTURE
+    * shift between two years? The 2×5 contingency table comes from ONE
+    * partial-aggregated pass over the two slices; the statistic is the
+    * textbook Σ(o − e)²/e with e = row·col/n, cross-multiplied so each
+    * cell is EXACT integers up to its one truncating division —
+    * cell_milli = 1000·(o·n − r·c)² div (n·r·c) — and the per-cell
+    * truncation order is fixed (sum of identically-truncated cells), so
+    * both engines produce the same integer statistic. This is the
+    * categorical complement of `anova_groups` (means) and `token_drift`
+    * (per-token ranking): one number answering "reweight or not" with
+    * df = (2−1)(cells−1) for the caller's threshold table.
+    */
+  def chi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    val sliced = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate").cast("timestamp")).as("yr"),
+        col("o_orderpriority").as("prio"))
+      .where(col("yr") === DriftYearA || col("yr") === DriftYearB)
+      .select(when(col("yr") === DriftYearA, 1L).otherwise(0L).as("in_a"),
+        col("prio"))
+    val cells = sliced.groupBy(col("prio"))
+      .agg(sum(col("in_a")).as("oa"),
+        (count(lit(1)) - sum(col("in_a"))).as("ob"))
+    val tot = cells.agg(sum(col("oa")).as("ra"), sum(col("ob")).as("rb"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("prio"), col("oa"), col("ob"), col("ra"), col("rb"),
+        (col("oa") + col("ob")).as("cj"))
+      .select(
+        expr(s"""(1000 * (CAST(oa AS $dec) * (ra + rb) - CAST(ra AS $dec) * cj)
+                |      * (CAST(oa AS $dec) * (ra + rb) - CAST(ra AS $dec) * cj))
+                |div (CAST(ra + rb AS $dec) * ra * cj)""".stripMargin).as("ca"),
+        expr(s"""(1000 * (CAST(ob AS $dec) * (ra + rb) - CAST(rb AS $dec) * cj)
+                |      * (CAST(ob AS $dec) * (ra + rb) - CAST(rb AS $dec) * cj))
+                |div (CAST(ra + rb AS $dec) * rb * cj)""".stripMargin).as("cb"),
+        col("ra"), col("rb"))
+      .agg(max(col("ra")).as("n_a"), max(col("rb")).as("n_b"),
+        count(lit(1)).as("n_cells"),
+        sum(col("ca") + col("cb")).as("chi2_milli"))
+      .select(col("n_a"), col("n_b"), col("n_cells"),
+        (col("n_cells") - 1).as("df"), col("chi2_milli"))
+  }
+
+  private val chi2DriftSql =
+    s"""WITH s AS (
+       |  SELECT CASE WHEN year(o_orderdate) = $DriftYearA THEN 1 ELSE 0 END AS in_a,
+       |    o_orderpriority AS prio
+       |  FROM orders
+       |  WHERE year(o_orderdate) IN ($DriftYearA, $DriftYearB)
+       |), cells AS (
+       |  SELECT prio, CAST(sum(in_a) AS BIGINT) AS oa,
+       |    CAST(count(*) - sum(in_a) AS BIGINT) AS ob
+       |  FROM s GROUP BY prio
+       |), tot AS (
+       |  SELECT CAST(sum(oa) AS BIGINT) AS ra, CAST(sum(ob) AS BIGINT) AS rb
+       |  FROM cells
+       |), x AS (
+       |  SELECT oa, ob, ra, rb, oa + ob AS cj,
+       |    (1000 * (oa::HUGEINT * (ra + rb) - ra::HUGEINT * (oa + ob))
+       |          * (oa::HUGEINT * (ra + rb) - ra::HUGEINT * (oa + ob)))
+       |      // ((ra + rb)::HUGEINT * ra * (oa + ob)) AS ca,
+       |    (1000 * (ob::HUGEINT * (ra + rb) - rb::HUGEINT * (oa + ob))
+       |          * (ob::HUGEINT * (ra + rb) - rb::HUGEINT * (oa + ob)))
+       |      // ((ra + rb)::HUGEINT * rb * (oa + ob)) AS cb
+       |  FROM cells CROSS JOIN tot
+       |)
+       |SELECT max(ra) AS n_a, max(rb) AS n_b, count(*) AS n_cells,
+       |  count(*) - 1 AS df, CAST(sum(ca + cb) AS BIGINT) AS chi2_milli
+       |FROM x""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("eval_confusion", evalConfusion, Some(evalConfusionSql)),
     QueryDef("auc_rank", aucRank, Some(aucRankSql)),
@@ -558,5 +742,7 @@ object EvalMetrics extends QueryModule {
     QueryDef("acf_daily", acfDaily, Some(acfDailySql)),
     QueryDef("ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
     QueryDef("gini_concentration", giniConcentration, Some(giniConcentrationSql)),
+    QueryDef("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    QueryDef("chi2_drift", chi2Drift, Some(chi2DriftSql)),
   )
 }

@@ -185,6 +185,68 @@ class EvalMetricsSpec extends SparkSpec {
     assert(got.getLong(2) > 0 && got.getLong(2) < 10000)
   }
 
+  test("bootstrap_ci: equals a full driver-side Poisson-bootstrap replay") {
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val cdf = {
+      var p = math.exp(-1.0); var cum = 0.0
+      (0 to 8).map { k => if (k > 0) p = p / k; cum += p; math.floor(cum * 1e6).toLong }
+    }
+    def pois(u: Long): Long = {
+      val i = cdf.indexWhere(u < _)
+      if (i < 0) 9L else i.toLong
+    }
+    val orders = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = (0 until 32).map { b =>
+      var nw = BigInt(0); var sw = BigInt(0)
+      orders.foreach { case (k, c) =>
+        val w = pois(h48(s"$b:$k") % 1000000L)
+        nw += w; sw += BigInt(w) * c
+      }
+      if (nw == 0) 0L else (BigInt(1000) * sw / nw).toLong
+    }.sorted
+    val got = EvalMetrics.bootstrapCi(spark, dir).head()
+    val s = orders.map(o => BigInt(o._2)).sum
+    assert(got.getLong(0) === orders.length.toLong)
+    assert(got.getLong(1) === (BigInt(1000) * s / orders.length).toLong)
+    assert(got.getLong(2) === means(1))  // rank 2 of 32, ascending
+    assert(got.getLong(3) === means(30)) // rank 31 of 32
+    assert(got.getLong(4) === 32L)
+    // the interval must bracket the point estimate on this corpus
+    assert(got.getLong(2) <= got.getLong(1) && got.getLong(1) <= got.getLong(3))
+    assert(got.getLong(2) < got.getLong(3))
+  }
+
+  test("chi2_drift: equals the BigInt per-cell replica") {
+    val rows = graft.core.Tables.orders(spark, dir)
+      .select(year(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .filter(r => r._1 == 1995 || r._1 == 1996)
+    val cells = rows.groupBy(_._2).map { case (p, xs) =>
+      (p, xs.count(_._1 == 1995).toLong, xs.count(_._1 == 1996).toLong)
+    }.toSeq
+    val ra = cells.map(_._2).sum; val rb = cells.map(_._3).sum
+    val n = BigInt(ra + rb)
+    val chi2 = cells.map { case (_, oa, ob) =>
+      val cj = BigInt(oa + ob)
+      val da = BigInt(oa) * n - BigInt(ra) * cj
+      val db = BigInt(ob) * n - BigInt(rb) * cj
+      (BigInt(1000) * da * da) / (n * ra * cj) +
+        (BigInt(1000) * db * db) / (n * rb * cj)
+    }.sum.toLong
+    val got = EvalMetrics.chi2Drift(spark, dir).head()
+    assert(got.getLong(0) === ra)
+    assert(got.getLong(1) === rb)
+    assert(got.getLong(2) === cells.length.toLong)
+    assert(got.getLong(3) === cells.length.toLong - 1)
+    assert(got.getLong(4) === chi2)
+  }
+
   test("acf_daily: equals the BigInt series replay, and lags are 1..7") {
     val daily = graft.core.Tables.orders(spark, dir)
       .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
