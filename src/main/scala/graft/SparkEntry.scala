@@ -21,6 +21,7 @@ object SparkEntry {
     TextAnalysis,
     AggregateFramework,
     EvalMetrics,
+    RankStats,
     IoCatalog,
     MiscOps,
     MrFacade,
