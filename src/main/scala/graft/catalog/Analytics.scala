@@ -663,6 +663,91 @@ object Analytics extends QueryModule {
        |SELECT t AS event_type, p AS pi_q20 FROM mn$MarkovRounds""".stripMargin
   }
 
+  // ---- HITS hubs / authorities ---------------------------------------------
+  private val HitsRounds = 8
+
+  /** HITS hub/authority scores over the [[eventTransitions]] directed
+    * graph — which event types FEED the rest of the journey (hubs) vs
+    * which ones journeys CONVERGE on (authorities); the directional
+    * refinement of [[markovStationary]]'s single long-run vector
+    * (Kleinberg's mutual-reinforcement recursion, the second classic
+    * power iteration next to PageRank). The distributed pass is the same
+    * bounded k×k transition aggregate; the 8-round iteration runs
+    * driver-side on ≤ k² cells (the k-means-centroid contract) in BigInt,
+    * join-shaped in the oracle. Fixed-point contract mirrors
+    * [[markovStationary]]: both vectors are Q20 L1-normalized each round
+    * (w·2²⁰ div Σw, truncating), auth updates from the PREVIOUS hub and
+    * hub from the FRESH auth — the in-round ordering is part of the
+    * contract, replayed by the oracle's 4-CTE rounds bit-for-bit.
+    */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val c = eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val q20 = 1L << 20
+    var hub: Map[String, Long] =
+      c.map(_._1).distinct.map(_ -> q20).toMap
+    var auth: Map[String, Long] =
+      c.map(_._2).distinct.map(_ -> q20).toMap
+    (1 to HitsRounds).foreach { _ =>
+      val aw = c.groupBy(_._2).map { case (b, es) =>
+        b -> es.map(e => BigInt(e._3) * hub(e._1)).sum
+      }
+      val as = aw.values.sum
+      auth = aw.map { case (b, v) => b -> ((v * q20) / as).toLong }
+      val hw = c.groupBy(_._1).map { case (a, es) =>
+        a -> es.map(e => BigInt(e._3) * auth(e._2)).sum
+      }
+      val hs = hw.values.sum
+      hub = hw.map { case (a, v) => a -> ((v * q20) / hs).toLong }
+    }
+    import spark.implicits._
+    (hub.keySet ++ auth.keySet).toSeq.sorted
+      .map(t => (t, hub.getOrElse(t, 0L), auth.getOrElse(t, 0L)))
+      .toDF("event_type", "hub_q20", "auth_q20")
+  }
+
+  private val hitsScoresSql = {
+    val rounds = (1 to HitsRounds).map { k =>
+      val prevHub = if (k == 1) "hh0" else s"hhn${k - 1}"
+      s"""haw$k AS MATERIALIZED (
+         |  SELECT c.b AS t, sum(c.n::HUGEINT * h.p) AS w
+         |  FROM hc c JOIN $prevHub h ON c.a = h.t
+         |  GROUP BY c.b
+         |), han$k AS MATERIALIZED (
+         |  SELECT t, CAST((w * 1048576) // (SELECT sum(w) FROM haw$k)
+         |       AS BIGINT) AS p
+         |  FROM haw$k
+         |), hhw$k AS MATERIALIZED (
+         |  SELECT c.a AS t, sum(c.n::HUGEINT * a.p) AS w
+         |  FROM hc c JOIN han$k a ON c.b = a.t
+         |  GROUP BY c.a
+         |), hhn$k AS MATERIALIZED (
+         |  SELECT t, CAST((w * 1048576) // (SELECT sum(w) FROM hhw$k)
+         |       AS BIGINT) AS p
+         |  FROM hhw$k
+         |)"""
+    }.mkString(", ")
+    s"""WITH hs AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events
+       |), hc AS MATERIALIZED (
+       |  SELECT prev_type AS a, event_type AS b, count(*)::BIGINT AS n
+       |  FROM hs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), hh0 AS (
+       |  SELECT DISTINCT a AS t, 1048576::BIGINT AS p FROM hc
+       |), $rounds,
+       |hdom AS (
+       |  SELECT a AS t FROM hc UNION SELECT b AS t FROM hc
+       |)
+       |SELECT d.t AS event_type,
+       |  coalesce(h.p, 0) AS hub_q20, coalesce(a.p, 0) AS auth_q20
+       |FROM hdom d
+       |LEFT JOIN hhn$HitsRounds h ON d.t = h.t
+       |LEFT JOIN han$HitsRounds a ON d.t = a.t""".stripMargin
+  }
+
   // ---- frequent 3-step event paths ---------------------------------------
   private val TpK = 20
 
@@ -699,6 +784,87 @@ object Analytics extends QueryModule {
        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
        |FROM s WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT $TpK""".stripMargin
+
+  // ---- Kaplan-Meier survival -----------------------------------------------
+  /** Days of event silence after which a user counts as churned (rather
+    * than censored by the end of the observation window). */
+  private val KmChurnGapDays = 8L
+
+  /** Kaplan-Meier survival curve of user LIFETIME (days between first and
+    * last event): the estimator that handles the users still active at
+    * the corpus edge correctly — they CENSOR (leave the risk set without
+    * counting as churn) instead of biasing the curve down, which a plain
+    * lifetime histogram cannot do. A user is churned when their last
+    * event is ≥ [[KmChurnGapDays]] days before the corpus's last day.
+    * Scale shape: per-user first/last days are ONE partial-aggregated
+    * shuffle; the lifetime table (deaths d_t, at-risk n_t per duration)
+    * is bounded by the observation window in DAYS, so the inherently
+    * sequential product S_t = Π (1 − d/n) runs driver-side over that
+    * compact table (the k-means-centroid contract), kept exact-integer by
+    * the truncating recurrence S_t = (S_{t−1}·(n_t − d_t)) div n_t in
+    * micro units (BigInt intermediates; S ≤ 10⁶ always) — which the
+    * DuckDB oracle replays bit-for-bit as a RECURSIVE CTE.
+    */
+  def kmSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val m = per.agg(max(col("l"))).head().getLong(0)
+    val g = per
+      .select((col("l") - col("f")).as("t"),
+        when(col("l") <= m - KmChurnGapDays, 1L).otherwise(0L).as("dead"))
+      .groupBy(col("t"))
+      .agg(sum(col("dead")).as("d"), count(lit(1)).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = g.map(_._3).sum
+    var atRisk = total
+    var s = 1000000L
+    val rows = g.map { case (t, d, ct) =>
+      val n = atRisk
+      s = (BigInt(s) * (n - d) / n).toLong
+      atRisk -= ct
+      (t, n, d, s)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("t", "n_risk", "n_deaths", "s_micro")
+  }
+
+  private val kmSurvivalSql =
+    s"""WITH RECURSIVE per AS (
+       |  SELECT user_id,
+       |    min(epoch_us(ts) // 86400000000) AS f,
+       |    max(epoch_us(ts) // 86400000000) AS l
+       |  FROM events GROUP BY user_id
+       |), mx AS (
+       |  SELECT max(l) AS m FROM per
+       |), u AS (
+       |  SELECT l - f AS t,
+       |    CASE WHEN l <= m - $KmChurnGapDays THEN 1 ELSE 0 END AS dead
+       |  FROM per CROSS JOIN mx
+       |), g AS (
+       |  SELECT t, CAST(sum(dead) AS BIGINT) AS d, count(*) AS ct
+       |  FROM u GROUP BY t
+       |), tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS n FROM g
+       |), base AS (
+       |  SELECT t,
+       |    CAST(n - coalesce(sum(ct) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_risk,
+       |    d, row_number() OVER (ORDER BY t) AS rn
+       |  FROM g CROSS JOIN tot
+       |), km AS (
+       |  SELECT rn, t, n_risk, d,
+       |    CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.rn, b.t, b.n_risk, b.d,
+       |    CAST((km.s::HUGEINT * (b.n_risk - b.d)) // b.n_risk AS BIGINT) AS s
+       |  FROM km JOIN base b ON b.rn = km.rn + 1
+       |)
+       |SELECT t, n_risk, d AS n_deaths, s AS s_micro FROM km""".stripMargin
 
   // ---- RFM customer segmentation ------------------------------------------
   /** RFM segmentation: every customer scored 1–5 on Recency (last order
@@ -1747,6 +1913,8 @@ object Analytics extends QueryModule {
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("markov_stationary", markovStationary, Some(markovStationarySql)),
+    QueryDef("hits_scores", hitsScores, Some(hitsScoresSql)),
+    QueryDef("km_survival", kmSurvival, Some(kmSurvivalSql)),
     QueryDef("attribution_last_touch", attributionLastTouch,
       Some(attributionLastTouchSql)),
     QueryDef("top_paths", topPaths, Some(topPathsSql)),

@@ -394,6 +394,123 @@ object EvalMetrics extends QueryModule {
        |$lagRows""".stripMargin
   }
 
+  // ---- cross-correlation of two daily series ------------------------------
+  private val CcfMaxLag = 3
+
+  /** Lag −3..+3 cross-correlation between daily event VOLUME and daily
+    * event VALUE (cent sums) — the lead-lag readout [[acfDaily]] can't
+    * give: does activity lead spend (positive-lag peak), trail it, or
+    * move with it (lag-0 peak)? Exact-integer Pearson per lag: both
+    * series center on the TRUNCATED global mean (`Σ div n` — an integer
+    * shift, so deviations stay small integers; the exact mean enters via
+    * the n-scaled num/den formula which a constant shift leaves
+    * invariant), per-lag sums restrict to the rows that lag leaves valid,
+    * and the correlation reports through the [[RankStats]] signed-√
+    * device: one truncating division to `10⁶·num²/(dx·dy)` in
+    * decimal(38,0)/HUGEINT, then sign·floor(√·) over an integer ≤ 10⁶
+    * (IEEE sqrt, bit-identical cross-engine). num² bounds exactness at
+    * √(dx·dy) ≤ ~10¹⁶ — beyond, stage the division (the documented
+    * [[RankStats.spearmanCorr]] lift). The 7-lag window pass runs over
+    * the compact daily table; totals broadcast as a 1-row frame.
+    */
+  def ccfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("xr"), sum(col("cents")).as("yr"))
+    val sh = daily.agg(count(lit(1)).as("n"),
+      expr("sum(xr) div count(1)").as("bx"),
+      expr("sum(yr) div count(1)").as("bv"))
+    val w = Window.orderBy(col("day"))
+    val nm = (k: Int) => if (k < 0) s"m${-k}" else s"p$k"
+    val lags = (-CcfMaxLag to CcfMaxLag).toSeq
+    val withY = lags.foldLeft(daily.crossJoin(broadcast(sh))) { (df, k) =>
+      val shifted = if (k >= 0) lead(col("yr"), k).over(w)
+      else lag(col("yr"), -k).over(w)
+      df.withColumn(s"yc_${nm(k)}", shifted - col("bv"))
+    }.withColumn("xc", col("xr") - col("bx"))
+    val aggs = lags.flatMap { k =>
+      val y = col(s"yc_${nm(k)}")
+      val ok = y.isNotNull
+      Seq(
+        sum(when(ok, 1L).otherwise(0L)).as(s"n_${nm(k)}"),
+        sum(when(ok, col("xc")).otherwise(0L)).as(s"sx_${nm(k)}"),
+        sum(when(ok, y).otherwise(0L)).as(s"sy_${nm(k)}"),
+        sum(when(ok, col("xc").cast(dec) * col("xc"))
+          .otherwise(lit(0).cast(dec))).as(s"sxx_${nm(k)}"),
+        sum(when(ok, y.cast(dec) * y).otherwise(lit(0).cast(dec)))
+          .as(s"syy_${nm(k)}"),
+        sum(when(ok, col("xc").cast(dec) * y).otherwise(lit(0).cast(dec)))
+          .as(s"sxy_${nm(k)}"))
+    }
+    val entries = lags.map { k =>
+      val m = nm(k)
+      val num = s"(CAST(n_$m AS $dec) * sxy_$m - CAST(sx_$m AS $dec) * sy_$m)"
+      val dx = s"(CAST(n_$m AS $dec) * sxx_$m - CAST(sx_$m AS $dec) * sx_$m)"
+      val dy = s"(CAST(n_$m AS $dec) * syy_$m - CAST(sy_$m AS $dec) * sy_$m)"
+      s"""CAST($k AS BIGINT), CAST(n_$m AS BIGINT),
+         |CASE WHEN $dx * $dy = 0 THEN 0L
+         |ELSE CAST(sign($num) AS BIGINT)
+         |  * CAST(floor(sqrt(CAST((1000000 * $num * $num) div ($dx * $dy)
+         |                          AS DOUBLE))) AS BIGINT)
+         |END""".stripMargin
+    }
+    withY.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${lags.size}, ${entries.mkString(", ")}) AS (lag, n_pairs, ccf_milli)")
+  }
+
+  private val ccfDailySql = {
+    val nm = (k: Int) => if (k < 0) s"m${-k}" else s"p$k"
+    val lags = (-CcfMaxLag to CcfMaxLag).toSeq
+    val leadCols = lags.map { k =>
+      val f = if (k >= 0) s"lead(yr, $k)" else s"lag(yr, ${-k})"
+      s"$f OVER (ORDER BY day) - bv AS yc_${nm(k)}"
+    }.mkString(",\n    ")
+    val sumCols = lags.map { k =>
+      val m = nm(k)
+      s"""count(yc_$m) AS n_$m,
+         |    CAST(sum(CASE WHEN yc_$m IS NULL THEN 0 ELSE xc END) AS BIGINT) AS sx_$m,
+         |    CAST(sum(coalesce(yc_$m, 0)) AS BIGINT) AS sy_$m,
+         |    sum(CASE WHEN yc_$m IS NULL THEN 0 ELSE xc::HUGEINT * xc END) AS sxx_$m,
+         |    sum(coalesce(yc_$m::HUGEINT * yc_$m, 0)) AS syy_$m,
+         |    sum(coalesce(xc::HUGEINT * yc_$m, 0)) AS sxy_$m"""
+    }.mkString(",\n    ")
+    val rows = lags.map { k =>
+      val m = nm(k)
+      val num = s"(n_$m::HUGEINT * sxy_$m - sx_$m::HUGEINT * sy_$m)"
+      val dx = s"(n_$m::HUGEINT * sxx_$m - sx_$m::HUGEINT * sx_$m)"
+      val dy = s"(n_$m::HUGEINT * syy_$m - sy_$m::HUGEINT * sy_$m)"
+      s"""SELECT CAST($k AS BIGINT) AS lag, CAST(n_$m AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN $dx * $dy = 0 THEN 0
+         |       ELSE CAST(sign($num) AS BIGINT)
+         |         * CAST(floor(sqrt(CAST((1000000 * $num * $num) // ($dx * $dy)
+         |                                 AS DOUBLE))) AS BIGINT)
+         |       END AS BIGINT) AS ccf_milli
+         |FROM a"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS xr,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yr
+       |  FROM events GROUP BY 1
+       |), sh AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(xr) // count(*) AS BIGINT) AS bx,
+       |    CAST(sum(yr) // count(*) AS BIGINT) AS bv
+       |  FROM daily
+       |), led AS (
+       |  SELECT xr - bx AS xc,
+       |    $leadCols
+       |  FROM daily CROSS JOIN sh
+       |), a AS (
+       |  SELECT
+       |    $sumCols
+       |  FROM led
+       |)
+       |$rows""".stripMargin
+  }
+
   // ---- NDCG of the BM25 ranking -------------------------------------------
   private val NdcgK = 10
   private val NdcgQueryMod = 61
@@ -547,6 +664,41 @@ object EvalMetrics extends QueryModule {
       |  CAST(CASE WHEN n::HUGEINT * s = 0 THEN 0
       |       ELSE (10000 * (2 * six - (n + 1)::HUGEINT * s)) // (n::HUGEINT * s)
       |       END AS BIGINT) AS gini_bp
+      |FROM a""".stripMargin
+
+  // ---- Herfindahl-Hirschman concentration ----------------------------------
+  /** Herfindahl-Hirschman index of the document SOURCE mixture — the
+    * antitrust-style concentration number a mixture owner reads next to
+    * [[giniConcentration]]'s inequality curve (HHI weighs the BIGGEST
+    * shares quadratically; Gini weighs the whole distribution): Σ share²,
+    * scaled to 10⁸ so the classic 0.15/0.25 thresholds land at
+    * 1.5·10⁷/2.5·10⁷. Fully cross-multiplied — hhi = 10⁸·Σx² div S² in
+    * decimal(38,0)/HUGEINT (Σx² passes int64 at ~3·10⁹ docs in one
+    * source) — plus the dominant share in basis points. ONE
+    * partial-aggregated groupBy bounded by |sources|, then a 1-row fold;
+    * nothing rank-based, so no window at all.
+    */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("s"),
+        sum(col("x").cast(dec) * col("x")).as("ssq"), max(col("x")).as("mx"))
+      .select(col("n_sources"),
+        expr(s"CAST((100000000 * ssq) div (CAST(s AS $dec) * s) AS BIGINT)")
+          .as("hhi_e8"),
+        expr("(10000 * mx) div s").as("top_share_bp"))
+
+  private val hhiConcentrationSql =
+    """WITH g AS (
+      |  SELECT source, count(*) AS x FROM documents GROUP BY source
+      |), a AS (
+      |  SELECT count(*) AS n_sources, CAST(sum(x) AS BIGINT) AS s,
+      |    sum(x::HUGEINT * x) AS ssq, CAST(max(x) AS BIGINT) AS mx
+      |  FROM g
+      |)
+      |SELECT n_sources,
+      |  CAST((100000000 * ssq) // (s::HUGEINT * s) AS BIGINT) AS hhi_e8,
+      |  CAST((10000 * mx) // s AS BIGINT) AS top_share_bp
       |FROM a""".stripMargin
 
   // ---- Poisson-bootstrap confidence interval ------------------------------
@@ -740,8 +892,10 @@ object EvalMetrics extends QueryModule {
     QueryDef("chi2_tokens", chi2Tokens, Some(chi2TokensSql)),
     QueryDef("cohen_kappa", cohenKappa, Some(cohenKappaSql)),
     QueryDef("acf_daily", acfDaily, Some(acfDailySql)),
+    QueryDef("ccf_daily", ccfDaily, Some(ccfDailySql)),
     QueryDef("ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
     QueryDef("gini_concentration", giniConcentration, Some(giniConcentrationSql)),
+    QueryDef("hhi_concentration", hhiConcentration, Some(hhiConcentrationSql)),
     QueryDef("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("chi2_drift", chi2Drift, Some(chi2DriftSql)),
   )

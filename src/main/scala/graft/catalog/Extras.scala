@@ -641,6 +641,64 @@ object Extras extends QueryModule {
       |  CAST((1000 * cnt * n_keys) // total AS BIGINT) AS skew_x1000
       |FROM ranked, tot WHERE rank <= 5""".stripMargin
 
+  // ---- Benford first-digit audit -------------------------------------------
+  /** Benford expectation per leading digit, floor(10⁶·log10(1 + 1/d)) —
+    * computed once here and interpolated as literals into both engines
+    * (the NdcgDiscount device: no engine evaluates a logarithm at query
+    * time, so the two sides agree by construction).
+    */
+  private val BenfordMicro: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** Benford's-law audit of order amounts — the classic anomaly screen
+    * for fabricated or clipped numeric columns (a synthetic-data
+    * fingerprint check for a pipeline ingesting third-party corpora):
+    * the leading digit of each cent amount against floor(10⁶·log10(1+1/d)).
+    * The digit extracts via STRING truncation (`substring` of the decimal
+    * rendering) — identical in both engines, no float log anywhere; the
+    * observed frequencies are one 9-row aggregate off a map-only scan,
+    * deviations in micro units with the usual truncating division.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val expCase = s"CASE digit ${BenfordMicro.map { case (d, e) =>
+      s"WHEN $d THEN ${e}L" }.mkString(" ")} END"
+    Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .where(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        Tables.orders(spark, dir).where(expr("round(o_totalprice * 100) > 0"))
+          .agg(count(lit(1)).as("tot"))))
+      .select(col("digit"), col("n").as("n_orders"),
+        expr("(1000000 * n) div tot").as("obs_micro"),
+        expr(expCase).as("exp_micro"),
+        (expr("(1000000 * n) div tot") - expr(expCase)).as("dev_micro"))
+  }
+
+  private val benfordDigitsSql = {
+    val expCase = s"CASE digit ${BenfordMicro.map { case (d, e) =>
+      s"WHEN $d THEN $e" }.mkString(" ")} END"
+    s"""WITH s AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |  WHERE round(o_totalprice * 100) > 0
+       |), d AS (
+       |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM s
+       |), g AS (
+       |  SELECT digit, count(*) AS n FROM d GROUP BY digit
+       |), t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS tot FROM s
+       |)
+       |SELECT digit, n AS n_orders,
+       |  CAST((1000000 * n) // tot AS BIGINT) AS obs_micro,
+       |  CAST($expCase AS BIGINT) AS exp_micro,
+       |  CAST((1000000 * n) // tot - $expCase AS BIGINT) AS dev_micro
+       |FROM g CROSS JOIN t""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("skew_report", skewReport, Some(skewReportSql)),
     QueryDef("table_profile", tableProfile, Some(tableProfileSql)),
@@ -656,6 +714,7 @@ object Extras extends QueryModule {
     QueryDef("salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("nested_types", nestedTypes, Some(nestedTypesSql)),
     QueryDef("dq_checks", dqChecks, Some(dqChecksSql)),
+    QueryDef("benford_digits", benfordDigits, Some(benfordDigitsSql)),
     QueryDef("sudoku", sudoku, Some(sudokuSql)),
     QueryDef("pentomino", pentomino, Some(pentominoSql)),
     QueryDef("rollup_agg", rollupAgg, Some(rollupAggSql)),

@@ -1304,7 +1304,68 @@ object TextAnalysis extends QueryModule {
        |FROM doc, tok""".stripMargin
   }
 
+  // ---- per-language tokenizer coverage -------------------------------------
+  private val CovVocabSize = 24
+
+  /** Per-LANGUAGE tokenizer coverage — the fairness audit on top of
+    * `vocab_encode`'s per-doc OOV accounting: a frequency-ranked vocab is
+    * learned on the WHOLE corpus (majority-language-dominated, as real
+    * BPE vocabs are), then each language reports what fraction of its
+    * token OCCURRENCES fall outside it. A high-OOV language is the one
+    * the downstream tokenizer will fragment — the number a mixture owner
+    * reads before committing a vocab size. Same scale shape as
+    * `vocab_encode`: the vocab build is the one corpus-sized aggregate
+    * (vocab-bounded output, top-V cut tie-broken by token), the V-row
+    * vocab collects to the driver and applies as a literal map, so the
+    * per-language pass is MAP-ONLY + one |langs|-row aggregate — no join
+    * against the corpus. V=24 keeps OOV exercised here (corpus vocab
+    * ≈ 33); production swaps V, nothing else.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(lower(col("text")))
+    val vocab: Seq[String] = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(CovVocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val vs = typedLit(vocab)
+    Tables.documents(spark, dir)
+      .select(col("lang"), toks.as("toks"))
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("nt"),
+        size(filter(col("toks"), t => !array_contains(vs, t)))
+          .cast("long").as("oov"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nt")).as("total_tokens"), sum(col("oov")).as("oov_tokens"))
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        expr("""CASE WHEN total_tokens = 0 THEN 0L
+               |ELSE (10000 * oov_tokens) div total_tokens
+               |END""".stripMargin).as("oov_bp"))
+  }
+
+  private val vocabCoverageSql = {
+    val w = TextFns.tokensSql("lower(text)")
+    s"""WITH tf AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest($w) AS word FROM documents)
+       |  GROUP BY word
+       |), v AS (
+       |  SELECT word FROM tf ORDER BY cnt DESC, word LIMIT $CovVocabSize
+       |), tok AS (
+       |  SELECT lang, unnest($w) AS word FROM documents
+       |), e AS (
+       |  SELECT tok.lang, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok LEFT JOIN v ON v.word = tok.word
+       |)
+       |SELECT lang, count(*) AS total_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0
+       |       ELSE (10000 * sum(oov)) // count(*) END AS BIGINT) AS oov_bp
+       |FROM e GROUP BY lang""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("corpus_card", corpusCard, Some(corpusCardSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("char_entropy", charEntropy, Some(charEntropySql)),
