@@ -810,10 +810,13 @@ object Analytics extends QueryModule {
       .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("f"), max(col("day")).as("l"))
-    val m = per.agg(max(col("l"))).head().getLong(0)
-    val g = per
+    // corpus last-day folds into the plan as a broadcast 1-row aggregate —
+    // churn classification happens in the same composed job (an eager
+    // .head() here would add a full extra pass and throw on empty input)
+    val mx = per.agg(max(col("l")).as("m"))
+    val g = per.crossJoin(broadcast(mx))
       .select((col("l") - col("f")).as("t"),
-        when(col("l") <= m - KmChurnGapDays, 1L).otherwise(0L).as("dead"))
+        when(col("l") <= col("m") - KmChurnGapDays, 1L).otherwise(0L).as("dead"))
       .groupBy(col("t"))
       .agg(sum(col("dead")).as("d"), count(lit(1)).as("ct"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

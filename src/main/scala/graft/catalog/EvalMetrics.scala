@@ -412,6 +412,14 @@ object EvalMetrics extends QueryModule {
     * √(dx·dy) ≤ ~10¹⁶ — beyond, stage the division (the documented
     * [[RankStats.spearmanCorr]] lift). The 7-lag window pass runs over
     * the compact daily table; totals broadcast as a 1-row frame.
+    *
+    * ROW-offset lag semantics: lead/lag over ORDER BY day pairs rows k
+    * POSITIONS apart, which equals k CALENDAR days only while the daily
+    * series is gapless (true for this corpus: every day has events; both
+    * engines agree by construction). On gapped data, densify the day
+    * axis first (zero-fill the missing days, or join on explicit
+    * `b.day = a.day + k` arithmetic) before reading the lags as calendar
+    * offsets.
     */
   def ccfDaily(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)

@@ -1136,24 +1136,29 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("lang"),
         explode(TextFns.tokens(col("text"))).as("tok"))
     val train = tok.where(col("doc_id") % 5 =!= 0)
-    val vocab = train.select(col("tok")).distinct().count()
+    // corpus constants (vocabulary size, train-doc count) fold into the
+    // plan as broadcast 1-row aggregates — one composed job; an eager
+    // .count() here would rescan the corpus twice at 100 TB just to embed
+    // literals (and throw before the job even starts on an empty table)
+    val consts = train.agg(count_distinct(col("tok")).as("vocab")).crossJoin(
+      Tables.documents(spark, dir).where(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)).as("ntd")))
     val ctc = train.groupBy(col("lang").as("cls"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-    val nTrainDocs = Tables.documents(spark, dir)
-      .where(col("doc_id") % 5 =!= 0).count()
     val cls = train.groupBy(col("lang").as("cls"))
       .agg(sum(lit(1)).as("t"), count_distinct(col("doc_id")).as("nd"))
+      .crossJoin(broadcast(consts))
       .withColumn("prior_micro",
-        expr(s"CAST(round(1000000.0 * ln(nd / ${nTrainDocs}.0)) AS BIGINT)"))
+        expr("CAST(round(1000000.0 * ln(nd / CAST(ntd AS DOUBLE))) AS BIGINT)"))
       .withColumn("dflt_micro",
-        expr(s"CAST(round(1000000.0 * ln(1.0 / (t + $vocab))) AS BIGINT)"))
+        expr("CAST(round(1000000.0 * ln(1.0 / (t + vocab))) AS BIGINT)"))
     val dtc = tok.where(col("doc_id") % 5 === 0)
       .groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("dc"))
     val scored = dtc.crossJoin(broadcast(cls))
       .join(ctc, Seq("cls", "tok"), "left")
       .withColumn("term_micro", coalesce(
-        expr(s"CAST(round(1000000.0 * ln((cnt + 1.0) / (t + $vocab))) AS BIGINT)"),
+        expr("CAST(round(1000000.0 * ln((cnt + 1.0) / (t + vocab))) AS BIGINT)"),
         col("dflt_micro")))
       .groupBy(col("doc_id"), col("lang"), col("cls"), col("prior_micro"))
       .agg(sum(col("dc") * col("term_micro")).as("s"))
@@ -1356,12 +1361,22 @@ object TextAnalysis extends QueryModule {
        |), e AS (
        |  SELECT tok.lang, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
        |  FROM tok LEFT JOIN v ON v.word = tok.word
+       |), agg AS (
+       |  SELECT lang, count(*) AS total_tokens,
+       |    CAST(sum(oov) AS BIGINT) AS oov_tokens
+       |  FROM e GROUP BY lang
        |)
-       |SELECT lang, count(*) AS total_tokens,
-       |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
-       |  CAST(CASE WHEN count(*) = 0 THEN 0
-       |       ELSE (10000 * sum(oov)) // count(*) END AS BIGINT) AS oov_bp
-       |FROM e GROUP BY lang""".stripMargin
+       |-- lang domain from documents directly (LEFT JOIN + coalesce), so a
+       |-- language whose docs all tokenize to empty arrays still yields its
+       |-- total_tokens=0 row — mirroring the Scala groupBy over ALL docs
+       |SELECT l.lang,
+       |  CAST(coalesce(a.total_tokens, 0) AS BIGINT) AS total_tokens,
+       |  CAST(coalesce(a.oov_tokens, 0) AS BIGINT) AS oov_tokens,
+       |  CAST(CASE WHEN coalesce(a.total_tokens, 0) = 0 THEN 0
+       |       ELSE (10000 * a.oov_tokens) // a.total_tokens END AS BIGINT)
+       |    AS oov_bp
+       |FROM (SELECT DISTINCT lang FROM documents) l
+       |LEFT JOIN agg a ON a.lang = l.lang""".stripMargin
   }
 
   override def defs: Seq[QueryDef] = Seq(

@@ -59,4 +59,50 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw"), 6).as("jaccard"))
   }
+
+  /** Ordered containment-threshold self-join — the ASYMMETRIC prefix
+    * filter. containment(A→B) = |S(A)∩S(B)| / |S(A)| ≥ t admits the same
+    * pigeonhole device as Jaccard, applied one-sidedly: if the overlap is
+    * ≥ ⌈t·|S(A)|⌉, then at most ⌊(1−t)·|S(A)|⌋ of A's shingles are absent
+    * from B, so any prefix of ⌊(1−t)·|S(A)|⌋ + 1 shingles (any consistent
+    * global order; rarest-first minimizes fan-out) must hit B. The
+    * inverted index therefore holds ONLY each A-side doc's
+    * |S| − ⌈t·|S|⌉ + 1 rarest shingles — candidate volume is
+    * Σ_s df_prefix(s)·df(s), and a hot shingle (high df) is precisely the
+    * one that rarest-first ordering keeps OUT of every prefix, so the
+    * Σ df² blowup of the naive index cannot occur. A size filter
+    * (|S(B)| ≥ ⌈t·|S(A)|⌉, since B must contain the overlap) prunes
+    * further; both filters are lossless, so the result is IDENTICAL to
+    * the unpruned inverted-index join. Candidates then verify with the
+    * exact per-pair intersection count (cost ∝ Σ_cand |S(A)|).
+    *
+    * Output: (a_id, b_id, inter, size_a, containment) for pairs with
+    * inter ≥ ⌈t·size_a⌉ — for t = 0.5 this is the pure integer gate
+    * 2·inter ≥ size_a (0.5·n is exact in binary, so `ceil` is
+    * boundary-exact).
+    */
+  def containmentPairs(exploded: DataFrame, threshold: Double): DataFrame = {
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
+    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val prefix = exploded.join(docFreq, "shingle").join(sizes, "id")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id").as("a_id"), col("shingle"), col("n").as("na"))
+    val bSide = exploded.join(sizes, "id")
+      .select(col("id").as("b_id"), col("shingle"), col("n").as("nb"))
+    val cand = prefix.join(bSide, "shingle")
+      .where(col("a_id") =!= col("b_id") &&
+        col("nb") >= ceil(lit(threshold) * col("na")))
+      .select("a_id", "b_id").distinct()
+    val inter = cand
+      .join(exploded.select(col("id").as("a_id"), col("shingle")), "a_id")
+      .join(exploded.select(col("id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter.join(sizes.select(col("id").as("a_id"), col("n").as("size_a")), "a_id")
+      .where(col("inter") >= ceil(lit(threshold) * col("size_a")))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("size_a"), 6))
+  }
 }
