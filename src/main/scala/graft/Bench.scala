@@ -134,7 +134,13 @@ object Bench {
     // build ([[graft.catalog.Algorithms.bfsHops]]) — warming populates the
     // Shared memo so BOTH timed attempts measure the traversal, and the
     // build cost is disclosed here instead of reading as a 3× max band
-    val warmFirst = Set("pentomino", "bfs_hops")
+    // graph_diameter: its inputs are already memoized (the co-purchase
+    // edge frame, built and attributed under bfs_hops), yet r8 showed a
+    // 3.2/9.9 cold/warm band — the cold attempt pays C2 compilation of
+    // the double-sweep's per-round join/min-agg loop bodies plus the
+    // three 1-row argmax collects' first codegen; warm both attempts so
+    // the timed number is the traversal (disclosed via warm_first)
+    val warmFirst = Set("pentomino", "bfs_hops", "graph_diameter")
     // per-query shared-frame builds (label list): a memoized consumer's
     // first attempt pays the build, so its max/min spread is explained
     // here rather than read as variance

@@ -36,6 +36,22 @@ object Shared {
     out.toSeq
   }
 
+  /** Record a one-off amortized build that is NOT a memoized DataFrame —
+    * e.g. [[graft.catalog.IoCatalog.bucketedJoin]]'s bucketed-table
+    * layout write, which persists in the session catalog rather than this
+    * cache. Logged builds surface in the bench's `shared_builds` exactly
+    * like memo builds, so a first-attempt layout cost is attributed
+    * instead of reading as an unexplained max band.
+    */
+  def noteBuild(label: String): Unit = buildLog.add(label)
+
+  /** Drop every memoized frame (bench/test hook). [[graft.ScaleBench]]
+    * clears between timed attempts so the measured time INCLUDES the
+    * shared-frame builds: a scaling-exponent measurement that read warm
+    * memos would time a cache hit, not the operator.
+    */
+  def clear(): Unit = cache.clear()
+
   /** RE-ENTRANT lookup-or-build: `build` runs OUTSIDE the map update, so a
     * memoized frame may itself be built from another memoized frame
     * (keep-best ← components ← shingle graph). `computeIfAbsent` would
