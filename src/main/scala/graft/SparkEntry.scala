@@ -20,6 +20,7 @@ object SparkEntry {
     LlmPipeline,
     TextAnalysis,
     AggregateFramework,
+    CurationOps,
     EvalMetrics,
     RankStats,
     IoCatalog,

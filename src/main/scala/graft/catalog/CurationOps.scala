@@ -1,0 +1,299 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Round-9 curation / table-maintenance operators: CDC change-log apply,
+  * training-batch padding economics, code-vs-prose detection, hapax-rate
+  * vocabulary QA, and tokenizer fertility — the data-engineering and
+  * corpus-QA readouts a production training-data pipeline runs between
+  * ingestion and packing.
+  *
+  * Conventions as everywhere in the catalog: pure column expressions
+  * (whole-stage codegen, no UDFs), exact integer math for anything the
+  * oracle hashes (`div`, cents, basis points via ×10000), and a DuckDB
+  * twin per query.
+  */
+object CurationOps extends QueryModule {
+
+  // ---- CDC apply ----------------------------------------------------------
+
+  /** Change-data-capture apply: fold an ordered change log (insert/update/
+    * delete ops with per-key sequence numbers) into a snapshot and report
+    * the resulting table's per-status profile. THE table-maintenance
+    * primitive behind every warehouse "merge the day's changes" job — and
+    * the batch twin of a streaming upsert sink.
+    *
+    * The change log derives deterministically from the snapshot itself (the
+    * corpus ships no separate log): keys ≡1 (mod 9) receive TWO updates
+    * (seq 1 then seq 2 — latest-wins must pick seq 2's +222 price, so a
+    * wrong sort order is a red row, not a tie), keys ≡4 (mod 9) a delete,
+    * and keys ≡7 (mod 9) spawn a new key (+10⁹) insert.
+    *
+    * Scale shape: ONE window pass partitioned by key (latest-seq-wins is
+    * `row_number` over seq DESC), no join at all — the union of snapshot
+    * and log shuffles once on the key, exactly how a 100 TB MERGE shapes
+    * when the log is a meaningful fraction of the table. (When the log is
+    * tiny relative to the table, [[IoCatalog.upsertPartitioned]]'s
+    * touched-partition rewrite is the right tool — these are the two ends
+    * of the same maintenance spectrum.) Prices in exact integer cents
+    * (`floor(p·100 + 0.5)` — identical IEEE in both engines).
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+      lit(0L).as("seq"), lit("I").as("op"))
+    val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
+      .select(col("k"), col("status"), (col("price_cents") + 111).as("price_cents"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
+      .select(col("k"), col("status"), (col("price_cents") + 222).as("price_cents"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = snap.where(pmod(col("k"), lit(9)) === 4)
+      .select(col("k"), col("status"), col("price_cents"),
+        lit(1L).as("seq"), lit("D").as("op"))
+    val ins = snap.where(pmod(col("k"), lit(9)) === 7)
+      .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
+        (col("price_cents") + 5).as("price_cents"),
+        lit(1L).as("seq"), lit("I").as("op"))
+    val all = snap.unionByName(u1).unionByName(u2)
+      .unionByName(del).unionByName(ins)
+    val latest = all
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .where(col("rn") === 1 && col("op") =!= "D")
+    latest.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  private val cdcApplySql =
+    s"""WITH snap AS (
+       |  SELECT o_orderkey AS k, o_orderstatus AS status,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       |         0::BIGINT AS seq, 'I' AS op
+       |  FROM orders
+       |), log AS (
+       |  SELECT k, status, price_cents + 111 AS price_cents, 1::BIGINT AS seq, 'U' AS op
+       |  FROM snap WHERE k % 9 = 1
+       |  UNION ALL
+       |  SELECT k, status, price_cents + 222, 2::BIGINT, 'U' FROM snap WHERE k % 9 = 1
+       |  UNION ALL
+       |  SELECT k, status, price_cents, 1::BIGINT, 'D' FROM snap WHERE k % 9 = 4
+       |  UNION ALL
+       |  SELECT k + 1000000000, 'N', price_cents + 5, 1::BIGINT, 'I'
+       |  FROM snap WHERE k % 9 = 7
+       |), merged AS (
+       |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+       |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM log)
+       |)
+       |SELECT status, count(*) AS n_rows,
+       |       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+       |FROM merged WHERE rn = 1 AND op <> 'D'
+       |GROUP BY status""".stripMargin
+
+  // ---- padding economics --------------------------------------------------
+
+  /** Maximum packed sequence length for [[padEfficiency]] — docs longer
+    * than this truncate (their bucket is the cap itself, zero waste). */
+  private val MaxSeqLen = 512L
+
+  /** Training-batch padding economics: bucket documents by
+    * next-power-of-two token length (the standard length-bucketing batch
+    * strategy) and report each bucket's padded-slot waste in basis points.
+    * This is the readout that decides between padding buckets and
+    * [[LlmPipeline]]-style sequence packing — at 100 TB the waste column IS
+    * the GPU bill. Map-only per doc (the power-of-two arithmetic is the
+    * catalog's `length(bin(n))` floor-log₂ device), one bounded aggregate
+    * (≤ log₂(cap) buckets).
+    */
+  def padEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(TextFns.tokens(col("text"))).cast("long")
+    // next power of two via the floor-log₂ device: length(bin(n)) is
+    // floor(log₂ n)+1 for n ≥ 1 (the Scala `shiftleft` helper only takes a
+    // literal shift, so the column-shift goes through expr)
+    val cap = least(
+      when(expr("shiftleft(1L, length(bin(n_tok)) - 1)") === col("n_tok"),
+        col("n_tok"))
+        .otherwise(expr("shiftleft(1L, length(bin(n_tok)))")),
+      lit(MaxSeqLen))
+    Tables.documents(spark, dir)
+      .select(n.as("n_tok"))
+      .where(col("n_tok") >= 1)
+      .withColumn("cap", cap)
+      .withColumn("counted", least(col("n_tok"), lit(MaxSeqLen)))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("counted")).as("sum_tokens"),
+        sum(col("cap") - col("counted")).as("padded_slots"))
+      .withColumn("waste_bp",
+        expr("(10000 * padded_slots) div (cap * n_docs)"))
+  }
+
+  private val padEfficiencySql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT len($w)::BIGINT AS n_tok FROM documents
+       |), b AS (
+       |  SELECT n_tok,
+       |    least(CASE WHEN (1::BIGINT << (len(bin(n_tok)) - 1)) = n_tok
+       |               THEN n_tok
+       |               ELSE (1::BIGINT << len(bin(n_tok))) END,
+       |          $MaxSeqLen) AS cap,
+       |    least(n_tok, $MaxSeqLen) AS counted
+       |  FROM t WHERE n_tok >= 1
+       |)
+       |SELECT cap, count(*) AS n_docs,
+       |  CAST(sum(counted) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(cap - counted) AS BIGINT) AS padded_slots,
+       |  CAST((10000 * sum(cap - counted)) // (cap * count(*)) AS BIGINT) AS waste_bp
+       |FROM b GROUP BY cap""".stripMargin
+  }
+
+  // ---- code-vs-prose detection --------------------------------------------
+
+  /** Code-symbol character class (Java ∩ RE2 subset, the [[TextAnalysis]]
+    * pii_scrub convention). Plain triple-quoted string: NO escape
+    * processing, so the class reads identically in Spark and (via
+    * interpolation) DuckDB.
+    */
+  private val SymbolClass = """[{}();=<>\[\]#]"""
+
+  /** Code-vs-prose detection: per-document code-symbol density in basis
+    * points, rolled up per language — the filter signal that keeps (or
+    * routes) source code in a text corpus. Symbol counting is the
+    * subtraction device `length(text) − length(regexp_replace(text, cls,
+    * ''))` — one codegen'd regex pass, no explode, no UDF; the rollup is
+    * one partial-aggregated groupBy over ≤|langs| groups. A doc is
+    * "codey" at ≥ 3% symbol density (300 bp).
+    */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), SymbolClass, "")))
+          .cast("long").as("symbols"))
+      .withColumn("symbol_bp",
+        expr("(10000 * symbols) div greatest(chars, 1)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("symbol_bp") >= 300, 1L).otherwise(0L)).as("n_codey"),
+        expr("(10000 * sum(symbols)) div greatest(sum(chars), 1)")
+          .as("corpus_symbol_bp"))
+
+  private val codeDetectSql =
+    s"""WITH d AS (
+       |  SELECT lang, length(text)::BIGINT AS chars,
+       |    (length(text) - length(regexp_replace(text, '$SymbolClass', '', 'g')))::BIGINT
+       |      AS symbols
+       |  FROM documents
+       |), s AS (
+       |  SELECT lang, chars, symbols,
+       |    (10000 * symbols) // greatest(chars, 1) AS symbol_bp
+       |  FROM d
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN symbol_bp >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_codey,
+       |  CAST((10000 * sum(symbols)) // greatest(sum(chars), 1) AS BIGINT)
+       |    AS corpus_symbol_bp
+       |FROM s GROUP BY lang""".stripMargin
+
+  // ---- hapax rate ----------------------------------------------------------
+
+  /** Hapax-legomena rate per language: the fraction of the vocabulary that
+    * occurs exactly once (basis points). The classic corpus-health signal —
+    * OCR noise, mojibake and boilerplate each move it in a known
+    * direction, and a tokenizer-vocabulary build reads it directly (hapax
+    * types never earn merges). Shape: one exploded token count
+    * (vocabulary-bounded partial agg — the shuffle carries distinct
+    * (lang, token) pairs, never occurrences), one ≤|langs|-row rollup.
+    */
+  def hapaxRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("n")).as("occurrences"))
+      .withColumn("hapax_bp", expr("(10000 * hapax) div vocab"))
+
+  private val hapaxRateSql = {
+    val w = TextFns.tokensSql("lower(text)")
+    s"""WITH c AS (
+       |  SELECT lang, tok, count(*) AS n
+       |  FROM (SELECT lang, unnest($w) AS tok FROM documents)
+       |  GROUP BY lang, tok
+       |)
+       |SELECT lang, count(*) AS vocab,
+       |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  CAST(sum(n) AS BIGINT) AS occurrences,
+       |  CAST((10000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+       |    AS hapax_bp
+       |FROM c GROUP BY lang""".stripMargin
+  }
+
+  // ---- tokenizer fertility -------------------------------------------------
+
+  /** BPE-ish word-splitting pattern — [[TextAnalysis.tokenCount]]'s
+    * convention, duplicated here because that val is private there and the
+    * two queries must stay independently auditable.
+    */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Tokenizer fertility per language: subword-tokens-per-word (milli) and
+    * characters-per-subword-token (milli) — the numbers that decide
+    * whether a tokenizer underserves a language (fertility ≫ 1000 means
+    * every word shatters, inflating sequence length and cost for that
+    * language). Complements [[TextAnalysis.tokenCount]] (volumes, by
+    * source) with the per-language RATIOS. Map-only counting, one bounded
+    * rollup.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("words"),
+        sum(col("bpe")).as("subword_tokens"), sum(col("chars")).as("n_chars"))
+      .withColumn("fertility_milli",
+        expr("(1000 * subword_tokens) div greatest(words, 1)"))
+      .withColumn("chars_per_token_milli",
+        expr("(1000 * n_chars) div greatest(subword_tokens, 1)"))
+
+  private val tokenizerFertilitySql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT lang, len($w)::BIGINT AS ws,
+       |    len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS bpe,
+       |    length(text)::BIGINT AS chars
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS words,
+       |  CAST(sum(bpe) AS BIGINT) AS subword_tokens,
+       |  CAST(sum(chars) AS BIGINT) AS n_chars,
+       |  CAST((1000 * sum(bpe)) // greatest(sum(ws), 1) AS BIGINT) AS fertility_milli,
+       |  CAST((1000 * sum(chars)) // greatest(sum(bpe), 1) AS BIGINT)
+       |    AS chars_per_token_milli
+       |FROM t GROUP BY lang""".stripMargin
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("cdc_apply", cdcApply, Some(cdcApplySql)),
+    QueryDef("pad_efficiency", padEfficiency, Some(padEfficiencySql)),
+    QueryDef("code_detect", codeDetect, Some(codeDetectSql)),
+    QueryDef("hapax_rate", hapaxRate, Some(hapaxRateSql)),
+    QueryDef("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
+  )
+}

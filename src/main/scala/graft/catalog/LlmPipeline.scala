@@ -182,6 +182,73 @@ object LlmPipeline extends QueryModule {
        |FROM m""".stripMargin
   }
 
+  /** SimHash-vs-exact audit — [[lshRecallAudit]]'s sibling for the OTHER
+    * probabilistic dedup path: how much of the exact Jaccard-threshold
+    * pair set does Hamming-≤3 SimHash banding retrieve, and how many
+    * extra (sub-threshold) pairs does it admit. Unlike MinHash-LSH
+    * (which verifies candidates with exact Jaccard, so its pairs are a
+    * subset of exact), SimHash decides by fingerprint distance alone —
+    * so BOTH `n_missed` and `n_extra` are live numbers, and together
+    * they are the recall/precision trade a pipeline weighs when choosing
+    * between the two near-dup engines. Both pair frames come from
+    * [[graft.core.Shared]] memos; the audit itself is two anti-joins over
+    * small pair sets, 1-row output.
+    */
+  def simhashRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactPairsShared(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sim = dedupSimhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val missed = exact.join(sim, Seq("doc_a", "doc_b"), "left_anti")
+    val extra = sim.join(exact, Seq("doc_a", "doc_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(sim.agg(count(lit(1)).as("n_simhash")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+      .select(col("n_exact"), col("n_simhash"), col("n_missed"), col("n_extra"),
+        expr("CASE WHEN n_exact = 0 THEN 1000 " +
+          "ELSE (1000 * (n_exact - n_missed)) div n_exact END")
+          .cast("long").as("recall_permille"))
+  }
+
+  private val simhashRecallAuditSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", ShingleN)
+    val simFull = SimHash.nearPairsSql("documents", "doc_id", "text")
+    s"""WITH shx AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $ShingleN
+       |), ex AS (
+       |  SELECT id, unnest(shingles) AS shingle, len(shingles) AS n FROM shx
+       |), exact_p AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |  HAVING count(*)::DOUBLE
+       |    / (any_value(a.n) + any_value(b.n) - count(*))
+       |    >= $ExactJaccardThreshold
+       |), sim_p AS (
+       |  SELECT doc_a, doc_b FROM ($simFull)
+       |), mi AS (
+       |  SELECT count(*) AS n_missed FROM exact_p e
+       |  LEFT JOIN sim_p s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+       |  WHERE s.doc_a IS NULL
+       |), xt AS (
+       |  SELECT count(*) AS n_extra FROM sim_p s
+       |  LEFT JOIN exact_p e ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+       |  WHERE e.doc_a IS NULL
+       |)
+       |SELECT
+       |  CAST((SELECT count(*) FROM exact_p) AS BIGINT) AS n_exact,
+       |  CAST((SELECT count(*) FROM sim_p) AS BIGINT) AS n_simhash,
+       |  CAST(n_missed AS BIGINT) AS n_missed,
+       |  CAST(n_extra AS BIGINT) AS n_extra,
+       |  CAST(CASE WHEN (SELECT count(*) FROM exact_p) = 0 THEN 1000
+       |       ELSE (1000 * ((SELECT count(*) FROM exact_p) - n_missed))
+       |            // (SELECT count(*) FROM exact_p) END AS BIGINT)
+       |    AS recall_permille
+       |FROM mi, xt""".stripMargin
+  }
+
   // ---- embedding-cosine near-dup (banded SRP engine path) -----------------
   private val CosineThreshold = 0.4
   private val Dim = 64
@@ -452,6 +519,63 @@ object LlmPipeline extends QueryModule {
        |s1 AS (SELECT id, qv FROM e ORDER BY id LIMIT 1),
        |$rounds
        |SELECT 1 AS pick_order, id AS vec_id, NULL::DOUBLE AS sim_at_pick FROM s1
+       |UNION ALL
+       |$out""".stripMargin
+  }
+
+  private val MmrK = 8
+  private val MmrLambdaPct = 70
+
+  /** MMR diversity re-ranking over the embedding corpus
+    * ([[VectorOps.mmrSelect]]): greedy top-[[MmrK]] by
+    * `0.7·relevance − 0.3·max-sim-to-selected` against the id-min query
+    * vector — the de-redundancy pass a retrieval pipeline runs on an ANN
+    * shortlist before serving. Same k-round scan-and-argmax shape as
+    * [[diverseSample]]; oracle replays every round as chained CTEs.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.mmrSelect(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", MmrK, MmrLambdaPct)
+
+  private val mmrRerankSql = {
+    val q = VectorOps.quantizeSql("embedding")
+    def cos(a: String, b: String) =
+      s"round(${VectorOps.cosineQSql(a, b, EmbDim)}, 6)"
+    val lam = MmrLambdaPct / 100.0
+    val mu = (100 - MmrLambdaPct) / 100.0
+    val rounds = (2 to MmrK).map { r =>
+      val upd =
+        if (r == 2)
+          s"""m1 AS (
+             |  SELECT rl.id, rl.qv, rl.rel, ${cos("rl.qv", "p.qv")} AS ms
+             |  FROM rl CROSS JOIN p1 p WHERE rl.id <> p.id
+             |)""".stripMargin
+        else
+          s"""m${r - 1} AS (
+             |  SELECT m.id, m.qv, m.rel,
+             |    greatest(m.ms, ${cos("m.qv", "p.qv")}) AS ms
+             |  FROM m${r - 2} m CROSS JOIN p${r - 1} p WHERE m.id <> p.id
+             |)""".stripMargin
+      s"""$upd,
+         |p$r AS (SELECT id, qv, rel, ms FROM m${r - 1}
+         |        ORDER BY round($lam * rel - $mu * ms, 6) DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to MmrK)
+      .map(r => s"SELECT $r AS pick_order, id AS vec_id, " +
+        s"round($lam * rel - $mu * ms, 6) AS mmr_score FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, $q AS qv FROM embeddings
+       |),
+       |qv0 AS (SELECT id, qv FROM e ORDER BY id LIMIT 1),
+       |rl AS (
+       |  SELECT e.id, e.qv, ${cos("e.qv", "q.qv")} AS rel
+       |  FROM e CROSS JOIN qv0 q WHERE e.id <> q.id
+       |),
+       |p1 AS (SELECT id, qv, rel FROM rl ORDER BY rel DESC, id LIMIT 1),
+       |$rounds
+       |SELECT 1 AS pick_order, id AS vec_id, round($lam * rel, 6) AS mmr_score
+       |FROM p1
        |UNION ALL
        |$out""".stripMargin
   }
@@ -1440,6 +1564,58 @@ object LlmPipeline extends QueryModule {
        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
        |FROM sz GROUP BY cluster_size""".stripMargin
 
+  /** Newman modularity of the LANGUAGE partition over the near-dup shingle
+    * graph: Q = Σ_c [e_c/m − (d_c/2m)²] — "do near-dup edges stay within
+    * one language?" A healthy corpus scores near 1 (cross-language
+    * near-dups are rare); a slide toward 0 means boilerplate/templating is
+    * bridging languages, the signal that triggers a per-language dedup
+    * review. Exact integer form: Q·4m² = 4m·Σe_c − Σd_c², reported as
+    * `q_milli` by truncating div (the [[linregTrend]]-verified Spark `div`
+    * ≡ DuckDB `//` semantics). Cost: the memoized edge frames
+    * ([[shingleStarEdges]]/[[shingleStarSym]]) plus two bounded aggregates
+    * (per-vertex degrees → per-language sums) and three 1-row broadcasts —
+    * nothing here scales worse than the graph build itself.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val ed = shingleStarEdges(spark, dir)
+      .join(lang.select(col("doc_id").as("src"), col("lang").as("la")), "src")
+      .join(lang.select(col("doc_id").as("dst"), col("lang").as("lb")), "dst")
+    val mi = ed.agg(count(lit(1)).as("m"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra_edges"))
+    val d2 = shingleStarSym(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .join(lang.select(col("doc_id").as("src"), col("lang")), "src")
+      .groupBy(col("lang")).agg(sum(col("d")).as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sum_d2"))
+    mi.crossJoin(broadcast(d2))
+      .select(col("m"), col("intra_edges"), col("sum_d2"),
+        expr("(1000 * (4 * m * intra_edges - sum_d2)) div (4 * m * m)")
+          .cast("long").as("q_milli"))
+  }
+
+  private val graphModularitySql =
+    s"""WITH $shingleEdgeCtes, lg AS (
+       |  SELECT doc_id, lang FROM documents
+       |), mi AS (
+       |  SELECT count(*) AS m,
+       |    sum(CASE WHEN la.lang = lb.lang THEN 1 ELSE 0 END) AS intra
+       |  FROM ed JOIN lg la ON ed.a = la.doc_id JOIN lg lb ON ed.b = lb.doc_id
+       |), dg AS (
+       |  SELECT s.a AS v, count(*) AS d FROM sym s GROUP BY s.a
+       |), dc AS (
+       |  SELECT lg.lang, sum(d) AS dcs FROM dg JOIN lg ON dg.v = lg.doc_id
+       |  GROUP BY lg.lang
+       |), d2 AS (
+       |  SELECT sum(dcs * dcs) AS sum_d2 FROM dc
+       |)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(intra AS BIGINT) AS intra_edges,
+       |  CAST(sum_d2 AS BIGINT) AS sum_d2,
+       |  CAST((1000 * (4 * m * intra - sum_d2)) // (4 * m * m) AS BIGINT)
+       |    AS q_milli
+       |FROM mi, d2""".stripMargin
+
   /** Quantile band filter: keep documents whose length sits inside the
     * per-language interquartile band — the "drop the trash and the
     * outliers" gate every corpus pipeline runs before training. The
@@ -1998,6 +2174,9 @@ object LlmPipeline extends QueryModule {
     QueryDef("vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("ppr_seeded", pprSeeded, Some(pprSeededSql)),
     QueryDef("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
+    QueryDef("simhash_recall_audit", simhashRecallAudit, Some(simhashRecallAuditSql)),
+    QueryDef("graph_modularity", graphModularity, Some(graphModularitySql)),
+    QueryDef("mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     QueryDef("diverse_sample", diverseSample, Some(diverseSampleSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),

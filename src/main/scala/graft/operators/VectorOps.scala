@@ -532,4 +532,59 @@ object VectorOps {
     }
     picks.reverse.toDF("pick_order", "vec_id", "sim_at_pick")
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick k results maximizing `λ·relevance − (1−λ)·max-sim-to-
+    * selected` — the retrieval-side twin of [[kCenterSelect]] (same
+    * scan-and-argmax round shape, one running `ms` scalar per candidate, a
+    * 1-row pick collected per round, the newly picked vector broadcast as
+    * a literal) with the objective flipped from pure coverage to
+    * relevance-diversity trade-off. This is the standard de-redundancy
+    * pass over an ANN shortlist before results ship.
+    *
+    * The query vector is the id-min row (deterministic; production passes
+    * a real query — the plan is identical). Relevance = cosine to the
+    * query; λ = `lambdaPct`/100. First pick is pure relevance (no selected
+    * set yet; its `ms` column is born at the first update, not faked as
+    * 0 — a fake 0 floor would be wrong when every true similarity is
+    * negative). Determinism: all ranking on ROUNDED cosines with id
+    * tie-break, so the oracle replays each round as a chained CTE.
+    */
+  def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
+                k: Int, lambdaPct: Int): DataFrame = {
+    require(k >= 2, s"MMR needs k >= 2, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // both weights derived by the SAME ÷100 the oracle's printed literals
+    // parse to — `1.0 - lam` would differ from the parsed "0.3" by 1 ulp
+    val lam = lambdaPct / 100.0
+    val mu = (100 - lambdaPct) / 100.0
+    def score(rel: Column, ms: Column): Column =
+      round(lit(lam) * rel - lit(mu) * ms, 6)
+
+    val base = graft.core.Materialize(
+      vectors.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")))
+    val q = base.orderBy(col("id")).limit(1).head()
+    val qId = q.getLong(0)
+    val rel = graft.core.Materialize(base.where(col("id") =!= qId)
+      .withColumn("rel", round(cosineQ(col("qv"), typedLit(q.getSeq[Long](1))), 6)))
+
+    // pick-1 score computed ENGINE-side (round() is HALF_UP in both Spark
+    // and DuckDB; a driver-side math.rint would round half-to-even)
+    val p1 = rel.withColumn("s", round(lit(lam) * col("rel"), 6))
+      .orderBy(col("rel").desc, col("id").asc).limit(1).head()
+    var picks = List[(Int, Long, Double)]((1, p1.getLong(0), p1.getDouble(3)))
+    var cand = graft.core.Materialize(rel.where(col("id") =!= p1.getLong(0))
+      .withColumn("ms", round(cosineQ(col("qv"), typedLit(p1.getSeq[Long](1))), 6)))
+    for (r <- 2 to k) {
+      val pick = cand.withColumn("s", score(col("rel"), col("ms")))
+        .orderBy(col("s").desc, col("id").asc).limit(1).head()
+      picks ::= ((r, pick.getLong(0), pick.getDouble(4)))
+      if (r < k)
+        cand = graft.core.Materialize(cand.where(col("id") =!= pick.getLong(0))
+          .withColumn("ms", greatest(col("ms"),
+            round(cosineQ(col("qv"), typedLit(pick.getSeq[Long](1))), 6))))
+    }
+    picks.reverse.toDF("pick_order", "vec_id", "mmr_score")
+  }
 }

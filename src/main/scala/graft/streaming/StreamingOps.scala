@@ -376,6 +376,36 @@ object StreamingOps {
       }
   }
 
+  final case class CdcEv(k: Long, seq: Long, op: String, price_cents: Long)
+  final case class CdcState(seq: Long, op: String, price_cents: Long)
+  final case class CdcOut(k: Long, live: Boolean, seq: Long, price_cents: Long)
+
+  /** Streaming CDC upsert — the streaming twin of the batch `cdc_apply`
+    * merge: per-key latest-SEQUENCE-wins state (three fields per key,
+    * however long the stream runs), emitting the key's current version
+    * each micro-batch (Update mode). Sequence comparison — not arrival
+    * order — decides, so late/out-of-order change events and at-least-once
+    * replays fold in idempotently (max-seq is a semilattice: reprocessing
+    * any prefix of the log cannot move the state backwards). Deletes
+    * become TOMBSTONES (`live = false`) rather than `state.remove()`: a
+    * dropped tombstone would let a late lower-seq update resurrect the
+    * row — the classic CDC bug this op exists to prevent; production
+    * compaction evicts tombstones only past the out-of-order horizon.
+    */
+  def upsertStream(events: Dataset[CdcEv]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[CdcEv], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(-1L, "D", 0L))
+          rows.foreach { e =>
+            if (e.seq > st.seq) st = CdcState(e.seq, e.op, e.price_cents)
+          }
+          state.update(st)
+          CdcOut(k, st.op != "D", st.seq, st.price_cents)
+      }
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

@@ -1,0 +1,136 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.VectorOps
+
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("cdc_apply: latest-wins picks seq 2, deletes drop, inserts add status N") {
+    val snap = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("pc"))
+    // hand-derived expected final state: ≡1 rows get +222 (seq 2 wins over
+    // seq 1's +111), ≡4 rows vanish, ≡7 rows spawn an extra 'N' row at +5
+    val kept = snap.where(pmod(col("k"), lit(9)) =!= 4)
+      .withColumn("pc", when(pmod(col("k"), lit(9)) === 1, col("pc") + 222)
+        .otherwise(col("pc")))
+      .select(col("status"), col("pc"))
+    val spawned = snap.where(pmod(col("k"), lit(9)) === 7)
+      .select(lit("N").as("status"), (col("pc") + 5).as("pc"))
+    val expect = kept.unionByName(spawned)
+      .groupBy("status").agg(count(lit(1)).as("n"), sum("pc").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = CurationOps.cdcApply(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    assert(got.contains("N"))
+  }
+
+  test("pad_efficiency: caps are powers of two and the slot algebra closes") {
+    val rows = CurationOps.padEfficiency(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cap, nDocs, sumTok, padded, wasteBp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert((cap & (cap - 1)) === 0L, s"cap $cap not a power of two")
+      assert(cap <= 512L)
+      assert(padded === cap * nDocs - sumTok, s"slot algebra broken at cap $cap")
+      assert(wasteBp === (10000L * padded) / (cap * nDocs))
+      // an unclamped bucket's docs all exceed cap/2, so waste < 50%
+      if (cap < 512L) assert(wasteBp < 5000L, s"cap $cap waste $wasteBp bp")
+    }
+  }
+
+  test("code_detect: rollup reconciles with a direct recount") {
+    val direct = Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), """[{}();=<>\[\]#]""", "")))
+          .cast("long").as("symbols"))
+      .groupBy("lang").agg(sum("chars").as("c"), sum("symbols").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    CurationOps.codeDetect(spark, dir).collect().foreach { r =>
+      val (lang, nDocs, nCodey, bp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (c, s) = direct(lang)
+      assert(bp === (10000L * s) / math.max(c, 1L))
+      assert(nCodey >= 0L && nCodey <= nDocs)
+    }
+  }
+
+  test("hapax_rate: histogram identities hold per language") {
+    CurationOps.hapaxRate(spark, dir).collect().foreach { r =>
+      val (vocab, hapax, occ, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hapax <= vocab)
+      assert(occ >= vocab) // every type occurs at least once
+      assert(bp === (10000L * hapax) / vocab)
+    }
+  }
+
+  test("tokenizer_fertility: every whitespace token yields >= 1 subword token") {
+    CurationOps.tokenizerFertility(spark, dir).collect().foreach { r =>
+      val (words, sub, fert) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(sub >= words, "BPE-ish matches cover every non-space char run")
+      assert(fert >= 1000L)
+    }
+  }
+
+  test("graph_modularity: bounds and edge accounting") {
+    val r = LlmPipeline.graphModularity(spark, dir).head()
+    val (m, intra, sumD2, qMilli) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(intra >= 0L && intra <= m)
+    // sum of per-community degree sums is 2m, so Cauchy-Schwarz gives
+    // sum_d2 >= (2m)^2 / n_langs; and Q <= 1 always
+    assert(sumD2 >= (4L * m * m) / 5L)
+    assert(qMilli === (1000L * (4L * m * intra - sumD2)) / (4L * m * m))
+    assert(qMilli <= 1000L)
+  }
+
+  test("simhash_recall_audit: column arithmetic is self-consistent") {
+    val r = LlmPipeline.simhashRecallAudit(spark, dir).head()
+    val (nExact, nSim, nMissed, nExtra, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nMissed <= nExact)
+    assert(nExtra <= nSim)
+    // |sim ∩ exact| counted from either side agrees
+    assert(nSim - nExtra === nExact - nMissed)
+    assert(recall === (if (nExact == 0) 1000L
+                       else (1000L * (nExact - nMissed)) / nExact))
+  }
+
+  test("mmrSelect: diversity beats an exact duplicate on a hand geometry") {
+    // query is the id-min row (id 0, along x). id 1 and id 2 are exact
+    // duplicates at rel 0.8; id 3 is orthogonal to them at rel 0.6.
+    // pick1 = id 1 (rel tie broken by id). For pick 2:
+    //   dup id 2: 0.7·0.8 − 0.3·1.0 = 0.26
+    //   id 3:     0.7·0.6 − 0.3·0.0 = 0.42  → diversity wins
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.6f, -0.8f)),
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.mmrSelect(vecs, "vec_id", "embedding", k = 3,
+      lambdaPct = 70).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L))
+    // 5e-3 tolerance: quantize() floors, so negative components land one
+    // 1e-6 step low and cosines drift a few millionths off the hand values
+    assert(math.abs(got(1).getDouble(2) - 0.42) < 5e-3)
+    assert(math.abs(got(2).getDouble(2) - 0.26) < 5e-3)
+  }
+
+  test("mmr_rerank: k picks, distinct, scores non-increasing after pick 1") {
+    val rows = LlmPipeline.mmrRerank(spark, dir).collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(1)).distinct.length === 8)
+    val scores = rows.sortBy(_.getInt(0)).map(_.getDouble(2)).drop(1)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "greedy MMR scores must be non-increasing from pick 2 on")
+  }
+}

@@ -491,4 +491,34 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
       assert(got("a").est_distinct > 20L && got("a").est_distinct < 90L)
     } finally q.stop()
   }
+
+  test("upsertStream: latest-seq-wins, tombstones survive, late updates ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{CdcEv, CdcOut}
+    val in = MemoryStream[CdcEv]
+    val sink = s"cdc_${System.nanoTime()}"
+    val q = StreamingOps.upsertStream(in.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .option("checkpointLocation", freshCheckpoint("cdc"))
+      .start()
+    try {
+      // batch 1: two inserts
+      in.addData(CdcEv(1L, 0L, "I", 100L), CdcEv(2L, 0L, "I", 200L))
+      q.processAllAvailable()
+      // batch 2: k=1 gets seq-2 update THEN a late seq-1 update (must lose);
+      // k=2 is deleted
+      in.addData(CdcEv(1L, 2L, "U", 150L), CdcEv(1L, 1L, "U", 120L),
+        CdcEv(2L, 1L, "D", 0L))
+      q.processAllAvailable()
+      // batch 3: a replayed (duplicate) delete and a stale k=2 update with a
+      // LOWER seq than the tombstone — the tombstone must hold
+      in.addData(CdcEv(2L, 1L, "D", 0L), CdcEv(2L, 0L, "U", 999L))
+      q.processAllAvailable()
+      val got = spark.table(sink).as[CdcOut].collect()
+        .groupBy(_.k).view.mapValues(_.maxBy(_.seq)).toMap
+      assert(got(1L) == CdcOut(1L, live = true, 2L, 150L), s"got ${got(1L)}")
+      assert(got(2L) == CdcOut(2L, live = false, 1L, 0L), s"got ${got(2L)}")
+    } finally q.stop()
+  }
 }
