@@ -289,11 +289,50 @@ object CurationOps extends QueryModule {
        |FROM t GROUP BY lang""".stripMargin
   }
 
+  // ---- noisy count release -------------------------------------------------
+
+  private val NoiseBound = 5L
+  private val NoiseSeed = 42
+
+  /** Differential-privacy-SHAPED histogram release: per-event-type counts
+    * with bounded additive noise and a non-negativity post-processing
+    * clamp — the release pipeline every privacy-reviewed count report
+    * runs (aggregate → perturb → clamp → publish, true counts never
+    * leave). The noise here is DETERMINISTIC (seeded portable-hash uniform
+    * on ±[[NoiseBound]]): real DP calibrates Laplace noise to ε and needs
+    * true randomness, which an oracle-attested, bit-reproducible catalog
+    * cannot carry — the distributed shape (map-side partial counts, a
+    * ≤|types|-row perturbation, no second pass over data) is identical,
+    * and swapping the hash for a sampled draw is a one-line change at
+    * deployment. Scale: the only data-sized op is the partial-aggregated
+    * count.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))
+      .select(col("event_type"),
+        greatest(
+          col("true_n") +
+            pmod(graft.functions.PortableHash.h48(col("event_type"), NoiseSeed),
+              lit(2 * NoiseBound + 1)) - NoiseBound,
+          lit(0L)).as("noisy_n"),
+        lit(NoiseBound).as("noise_bound"))
+
+  private val dpNoisyCountsSql = {
+    val h = graft.functions.PortableHash.h48Sql("event_type", NoiseSeed)
+    s"""SELECT event_type,
+       |  greatest(count(*) + ($h % ${2 * NoiseBound + 1}) - $NoiseBound, 0)::BIGINT
+       |    AS noisy_n,
+       |  $NoiseBound::BIGINT AS noise_bound
+       |FROM events GROUP BY event_type""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("pad_efficiency", padEfficiency, Some(padEfficiencySql)),
     QueryDef("code_detect", codeDetect, Some(codeDetectSql)),
     QueryDef("hapax_rate", hapaxRate, Some(hapaxRateSql)),
     QueryDef("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
+    QueryDef("dp_noisy_counts", dpNoisyCounts, Some(dpNoisyCountsSql)),
   )
 }

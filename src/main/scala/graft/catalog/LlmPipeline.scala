@@ -427,6 +427,46 @@ object LlmPipeline extends QueryModule {
     VectorOps.srpTopKSql("embeddings", "vec_id", "embedding",
       AnnRows, AnnBands, Dim, LshK, QueryMod)
 
+  /** ANN recall audit — the vector-side member of the audit family
+    * ([[lshRecallAudit]], [[simhashRecallAudit]]): recall@k of the SRP-LSH
+    * top-k against the exact brute-force top-k over the SAME query batch,
+    * measured IN-ENGINE and attested by the driver gate (the
+    * VectorOpsSpec recall ≥ 0.9 pin becomes a driver-checked number, not
+    * a spec-only assertion). Both rankings are deterministic (rounded
+    * cosine, id tie-break), so the hit set is exact; the audit itself is
+    * one equi-join on (query_id, cand_id) over k·|queries| rows plus
+    * three 1-row broadcasts.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).where(col("rank") <= LshK)
+      .select(col("query_id"), col("cand_id"))
+    val lsh = annLsh(spark, dir).select(col("query_id"), col("cand_id"))
+    val hits = lsh.join(exact, Seq("query_id", "cand_id"))
+    exact.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_queries"), col("n_exact"), col("n_hits"),
+        expr("(1000 * n_hits) div n_exact").cast("long").as("recall_permille"))
+  }
+
+  private val annRecallAuditSql =
+    s"""WITH ex AS (
+       |  SELECT query_id, cand_id FROM ($annTopKSql) WHERE rank <= $LshK
+       |), ls AS (
+       |  SELECT query_id, cand_id FROM (${VectorOps.srpTopKSql("embeddings",
+            "vec_id", "embedding", AnnRows, AnnBands, Dim, LshK, QueryMod)})
+       |), h AS (
+       |  SELECT count(*) AS n_hits FROM ls JOIN ex
+       |    ON ls.query_id = ex.query_id AND ls.cand_id = ex.cand_id
+       |)
+       |SELECT
+       |  CAST((SELECT count(DISTINCT query_id) FROM ex) AS BIGINT) AS n_queries,
+       |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST((1000 * n_hits) // (SELECT count(*) FROM ex) AS BIGINT)
+       |    AS recall_permille
+       |FROM h""".stripMargin
+
   // ---- ANN: IVF inverted lists (cluster-routed scale path) ----------------
   private val IvfCentroidMod = 25 // nlist = n/25 → 20 lists at sf0.01
   private val IvfNProbe = 5
@@ -1564,6 +1604,47 @@ object LlmPipeline extends QueryModule {
        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
        |FROM sz GROUP BY cluster_size""".stripMargin
 
+  /** Per-source near-duplication rate — the datasheet row a corpus review
+    * reads per ingestion source ("which feeds are mostly mirrors"): for
+    * each source, the share of its docs that sit in a near-dup cluster of
+    * size > 1 (basis points). Consumes the memoized [[componentFrame]]
+    * (the audit and the dedup act on the SAME materialized assignment);
+    * one join to the ≤|components| size table + one ≤|sources| rollup.
+    */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val comp = componentFrame(spark, dir)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    val flagged = comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), (col("csize") > 1).as("is_dup"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(flagged, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("(10000 * n_dup) div n_docs"))
+  }
+
+  private val dedupRateBySourceSql =
+    s"""WITH RECURSIVE $shingleEdgeCtes, reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
+       |), comp AS (
+       |  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+       |), sz AS (
+       |  SELECT component, count(*) AS csize FROM comp GROUP BY component
+       |), f AS (
+       |  SELECT c.doc_id, (s.csize > 1) AS is_dup
+       |  FROM comp c JOIN sz s ON c.component = s.component
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST((10000 * sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END)) // count(*)
+       |    AS BIGINT) AS dup_bp
+       |FROM documents d JOIN f ON d.doc_id = f.doc_id
+       |GROUP BY d.source""".stripMargin
+
   /** Newman modularity of the LANGUAGE partition over the near-dup shingle
     * graph: Q = Σ_c [e_c/m − (d_c/2m)²] — "do near-dup edges stay within
     * one language?" A healthy corpus scores near 1 (cross-language
@@ -2175,6 +2256,8 @@ object LlmPipeline extends QueryModule {
     QueryDef("ppr_seeded", pprSeeded, Some(pprSeededSql)),
     QueryDef("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     QueryDef("simhash_recall_audit", simhashRecallAudit, Some(simhashRecallAuditSql)),
+    QueryDef("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    QueryDef("dedup_rate_by_source", dedupRateBySource, Some(dedupRateBySourceSql)),
     QueryDef("graph_modularity", graphModularity, Some(graphModularitySql)),
     QueryDef("mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     QueryDef("diverse_sample", diverseSample, Some(diverseSampleSql)),

@@ -106,6 +106,47 @@ class CurationOpsSpec extends SparkSpec {
                        else (1000L * (nExact - nMissed)) / nExact))
   }
 
+  test("dp_noisy_counts: noise bounded, clamped at zero, true counts private") {
+    val trueCounts = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = CurationOps.dpNoisyCounts(spark, dir).collect()
+    assert(rows.length === trueCounts.size)
+    rows.foreach { r =>
+      val (et, noisy, bound) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(bound === 5L)
+      assert(noisy >= 0L, "non-negativity clamp")
+      assert(math.abs(noisy - trueCounts(et)) <= bound,
+        s"$et: |$noisy - ${trueCounts(et)}| exceeds ±$bound")
+    }
+    // the release must actually perturb at least one cell (else the seed
+    // degenerated to all-zero noise and the query silently leaks true counts)
+    assert(rows.exists(r => r.getLong(1) != trueCounts(r.getString(0))))
+  }
+
+  test("ann_recall_audit: hit algebra closes and LSH recall is high") {
+    val r = LlmPipeline.annRecallAudit(spark, dir).head()
+    val (nQ, nExact, nHits, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nQ > 0L)
+    assert(nExact > 0L && nExact <= nQ * 10L)
+    assert(nHits <= nExact, "hits are a subset of the exact top-k")
+    assert(recall === (1000L * nHits) / nExact)
+    assert(recall >= 900L, s"SRP-LSH recall $recall‰ below the 0.9 pin")
+  }
+
+  test("dedup_rate_by_source: every doc accounted, rate algebra closes") {
+    val rows = LlmPipeline.dedupRateBySource(spark, dir).collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum === total,
+      "per-source doc counts must partition the corpus")
+    rows.foreach { r =>
+      val (nDocs, nDup, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDup >= 0L && nDup <= nDocs)
+      assert(bp === (10000L * nDup) / nDocs)
+    }
+  }
+
   test("mmrSelect: diversity beats an exact duplicate on a hand geometry") {
     // query is the id-min row (id 0, along x). id 1 and id 2 are exact
     // duplicates at rel 0.8; id 3 is orthogonal to them at rel 0.6.
