@@ -21,6 +21,7 @@ object SparkEntry {
     TextAnalysis,
     AggregateFramework,
     CurationOps,
+    MixtureOps,
     EvalMetrics,
     RankStats,
     IoCatalog,

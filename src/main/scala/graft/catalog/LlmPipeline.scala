@@ -182,6 +182,100 @@ object LlmPipeline extends QueryModule {
        |FROM m""".stripMargin
   }
 
+  /** MinHash ESTIMATE-quality audit — the third member of the audit family:
+    * [[lshRecallAudit]] asks "which true pairs does banding retrieve";
+    * this asks "how good is the signature's Jaccard ESTIMATE itself"
+    * (m matching components out of [[MinHashLsh.NumHashes]]) against the
+    * exact s/u — the number that decides whether a pipeline can SKIP the
+    * exact-verify pass and trust signatures alone. Per-pair error in exact
+    * integer permille, |m·u − K·s| ·1000 div (K·u), so both engines sum
+    * identical integers; 1-row output (n_pairs, mean, max).
+    *
+    * Scale shape: the pair set is the memoized exact frame (candidate-
+    * bounded); signatures are K codegen multiply-adds per (id, shingle)
+    * row grouped per id; the audit joins are keyed by pair ids.
+    */
+  def minhashEstAudit(spark: SparkSession, dir: String): DataFrame = {
+    val K = MinHashLsh.NumHashes
+    val pairs = exactPairsShared(spark, dir).select(col("doc_a"), col("doc_b"))
+    val ex = MinHashLsh.explodeShingles(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val withOverlap = pairs
+      .join(ex.select(col("id").as("doc_a"), col("shingle")), "doc_a")
+      .join(ex.select(col("id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("s"))
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val sigs = MinHashLsh.signatures(ex)
+    val sigA = sigs.select(col("id").as("doc_a") +:
+      (0 until K).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = sigs.select(col("id").as("doc_b") +:
+      (0 until K).map(i => col(s"h$i").as(s"b$i")): _*)
+    val m = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = withOverlap.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("u", col("na") + col("nb") - col("s"))
+      .withColumn("m", m)
+      .withColumn("err_permille",
+        expr(s"(1000 * abs(m * u - $K * s)) div ($K * u)"))
+    per.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum("err_permille"), lit(0L)).as("sum_err"),
+        coalesce(max("err_permille"), lit(0L)).as("max_err_permille"))
+      .withColumn("mean_err_permille",
+        expr("CASE WHEN n_pairs = 0 THEN 0L ELSE sum_err div n_pairs END"))
+      .select("n_pairs", "mean_err_permille", "max_err_permille")
+  }
+
+  private val minhashEstAuditSql = {
+    val K = MinHashLsh.NumHashes
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", ShingleN)
+    val perms = (0 until K)
+      .map(i => s"(${i}, ${MinHashLsh.PermA(i)}, ${MinHashLsh.PermB(i)})")
+      .mkString(", ")
+    s"""WITH shx AS (
+       |  SELECT doc_id AS id, $sh AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM documents)
+       |  WHERE len(w) >= $ShingleN
+       |), e AS (
+       |  SELECT id, unnest(shingles) AS shingle, len(shingles) AS n FROM shx
+       |), pairs AS (
+       |  SELECT a.id AS da, b.id AS db, count(*)::BIGINT AS s,
+       |         any_value(a.n)::BIGINT AS na, any_value(b.n)::BIGINT AS nb
+       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |  HAVING count(*)::DOUBLE
+       |    / (any_value(a.n) + any_value(b.n) - count(*))
+       |    >= $ExactJaccardThreshold
+       |), sig AS (
+       |  SELECT id, p.i, min((p.a * eh.h32 + p.b) % ${MinHashLsh.P}) AS h
+       |  FROM (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32
+       |        FROM e) eh
+       |  CROSS JOIN (VALUES $perms) p(i, a, b)
+       |  GROUP BY id, p.i
+       |), mm AS (
+       |  SELECT p.da, p.db,
+       |    CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.id = p.da
+       |  JOIN sig sb ON sb.id = p.db AND sb.i = sa.i
+       |  GROUP BY p.da, p.db
+       |), err AS (
+       |  SELECT (1000 * abs(mm.m * (p.na + p.nb - p.s) - $K * p.s))
+       |         // ($K * (p.na + p.nb - p.s)) AS err_permille
+       |  FROM pairs p JOIN mm ON mm.da = p.da AND mm.db = p.db
+       |)
+       |SELECT count(*)::BIGINT AS n_pairs,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0
+       |       ELSE CAST(sum(err_permille) AS BIGINT) // count(*) END AS BIGINT)
+       |    AS mean_err_permille,
+       |  CAST(coalesce(max(err_permille), 0) AS BIGINT) AS max_err_permille
+       |FROM err""".stripMargin
+  }
+
   /** SimHash-vs-exact audit — [[lshRecallAudit]]'s sibling for the OTHER
     * probabilistic dedup path: how much of the exact Jaccard-threshold
     * pair set does Hamming-≤3 SimHash banding retrieve, and how many
@@ -2257,6 +2351,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     QueryDef("simhash_recall_audit", simhashRecallAudit, Some(simhashRecallAuditSql)),
     QueryDef("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    QueryDef("minhash_est_audit", minhashEstAudit, Some(minhashEstAuditSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource, Some(dedupRateBySourceSql)),
     QueryDef("graph_modularity", graphModularity, Some(graphModularitySql)),
     QueryDef("mmr_rerank", mmrRerank, Some(mmrRerankSql)),
