@@ -598,6 +598,86 @@ object Analytics extends QueryModule {
       |FROM t WHERE event_type = 'purchase' AND touch IS NOT NULL
       |GROUP BY touch""".stripMargin
 
+  /** Position-based (U-shaped) multi-touch attribution — the multi-credit
+    * upgrade of [[attributionLastTouch]]: each conversion's credit is split
+    * over the user's preceding touch journey as 40% first touch, 40% last
+    * touch, 20% spread over the middle (100% / 50-50 for 1- and 2-touch
+    * journeys), in exact integer basis points (`2000 div (n−2)` per middle
+    * touch — floor remainder stays unassigned, documented). A touch belongs
+    * to the NEXT purchase at-or-after it in the user's timeline, so each
+    * journey is the inter-purchase window.
+    *
+    * Scale shape: two window passes over the SAME (user_id) partitioning
+    * (forward-fill of the next conversion id, then rank/count within the
+    * (user, conversion) journey — the second window's keys refine the
+    * first's, no extra shuffle) + one equi-join to the conversions frame
+    * keyed by (user, conv); no self-join over journeys.
+    */
+  def attributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wFwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val touches = ev
+      .withColumn("conv_id",
+        first(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(wFwd))
+      .where(col("event_type") =!= "purchase" && col("conv_id").isNotNull)
+    val wj = Window.partitionBy(col("user_id"), col("conv_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val credited = touches
+      .withColumn("rn", row_number().over(wj))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("conv_id"))))
+      .withColumn("weight_bp",
+        expr("CASE WHEN cnt = 1 THEN 10000L WHEN cnt = 2 THEN 5000L " +
+          "WHEN rn = 1 OR rn = cnt THEN 4000L ELSE 2000L div (cnt - 2) END"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("cents"))
+    credited.drop("cents").join(conv, Seq("user_id", "conv_id"))
+      .groupBy(col("event_type").as("touch"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("weight_bp")).as("weight_bp_total"),
+        sum(expr("cents * weight_bp")).as("revenue_cents_bp"))
+  }
+
+  private val attributionPositionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), t AS (
+      |  SELECT user_id, event_type, event_id, ts_us,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+      |                IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id
+      |  FROM ev
+      |), tou AS (
+      |  SELECT user_id, event_type, conv_id,
+      |    row_number() OVER (PARTITION BY user_id, conv_id
+      |                       ORDER BY ts_us, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, conv_id) AS cnt
+      |  FROM t WHERE event_type <> 'purchase' AND conv_id IS NOT NULL
+      |), cr AS (
+      |  SELECT user_id, event_type, conv_id,
+      |    CASE WHEN cnt = 1 THEN 10000 WHEN cnt = 2 THEN 5000
+      |         WHEN rn = 1 OR rn = cnt THEN 4000
+      |         ELSE 2000 // (cnt - 2) END AS weight_bp
+      |  FROM tou
+      |), cv AS (
+      |  SELECT user_id, event_id AS conv_id, cents
+      |  FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT cr.event_type AS touch, count(*) AS n_touches,
+      |  CAST(sum(weight_bp) AS BIGINT) AS weight_bp_total,
+      |  CAST(sum(cv.cents * cr.weight_bp) AS BIGINT) AS revenue_cents_bp
+      |FROM cr JOIN cv ON cr.user_id = cv.user_id AND cr.conv_id = cv.conv_id
+      |GROUP BY cr.event_type""".stripMargin
+
   // ---- Markov stationary distribution --------------------------------------
   private val MarkovRounds = 10
 
@@ -1920,6 +2000,8 @@ object Analytics extends QueryModule {
     QueryDef("km_survival", kmSurvival, Some(kmSurvivalSql)),
     QueryDef("attribution_last_touch", attributionLastTouch,
       Some(attributionLastTouchSql)),
+    QueryDef("attribution_position", attributionPosition,
+      Some(attributionPositionSql)),
     QueryDef("top_paths", topPaths, Some(topPathsSql)),
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),

@@ -371,7 +371,7 @@ object LlmPipeline extends QueryModule {
       "vec_id", "embedding", TopK)
   }
 
-  private val annTopKSql = {
+  private def denseTopKSql(k: Int): String = {
     val cos = VectorOps.cosineQSql("q.qq", "v.qv", Dim)
     s"""WITH v AS (
        |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv FROM embeddings
@@ -385,8 +385,10 @@ object LlmPipeline extends QueryModule {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
        |FROM scored
-       |QUALIFY rank <= $TopK""".stripMargin
+       |QUALIFY rank <= $k""".stripMargin
   }
+
+  private val annTopKSql = denseTopKSql(TopK)
 
   // ---- k-NN label classification over the embedding space -----------------
   private val KnnK = 5
@@ -1570,6 +1572,72 @@ object LlmPipeline extends QueryModule {
   private val bm25TopKSql =
     graft.operators.Bm25.topKSql("documents", Bm25QueryMod, Bm25K)
 
+  // ---- hybrid retrieval: reciprocal-rank fusion ---------------------------
+  private val RrfC = 60   // the standard RRF damping constant
+  private val FuseK = 10
+
+  /** Hybrid search — reciprocal-rank fusion of the SPARSE (BM25) and DENSE
+    * (embedding cosine) retrieval legs over one query set (ids ≡ 0 mod
+    * [[QueryMod]]; `vec_id` is the embedding of `doc_id` — the corpus
+    * convention). RRF (Cormack et al. 2009) needs only ranks, so two
+    * incomparable score scales fuse without calibration:
+    * score = Σ_legs ⌊10⁶/(c + rank)⌋, c = 60, in exact integer math.
+    *
+    * Scale shape: each leg is already scalable (shared BM25 index;
+    * broadcast query batch); the fusion itself is one full-outer equi-join
+    * of two k·|queries|-row frames + a per-query top-k window — at scale
+    * the dense leg swaps to [[annLsh]]/[[annIvf]] unchanged, because RRF
+    * only consumes (query_id, doc_id, rank).
+    */
+  def rrfFuse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") % QueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(
+          graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
+    val idx = graft.core.Shared.memo(spark, "bm25_index", dir) {
+      graft.operators.Bm25.index(docs)
+    }
+    val sparse = graft.operators.Bm25
+      .topK(docs, queries, FuseK, prebuilt = Some(idx))
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("r_sparse"))
+    val emb = Tables.embeddings(spark, dir)
+    val dense = VectorOps.bruteForceTopK(emb,
+        emb.where(col("vec_id") % QueryMod === 0), "vec_id", "embedding", FuseK)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rank").cast("long").as("r_dense"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000L div ($RrfC + r_sparse)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfC + r_dense)"), lit(0L))).as("rrf_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_q").desc, col("doc_id"))))
+      .where(col("rank") <= FuseK)
+  }
+
+  private val rrfFuseSql =
+    s"""WITH sp AS (
+       |  SELECT query_id, doc_id, rank
+       |  FROM (${graft.operators.Bm25.topKSql("documents", QueryMod, FuseK)})
+       |), de AS (
+       |  SELECT query_id, cand_id AS doc_id, rank FROM (${denseTopKSql(FuseK)})
+       |), fused AS (
+       |  SELECT coalesce(sp.query_id, de.query_id) AS query_id,
+       |         coalesce(sp.doc_id, de.doc_id) AS doc_id,
+       |         (coalesce(1000000 // ($RrfC + sp.rank), 0) +
+       |          coalesce(1000000 // ($RrfC + de.rank), 0))::BIGINT AS rrf_q
+       |  FROM sp FULL OUTER JOIN de
+       |    ON sp.query_id = de.query_id AND sp.doc_id = de.doc_id
+       |)
+       |SELECT query_id, doc_id, rrf_q,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_q DESC, doc_id) AS INTEGER) AS rank
+       |FROM fused
+       |QUALIFY rank <= $FuseK""".stripMargin
+
   // ---- near-dup cluster assignment (connected components) -----------------
   private val ClusterN = 4
 
@@ -2352,6 +2420,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("simhash_recall_audit", simhashRecallAudit, Some(simhashRecallAuditSql)),
     QueryDef("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
     QueryDef("minhash_est_audit", minhashEstAudit, Some(minhashEstAuditSql)),
+    QueryDef("rrf_fuse", rrfFuse, Some(rrfFuseSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource, Some(dedupRateBySourceSql)),
     QueryDef("graph_modularity", graphModularity, Some(graphModularitySql)),
     QueryDef("mmr_rerank", mmrRerank, Some(mmrRerankSql)),
