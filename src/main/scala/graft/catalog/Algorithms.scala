@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.PortableHash
-import graft.operators.{Bfs, CmsSketch, HeavyHitters, KCore, KmvSketch, LabelProp, Quantiles, Sssp}
+import graft.operators.{Bfs, CmsSketch, HeavyHitters, KCore, KTruss, KmvSketch, LabelProp, Quantiles, Sssp}
 
 /** Distributed-algorithm queries: graph reach, sublinear heavy hitters,
   * Pareto frontier. Each has a plain-SQL oracle twin (recursive CTE /
@@ -699,6 +699,36 @@ object Algorithms extends QueryModule {
        |s3 AS (SELECT e.u, e.v FROM s2 e JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
        |SELECT u AS part_id, count(*) AS degree FROM s3 GROUP BY u""".stripMargin
 
+  /** Bounded 3-truss peeling ([[KTruss.peel]], 2 rounds) over the same
+    * support-filtered co-purchase graph: edges kept only while they sit in
+    * ≥1 triangle — the EDGE-level cleaning pass ([[kcoreGraph]] strips
+    * weak vertices; this strips coincidental edges that degree alone
+    * cannot catch). Survivors with the triangle support that admitted
+    * them. */
+  def ktrussGraph(spark: SparkSession, dir: String): DataFrame =
+    KTruss.peel(weightedCoEdges(spark, dir).select(col("u"), col("v")),
+      k = 3, rounds = 2, trace = Some("ktruss_graph"))
+
+  private val ktrussSql =
+    s"""WITH $coEdgesSql,
+       |e0 AS (SELECT u, v FROM ed),
+       |t1 AS (SELECT x.u AS a, x.v AS b, y.v AS c
+       |       FROM e0 x JOIN e0 y ON x.u = y.u AND x.v < y.v
+       |       JOIN e0 z ON z.u = x.v AND z.v = y.v),
+       |s1 AS (SELECT u, v, count(*)::BIGINT AS support FROM (
+       |         SELECT a AS u, b AS v FROM t1 UNION ALL
+       |         SELECT a, c FROM t1 UNION ALL
+       |         SELECT b, c FROM t1) GROUP BY u, v),
+       |e1 AS (SELECT u, v FROM s1 WHERE support >= 1),
+       |t2 AS (SELECT x.u AS a, x.v AS b, y.v AS c
+       |       FROM e1 x JOIN e1 y ON x.u = y.u AND x.v < y.v
+       |       JOIN e1 z ON z.u = x.v AND z.v = y.v),
+       |s2 AS (SELECT u, v, count(*)::BIGINT AS support FROM (
+       |         SELECT a AS u, b AS v FROM t2 UNION ALL
+       |         SELECT a, c FROM t2 UNION ALL
+       |         SELECT b, c FROM t2) GROUP BY u, v)
+       |SELECT u, v, support FROM s2 WHERE support >= 1""".stripMargin
+
   // ---- bucketed-bitmap distinct counting ----------------------------------
   /** Exact COUNT(DISTINCT) via 64-bit bucket bitmaps — the bitmap-index
     * primitive: users bucket by `user_id div 64`, each (event_type,
@@ -891,6 +921,7 @@ object Algorithms extends QueryModule {
     QueryDef("sssp_weighted", ssspWeighted, Some(ssspSql)),
     QueryDef("label_prop", labelProp, Some(labelPropSql)),
     QueryDef("kcore_graph", kcoreGraph, Some(kcoreSql)),
+    QueryDef("ktruss_graph", ktrussGraph, Some(ktrussSql)),
     QueryDef("grouped_topk", groupedTopK, Some(groupedTopKSql)),
     QueryDef("bfs_hops", bfsHops, Some(bfsSql)),
     QueryDef("graph_diameter", graphDiameter, Some(graphDiameterSql)),

@@ -1029,6 +1029,77 @@ object Analytics extends QueryModule {
       |    AS rfm
       |FROM pc CROSS JOIN b""".stripMargin
 
+  // ---- weight-of-evidence / information-value feature screening -----------
+  /** WOE/IV readout for a candidate feature against a binary outcome —
+    * the credit-scoring-style screen a feature platform runs before
+    * admitting a signal: users binned by activity
+    * (`(n_events - 40) div 6`, clamped to [0, 8] so the bin domain is
+    * fixed and scale-invariant — per-user activity doesn't grow with
+    * corpus size), outcome = "≥14 purchases" (a per-user RATE cut, so the
+    * good/bad split survives any corpus scale; "ever purchased" is
+    * degenerate here — every user has one), and per bin the weight of
+    * evidence
+    * `ln(good-share / bad-share)` with +0.5 Laplace smoothing (no bin can
+    * zero the log) plus its information-value contribution. Two shuffles
+    * total (user rollup, then 9-row bin rollup with map-side combine);
+    * the good/bad totals fold into the plan as a
+    * `crossJoin(broadcast(<1-row agg>))` — no eager driver pass. Reported
+    * micro-scaled (`round(1e6·x)` as BIGINT, the [[TextAnalysis]]
+    * nb_classify convention) so both engines attest the same integers;
+    * a 1-ulp `ln` divergence sits 10 orders below the rounding grain.
+    */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+      .withColumn("is_good", (col("n_purch") >= 14).cast("long"))
+      .withColumn("bin",
+        expr("least(greatest((n_events - 40) div 6, 0), 8)"))
+    val bins = perUser.groupBy(col("bin"))
+      .agg(sum(col("is_good")).as("n_good"),
+        sum(lit(1L) - col("is_good")).as("n_bad"))
+    val tot = perUser.agg(sum(col("is_good")).as("tg"),
+      sum(lit(1L) - col("is_good")).as("tb"))
+    val lnOdds =
+      "ln(((n_good + 0.5e0) * (tb + 0.5e0)) / ((n_bad + 0.5e0) * (tg + 0.5e0)))"
+    bins.crossJoin(broadcast(tot))
+      .withColumn("woe_u",
+        expr(s"CAST(round(1e6 * $lnOdds) AS BIGINT)"))
+      .withColumn("iv_u", expr("CAST(round(1e6 * " +
+        s"((n_good + 0.5e0) / (tg + 0.5e0) - (n_bad + 0.5e0) / (tb + 0.5e0)) * " +
+        s"$lnOdds) AS BIGINT)"))
+      .select(col("bin"), col("n_good"), col("n_bad"), col("woe_u"),
+        col("iv_u"))
+  }
+
+  private val woeIvSql = {
+    val lnOdds =
+      "ln(((n_good + 0.5e0) * (tb + 0.5e0)) / ((n_bad + 0.5e0) * (tg + 0.5e0)))"
+    s"""WITH pu AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END) >= 14 THEN 1 ELSE 0 END AS is_good
+       |  FROM events GROUP BY user_id
+       |), pb AS (
+       |  SELECT least(greatest((n_events - 40) // 6, 0), 8) AS bin,
+       |    CAST(sum(is_good) AS BIGINT) AS n_good,
+       |    CAST(sum(1 - is_good) AS BIGINT) AS n_bad
+       |  FROM pu GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(is_good) AS BIGINT) AS tg,
+       |    CAST(sum(1 - is_good) AS BIGINT) AS tb
+       |  FROM pu
+       |)
+       |SELECT bin, n_good, n_bad,
+       |  CAST(round(1e6 * $lnOdds) AS BIGINT) AS woe_u,
+       |  CAST(round(1e6 *
+       |    ((n_good + 0.5e0) / (tg + 0.5e0) - (n_bad + 0.5e0) / (tb + 0.5e0)) *
+       |    $lnOdds) AS BIGINT) AS iv_u
+       |FROM pb CROSS JOIN tot""".stripMargin
+  }
+
   // ---- association rules over order baskets --------------------------------
   private val ArMinPairOrders = 3
   private val ArK = 25
@@ -1080,11 +1151,11 @@ object Analytics extends QueryModule {
        |  GROUP BY 1, 2 HAVING count(*) >= $ArMinPairOrders
        |)
        |SELECT pairs.a, pairs.b, pairs.n_ab,
-       |  CAST(round(1000000.0 * pairs.n_ab / (SELECT v FROM n)) AS BIGINT)
+       |  CAST(round(1e6 * pairs.n_ab / (SELECT v FROM n)) AS BIGINT)
        |    AS support_ppm,
-       |  CAST(round(1000000.0 * pairs.n_ab / pa.n_p) AS BIGINT)
+       |  CAST(round(1e6 * pairs.n_ab / pa.n_p) AS BIGINT)
        |    AS confidence_ppm,
-       |  CAST(round(1000000.0 * ((pairs.n_ab * 1.0) * (SELECT v FROM n)) /
+       |  CAST(round(1e6 * ((pairs.n_ab * 1.0) * (SELECT v FROM n)) /
        |    ((pa.n_p * 1.0) * pb.n_p)) AS BIGINT) AS lift_micro
        |FROM pairs
        |JOIN pp pa ON pa.p = pairs.a
@@ -2006,6 +2077,7 @@ object Analytics extends QueryModule {
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),
     QueryDef("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("woe_iv", woeIv, Some(woeIvSql)),
     QueryDef("assoc_rules", assocRules, Some(assocRulesSql)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),

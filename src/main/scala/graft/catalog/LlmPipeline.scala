@@ -1807,6 +1807,79 @@ object LlmPipeline extends QueryModule {
        |FROM documents d JOIN f ON d.doc_id = f.doc_id
        |GROUP BY d.source""".stripMargin
 
+  // ---- sorted-neighborhood blocking ---------------------------------------
+  /** Sorted-neighborhood entity-resolution blocking — the third candidate
+    * recipe alongside LSH banding ([[MinHashLsh]]) and PPJoin prefix
+    * filtering ([[graft.operators.SetSimJoin]]): sort the corpus by a
+    * normalized signature (first 12 lowercased tokens), slide a fixed
+    * window of W=8 over the GLOBAL sort order, and exact-verify only pairs
+    * inside the window (`levenshtein(sig) <= 4`). Candidate volume is
+    * EXACTLY n·W — linear by construction, no df caps or banding tuning
+    * needed — at the cost of recall limited to what the sort key
+    * co-locates (the classic Hernández–Stolfo trade, the reason it
+    * complements rather than replaces the other two recipes).
+    *
+    * The global rank is NOT a single global-order window (one reducer owns
+    * everything at 100 TB) but the [[TextAnalysis.docOffsets]] two-pass
+    * shape: range-partition by (sig, doc_id) → per-partition `row_number`
+    * (each task ranks only its slice) + a partition-count-sized base-offset
+    * table broadcast back. Windowed pairing is an equi-join on
+    * `(rk-1) div W` blocks with the right side exploded into its own and
+    * its predecessor block — every in-window pair shares a join key in
+    * exactly one of the two copies, so the candidate join is shuffle-
+    * bounded and never quadratic. The oracle replays the same total order
+    * with a plain `row_number() OVER (ORDER BY sig, doc_id)` — rank parity
+    * needs only the shared total order, which (sig, doc_id) makes
+    * unambiguous.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Materialize
+    import graft.functions.TextFns
+    val W = 8
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(concat_ws(" ",
+        slice(TextFns.tokens(coalesce(col("text"), lit(""))), 1, 12))).as("sig"))
+    val parts = Materialize(
+      sig.repartitionByRange(col("sig"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val base = parts.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum(col("n")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("sig"), col("doc_id"))
+    val ranked = parts
+      .withColumn("local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(base), "pid")
+      .select(col("doc_id"), col("sig"), (col("local") + col("base")).as("rk"))
+      .withColumn("blk", expr(s"(rk - 1) div $W"))
+    val lhs = ranked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("rk").as("ra"), col("blk"))
+    val rhs = ranked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("rk").as("rb"), explode(array(col("blk"), col("blk") - 1)).as("blk"))
+    lhs.join(rhs, "blk")
+      .where(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= W)
+      .where(expr("levenshtein(sig_a, sig_b) <= 4"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(levenshtein(sig_a, sig_b) AS BIGINT)").as("dist"))
+  }
+
+  private val sortedNeighborhoodSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(array_to_string(
+       |    (${graft.functions.TextFns.tokensSql("coalesce(text, '')")})[1:12],
+       |    ' ')) AS sig
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, sig,
+       |    row_number() OVER (ORDER BY sig, doc_id) AS rk FROM t
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+       |FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 8
+       |WHERE levenshtein(a.sig, b.sig) <= 4""".stripMargin
+
   /** Newman modularity of the LANGUAGE partition over the near-dup shingle
     * graph: Q = Σ_c [e_c/m − (d_c/2m)²] — "do near-dup edges stay within
     * one language?" A healthy corpus scores near 1 (cross-language
@@ -2422,6 +2495,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("minhash_est_audit", minhashEstAudit, Some(minhashEstAuditSql)),
     QueryDef("rrf_fuse", rrfFuse, Some(rrfFuseSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource, Some(dedupRateBySourceSql)),
+    QueryDef("sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
     QueryDef("graph_modularity", graphModularity, Some(graphModularitySql)),
     QueryDef("mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     QueryDef("diverse_sample", diverseSample, Some(diverseSampleSql)),
