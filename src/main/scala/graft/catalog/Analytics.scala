@@ -743,6 +743,147 @@ object Analytics extends QueryModule {
        |SELECT t AS event_type, p AS pi_q20 FROM mn$MarkovRounds""".stripMargin
   }
 
+  // ---- Markov removal-effect attribution -----------------------------------
+  private val RemovalRounds = 16
+
+  /** Data-driven (Markov removal-effect) attribution — the third member
+    * of the attribution family next to last-touch and U-shaped: model
+    * each user journey (events up to the FIRST purchase, with a virtual
+    * START source and an END sink for never-converting journeys) as a
+    * Markov chain, and score each channel by how much the conversion
+    * probability from START drops when that channel is REMOVED (its
+    * absorption value pinned to 0 — paths through it stop converting;
+    * Anderl et al. 2014). The distributed pass is ONE corpus scan for the
+    * journey-transition counts (k² cells, k = |event types| + 2); the
+    * conversion probabilities run [[RemovalRounds]] value-iteration
+    * rounds driver-side on those cells (the [[markovStationary]] k×k
+    * contract) in exact integer micro units — each per-edge term is the
+    * truncating division (n·h) div outdeg, order-free, so the DuckDB
+    * replay (one CTE chain carrying a scenario column: baseline plus one
+    * scenario per removed channel) is bit-identical. Bounded-rounds
+    * contract as everywhere: both engines replay the same schedule, and
+    * the ~(1−p_conv)^rounds residual is a documented property of the
+    * readout, not drift.
+    */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val tc = removalTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rs = tc.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+    val channels = (tc.map(_._1) ++ tc.map(_._2)).distinct
+      .filterNot(Set("START", "END", "purchase")).sorted
+    val M = 1000000L
+    def hit(removed: Option[String]): Long = {
+      val states = "START" +: channels.filterNot(removed.contains)
+      var h: Map[String, Long] = states.map(_ -> 0L).toMap
+      def value(b: String): Long =
+        if (b == "purchase") M
+        else if (b == "END" || removed.contains(b)) 0L
+        else h.getOrElse(b, 0L)
+      (1 to RemovalRounds).foreach { _ =>
+        h = states.map { a =>
+          a -> tc.filter(_._1 == a).map(e => e._3 * value(e._2) / rs(a)).sum
+        }.toMap
+      }
+      h("START")
+    }
+    val base = hit(None)
+    import spark.implicits._
+    channels.toSeq.map { c =>
+      val pr = hit(Some(c))
+      (c, base, pr,
+        if (base == 0L) 0L else (base - pr) * 10000L / base)
+    }.toDF("channel", "p_base_u", "p_removed_u", "removal_bp")
+  }
+
+  /** Journey-transition counts for [[attributionMarkov]]: per user, events
+    * ordered by (ts, event_id) and truncated at the first purchase
+    * (inclusive); START → first event, last event → END when the journey
+    * never converts. Bounded output (k+2)². */
+  private def removalTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val seqd = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+    val agg = seqd.groupBy("user_id").agg(
+      min(when(col("event_type") === "purchase", col("seq"))).as("pseq"),
+      max(col("seq")).as("mseq"))
+    val j = seqd.join(agg, "user_id")
+      .where(col("pseq").isNull || col("seq") <= col("pseq"))
+    val wj = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+    val tr = j
+      .withColumn("a",
+        coalesce(lag(col("event_type"), 1).over(wj), lit("START")))
+      .select(col("a"), col("event_type").as("b"))
+    val ends = j.where(col("pseq").isNull && col("seq") === col("mseq"))
+      .select(col("event_type").as("a"), lit("END").as("b"))
+    tr.union(ends).groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+  }
+
+  private val attributionMarkovSql = {
+    val rounds = (1 to RemovalRounds).map { k =>
+      val prev = if (k == 1) "h0" else s"h${k - 1}"
+      s"""h$k AS MATERIALIZED (
+         |  SELECT s.scen, c.a AS t,
+         |    CAST(sum((c.n * CASE
+         |      WHEN c.b = 'purchase' THEN 1000000
+         |      WHEN c.b = 'END' OR c.b = s.scen THEN 0
+         |      ELSE coalesce(p.h, 0) END) // r.rs) AS BIGINT) AS h
+         |  FROM scen s
+         |  JOIN tc c ON c.a <> s.scen
+         |  LEFT JOIN $prev p ON p.scen = s.scen AND p.t = c.b
+         |  JOIN rsum r ON r.a = c.a
+         |  GROUP BY 1, 2
+         |)"""
+    }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+       |  FROM events
+       |), seqd AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS seq
+       |  FROM ev
+       |), fp AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'purchase' THEN seq END) AS pseq,
+       |    max(seq) AS mseq
+       |  FROM seqd GROUP BY user_id
+       |), j AS (
+       |  SELECT s.user_id, s.event_type, s.seq, f.pseq, f.mseq
+       |  FROM seqd s JOIN fp f USING (user_id)
+       |  WHERE f.pseq IS NULL OR s.seq <= f.pseq
+       |), tr AS (
+       |  SELECT coalesce(lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY seq), 'START') AS a,
+       |    event_type AS b
+       |  FROM j
+       |), ends AS (
+       |  SELECT event_type AS a, 'END' AS b FROM j
+       |  WHERE pseq IS NULL AND seq = mseq
+       |), tc AS MATERIALIZED (
+       |  SELECT a, b, count(*)::BIGINT AS n FROM (
+       |    SELECT a, b FROM tr UNION ALL SELECT a, b FROM ends)
+       |  GROUP BY 1, 2
+       |), rsum AS MATERIALIZED (
+       |  SELECT a, CAST(sum(n) AS BIGINT) AS rs FROM tc GROUP BY a
+       |), chans AS MATERIALIZED (
+       |  SELECT DISTINCT a AS ch FROM tc WHERE a <> 'START'
+       |), scen AS MATERIALIZED (
+       |  SELECT '' AS scen UNION ALL SELECT ch FROM chans
+       |), h0 AS (
+       |  SELECT s.scen, c.a AS t, 0::BIGINT AS h
+       |  FROM scen s JOIN tc c ON c.a <> s.scen GROUP BY 1, 2, 3
+       |), $rounds
+       |SELECT ch AS channel, b.h AS p_base_u, r.h AS p_removed_u,
+       |  CAST(CASE WHEN b.h = 0 THEN 0
+       |    ELSE ((b.h - r.h) * 10000) // b.h END AS BIGINT) AS removal_bp
+       |FROM chans
+       |JOIN h$RemovalRounds b ON b.scen = '' AND b.t = 'START'
+       |JOIN h$RemovalRounds r ON r.scen = ch AND r.t = 'START'""".stripMargin
+  }
+
   // ---- HITS hubs / authorities ---------------------------------------------
   private val HitsRounds = 8
 
@@ -2067,6 +2208,7 @@ object Analytics extends QueryModule {
     QueryDef("funnel_stages", funnelStages, Some(funnelSql)),
     QueryDef("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     QueryDef("markov_stationary", markovStationary, Some(markovStationarySql)),
+    QueryDef("attribution_markov", attributionMarkov, Some(attributionMarkovSql)),
     QueryDef("hits_scores", hitsScores, Some(hitsScoresSql)),
     QueryDef("km_survival", kmSurvival, Some(kmSurvivalSql)),
     QueryDef("attribution_last_touch", attributionLastTouch,

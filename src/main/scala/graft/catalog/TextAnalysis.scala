@@ -574,6 +574,84 @@ object TextAnalysis extends QueryModule {
        |WHERE rk = 1""".stripMargin
   }
 
+  // ---- TextRank corpus keywords -------------------------------------------
+  private val TrIters = 3
+  private val TrTopK = 20
+
+  /** TextRank (Mihalcea & Tarau 2004) corpus keywords: integer PageRank
+    * ([[graft.operators.PageRank]] — same Scale / rational-damping /
+    * fixed-round determinism contract) over the word co-occurrence graph.
+    * Adjacent content words (length ≥ 4, lowercased) form an edge per
+    * OCCURRENCE — keeping multiplicity in the edge list means
+    * `rank div deg` contributions reproduce co-occurrence weighting with
+    * no weight column. The pair frame is a map-only window-2 transform
+    * over each token array (no positional self-join on the corpus);
+    * nodes are vocabulary-bounded, edges corpus-linear, and each rank
+    * round is the PageRank two-shuffle shape the oracle replays as
+    * chained CTEs. Top-[[TrTopK]] by (rank DESC, word) via TakeOrdered —
+    * deterministic tie-break, no global window.
+    */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(TextFns.tokens(lower(col("text"))).as("t"))
+    val adj = t.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS src, element_at(t, i + 1) AS dst))"))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .where(length(col("src")) >= 4 && length(col("dst")) >= 4 &&
+        col("src") =!= col("dst"))
+    val sym = adj.union(
+      adj.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = t.select(explode(col("t")).as("id"))
+      .where(length(col("id")) >= 4).distinct()
+    graft.operators.PageRank.run(nodes, sym, TrIters,
+        trace = Some("textrank_keywords"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(TrTopK)
+      .select(col("id").as("word"), col("rank"))
+  }
+
+  private val textrankKeywordsSql = {
+    val scale = graft.operators.PageRank.Scale
+    val base = 15L * scale / 100L
+    val rounds = (0 until TrIters).map { t =>
+      s"""c$t AS (
+         |  SELECT s.dst, sum(r.rank // d.deg)::BIGINT AS s
+         |  FROM sym s JOIN deg d ON s.src = d.src JOIN r$t r ON r.id = s.src
+         |  GROUP BY 1
+         |), r${t + 1} AS (
+         |  SELECT n.id,
+         |    ($base + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS rank
+         |  FROM nodes n LEFT JOIN c$t c ON c.dst = n.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextFns.tokensSql("lower(text)")} AS w
+       |  FROM documents
+       |), u AS (
+       |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p
+       |  FROM t
+       |), e0 AS (
+       |  SELECT a.word AS src, b.word AS dst
+       |  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       |  WHERE len(a.word) >= 4 AND len(b.word) >= 4 AND a.word <> b.word
+       |), sym AS (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst
+       |  FROM e0
+       |), nodes AS (
+       |  SELECT DISTINCT word AS id FROM u WHERE len(word) >= 4
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM sym GROUP BY 1
+       |), r0 AS (
+       |  SELECT id, $scale::BIGINT AS rank FROM nodes
+       |),
+       |$rounds
+       |SELECT id AS word, rank FROM r$TrIters
+       |ORDER BY rank DESC, word LIMIT $TrTopK""".stripMargin
+  }
+
   // ---- PII redaction ------------------------------------------------------
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
@@ -1399,6 +1477,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("token_surprisal", tokenSurprisal, Some(tokenSurprisalSql)),
     QueryDef("bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     QueryDef("doc_keyword", docKeyword, Some(docKeywordSql)),
+    QueryDef("textrank_keywords", textrankKeywords, Some(textrankKeywordsSql)),
     QueryDef("quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("quality_classify", qualityClassify, Some(qualityClassifySql)),
     QueryDef("bpe_merges", bpeMerges, Some(bpeMergesSql)),
