@@ -1303,6 +1303,47 @@ object Analytics extends QueryModule {
        |JOIN pp pb ON pb.p = pairs.b
        |ORDER BY confidence_ppm DESC, a, b LIMIT $ArK""".stripMargin
 
+  // ---- burstiness (variance-to-mean dispersion) ---------------------------
+  /** Index of dispersion (variance-to-mean ratio) of the DAILY event
+    * count per event type — the overdispersion probe next to
+    * [[cusumDrift]]'s localization: a Poisson-ish steady stream sits at
+    * VMR ≈ 1, machine retries / batch replays / thundering herds push it
+    * far above (bursty), rate-limited flows below (underdispersed). Two
+    * bounded shuffles (daily rollup, then a ≤|types| rollup of the
+    * day-count-sized frame); the ratio is exact-integer —
+    * VMR·10⁶ = 10⁶·(n·Σx² − (Σx)²) div (n·Σx) with the moment products
+    * lifted to decimal(38,0) / HUGEINT for 100 TB headroom, one
+    * truncating division, bit-identical across engines. Days with zero
+    * events take no row (observed-day support, the [[EvalMetrics]]
+    * ccf_daily convention, documented rather than densified).
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day_no"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
+        sum(expr("x * x")).as("sxx"))
+      .withColumn("vmr_u", expr(
+        "CAST((1000000 * (CAST(n_days AS DECIMAL(38,0)) * sxx - " +
+          "CAST(total AS DECIMAL(38,0)) * total)) div " +
+          "(CAST(n_days AS DECIMAL(38,0)) * total) AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("total"), col("vmr_u"))
+  }
+
+  private val burstinessSql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
+      |    count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, count(*)::BIGINT AS n_days,
+      |  CAST(sum(x) AS BIGINT) AS total,
+      |  CAST((1000000 * (count(*)::HUGEINT * sum(x * x)
+      |      - sum(x)::HUGEINT * sum(x)))
+      |    // (count(*)::HUGEINT * sum(x)) AS BIGINT) AS vmr_u
+      |FROM d GROUP BY event_type""".stripMargin
+
   // ---- CUSUM drift detection ---------------------------------------------
   /** CUSUM drift chart per event type: the running cumulative sum of each
     * day's deviation from the type's overall daily-mean — a sustained
@@ -2218,6 +2259,7 @@ object Analytics extends QueryModule {
     QueryDef("top_paths", topPaths, Some(topPathsSql)),
     QueryDef("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     QueryDef("cusum_drift", cusumDrift, Some(cusumDriftSql)),
+    QueryDef("burstiness", burstiness, Some(burstinessSql)),
     QueryDef("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("woe_iv", woeIv, Some(woeIvSql)),
     QueryDef("assoc_rules", assocRules, Some(assocRulesSql)),
