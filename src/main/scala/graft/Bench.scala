@@ -140,7 +140,14 @@ object Bench {
     // the double-sweep's per-round join/min-agg loop bodies plus the
     // three 1-row argmax collects' first codegen; warm both attempts so
     // the timed number is the traversal (disclosed via warm_first)
-    val warmFirst = Set("pentomino", "bfs_hops", "graph_diameter")
+    // bm25_topk / graph_assortativity: each is the FIRST consumer of its
+    // shared build (bm25_index / weighted_co_edges), so its first timed
+    // attempt paid the build and the max band stayed 3-6× wide even with
+    // shared_builds disclosure (r9 1.77/5.91 and 0.58/3.77) — a warmup
+    // pays the build untimed so the band measures the query, the
+    // dedup_simhash treatment
+    val warmFirst = Set("pentomino", "bfs_hops", "graph_diameter",
+      "bm25_topk", "graph_assortativity")
     // per-query shared-frame builds (label list): a memoized consumer's
     // first attempt pays the build, so its max/min spread is explained
     // here rather than read as variance
@@ -203,9 +210,9 @@ object Bench {
 
     // streaming throughput probes (after the timed batch queries so their
     // load cannot bleed into the per-query numbers)
-    val streamingJson = jsonMap(
-      graft.streaming.StreamingBench.run(spark)
-        .map { case (n, v) => n -> f"$v%.0f" })
+    // values arrive pre-formatted (numbers, or quoted failure-cause
+    // strings) so a failed attempt's WHY lands in the artifact
+    val streamingJson = jsonMap(graft.streaming.StreamingBench.run(spark))
 
     // disclose which queries got the per-query warm-first conditioning
     // (untimed runs + GC immediately before their timed attempts) so

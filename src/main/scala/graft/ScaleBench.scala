@@ -28,7 +28,11 @@ object ScaleBench {
   val DefaultQueries: Seq[String] = Seq(
     "ngram_jaccard", "lsh_recall_audit", "containment_pairs", "bootstrap_ci",
     "typo_join", "ndcg_eval", "nb_classify", "graph_diameter", "ann_pq",
-    "dedup_simhash")
+    "dedup_simhash",
+    // the iterative graph family (round-10 extension): their "per-round
+    // cost is data-linear, round count bounded" claim was extrapolated
+    // until measured here
+    "dedup_cluster", "pagerank", "bfs_hops", "ktruss_graph", "kcore_graph")
 
   private def timeOne(spark: SparkSession, dir: String, name: String): Double = {
     graft.core.Shared.clear()

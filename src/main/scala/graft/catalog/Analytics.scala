@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
+import graft.operators.MarkovKernel
 
 /** Headline analytical queries (TPC-H-shaped) over the corpus.
   *
@@ -700,10 +701,11 @@ object Analytics extends QueryModule {
     val rs = c.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
     var pi: Map[String, Long] = dom.map(_ -> (1L << 20)).toMap
     (1 to MarkovRounds).foreach { _ =>
-      val w = c.filter(e => dom.contains(e._2) && pi.contains(e._1))
-        .groupBy(_._2).map { case (b, es) =>
-          b -> es.map(e => e._3 * pi(e._1) / rs(e._1)).sum
-        }
+      // forward push along edges ([[graft.operators.MarkovKernel]]):
+      // group by destination, read the SOURCE's current mass
+      val w = MarkovKernel.round(
+        c.filter(e => dom.contains(e._2) && pi.contains(e._1)), rs,
+        key = (_, b) => b, v = (a, _) => pi(a))
       val s = w.values.sum
       pi = w.map { case (b, v) => b -> ((BigInt(v) << 20) / s).toLong }
     }
@@ -780,9 +782,11 @@ object Analytics extends QueryModule {
         else if (b == "END" || removed.contains(b)) 0L
         else h.getOrElse(b, 0L)
       (1 to RemovalRounds).foreach { _ =>
-        h = states.map { a =>
-          a -> tc.filter(_._1 == a).map(e => e._3 * value(e._2) / rs(a)).sum
-        }.toMap
+        // backward pull against edges ([[graft.operators.MarkovKernel]]):
+        // group by source, read the DESTINATION's current value
+        val terms = MarkovKernel.round(tc, rs,
+          key = (a, _) => a, v = (_, b) => value(b))
+        h = states.map(a => a -> terms.getOrElse(a, 0L)).toMap
       }
       h("START")
     }
@@ -1323,7 +1327,11 @@ object Analytics extends QueryModule {
       .agg(count(lit(1)).as("x"))
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
-        sum(expr("x * x")).as("sxx"))
+        // the per-term square is lifted to decimal BEFORE multiplying —
+        // a 64-bit x*x overflows at x ≥ ~3.04e9 daily events, and Spark's
+        // LongType sum wraps where DuckDB's sum(BIGINT)→HUGEINT doesn't,
+        // so the engines would diverge exactly where headroom is claimed
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
       .withColumn("vmr_u", expr(
         "CAST((1000000 * (CAST(n_days AS DECIMAL(38,0)) * sxx - " +
           "CAST(total AS DECIMAL(38,0)) * total)) div " +
@@ -1339,7 +1347,7 @@ object Analytics extends QueryModule {
       |)
       |SELECT event_type, count(*)::BIGINT AS n_days,
       |  CAST(sum(x) AS BIGINT) AS total,
-      |  CAST((1000000 * (count(*)::HUGEINT * sum(x * x)
+      |  CAST((1000000 * (count(*)::HUGEINT * sum(x::HUGEINT * x)
       |      - sum(x)::HUGEINT * sum(x)))
       |    // (count(*)::HUGEINT * sum(x)) AS BIGINT) AS vmr_u
       |FROM d GROUP BY event_type""".stripMargin

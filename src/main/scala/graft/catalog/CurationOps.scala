@@ -316,14 +316,21 @@ object CurationOps extends QueryModule {
             pmod(graft.functions.PortableHash.h48(col("event_type"), NoiseSeed),
               lit(2 * NoiseBound + 1)) - NoiseBound,
           lit(0L)).as("noisy_n"),
-        lit(NoiseBound).as("noise_bound"))
+        lit(NoiseBound).as("noise_bound"),
+        // the no-privacy property travels WITH the release, not only in
+        // this scaladoc: deterministic seeded-hash noise is recomputable
+        // by anyone holding the seed, so nothing here is protective —
+        // downstream consumers must read this marker before treating the
+        // release as DP
+        lit("NONE_DETERMINISTIC_NOISE").as("privacy"))
 
   private val dpNoisyCountsSql = {
     val h = graft.functions.PortableHash.h48Sql("event_type", NoiseSeed)
     s"""SELECT event_type,
        |  greatest(count(*) + ($h % ${2 * NoiseBound + 1}) - $NoiseBound, 0)::BIGINT
        |    AS noisy_n,
-       |  $NoiseBound::BIGINT AS noise_bound
+       |  $NoiseBound::BIGINT AS noise_bound,
+       |  'NONE_DETERMINISTIC_NOISE' AS privacy
        |FROM events GROUP BY event_type""".stripMargin
   }
 

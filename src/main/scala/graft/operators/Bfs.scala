@@ -42,11 +42,19 @@ object Bfs {
     * @param symmetrized  set when `edges` already holds BOTH directions of
     *               every undirected edge, deduplicated — skips the
     *               internal symmetrize + distinct (one full edge shuffle).
+    * @param materialized  set when `edges` is ALREADY block-backed (a
+    *               [[graft.core.Shared]] memo / [[Materialize]]d frame):
+    *               skips the internal persist, which would copy every edge
+    *               block into the cache a second time per traversal — under
+    *               a full bench suite's block-manager pressure those
+    *               redundant copies evict real working sets and got billed
+    *               to this operator (round-9 `graph_diameter` regression).
     * @return `part_id`, `hops` for every vertex within `maxHops` of `src`.
     */
   def hopsFrom(edges: DataFrame, src: Long, maxHops: Int,
                trace: Option[String] = None,
-               symmetrized: Boolean = false): DataFrame = {
+               symmetrized: Boolean = false,
+               materialized: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -54,13 +62,14 @@ object Bfs {
     // round probes this same build side. No pre-partitioning: the
     // frontier side is orders of magnitude smaller, so AQE turns each
     // round's join into a broadcast of the frontier over the cached edge
-    // partitions in place
+    // partitions in place. A memoized input is already block-backed —
+    // persisting it AGAIN would double the block-cache footprint.
     val sym =
       if (symmetrized) edges.select(col("u"), col("v"))
       else edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
         .distinct()
-    val e = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = if (materialized) sym else sym.persist(StorageLevel.MEMORY_AND_DISK)
 
     var frontier = Materialize(Seq((src, 0)).toDF("part_id", "hops"))
     var dist = frontier
@@ -81,7 +90,7 @@ object Bfs {
       frontierSize = frontier.count()
       dist = dist.union(frontier)
     }
-    e.unpersist()
+    if (!materialized) e.unpersist()
     dist
   }
 }

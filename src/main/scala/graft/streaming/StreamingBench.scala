@@ -19,7 +19,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingBench {
 
-  /** Run both probes; returns (probe → rows/sec), -1 on failure.
+  /** Run the probes; returns (key → JSON-formatted value): rows/sec
+    * numbers, plus a quoted `<name>_cause` string whenever any attempt
+    * failed — a bare −1 in the driver artifact is not adjudicable
+    * (round-9 `keyed_sketch_rows_per_sec_min: -1` with no recorded
+    * reason), so the failure MODE (deadline / empty progress /
+    * exception) travels in the JSON.
     *
     * Sizing: the windowed aggregate's state is tiny (one row per
     * (window, event_type)), so it takes a fat batch. The join buffers
@@ -34,10 +39,12 @@ object StreamingBench {
     * that made round-over-round comparison unreadable — and a `<name>_min`
     * key carries the worse attempt, so the two-run band is ATTESTED in the
     * JSON (the batch `queries`/`queries_max` convention) rather than the
-    * spread being asserted in prose.
+    * spread being asserted in prose. A FAILED attempt is retried once
+    * (fresh checkpoint dir, fresh query) before it is allowed to land as
+    * −1: one transient stall must not invalidate a whole round's band.
     */
-  def run(spark: SparkSession): Seq[(String, Double)] = {
-    def band2(name: String, warm: Boolean = false)(attempt: => Double): Seq[(String, Double)] = {
+  def run(spark: SparkSession): Seq[(String, String)] = {
+    def band2(name: String, warm: Boolean = false)(attempt: => (Double, String)): Seq[(String, String)] = {
       // warm=true runs one UNTIMED attempt first — the streaming analog of
       // the batch harness's warm_first: the mapGroupsWithState probe's
       // per-row typed lambda ramps through the interpreter across most of
@@ -46,8 +53,23 @@ object StreamingBench {
       // compilation ramp, not batch noise); a discarded first attempt lets
       // both timed attempts run compiled
       if (warm) { val _ = attempt }
-      val (a, b) = (attempt, attempt)
-      Seq(name -> math.max(a, b), s"${name}_min" -> math.min(a, b))
+      // retry-once: a failed attempt gets one fresh replacement before −1
+      def tried(): (Double, String) = {
+        val first = attempt
+        if (first._1 >= 0) first
+        else {
+          System.err.println(s"[bench] $name attempt failed (${first._2}); retrying once")
+          val second = attempt
+          if (second._1 >= 0) second
+          else (-1.0, s"${first._2};retry:${second._2}")
+        }
+      }
+      val (a, b) = (tried(), tried())
+      val causes = Seq(a, b).filter(_._1 < 0).map(_._2)
+      Seq(name -> f"${math.max(a._1, b._1)}%.0f",
+        s"${name}_min" -> f"${math.min(a._1, b._1)}%.0f") ++
+        (if (causes.isEmpty) Seq.empty
+         else Seq(s"${name}_cause" -> ("\"" + causes.mkString("|").replace("\"", "'") + "\"")))
     }
     band2("windowed_agg_rows_per_sec")(measure(spark, batches = 6) { s =>
       val src = rateSource(s, rowsPerBatch = 2000000L)
@@ -90,7 +112,10 @@ object StreamingBench {
 
   /** Start the query on a noop sink, let it run `batches` steady-state
     * triggers past the first (warmup) one, and report the MEDIAN
-    * per-batch rows / triggerExecution throughput.
+    * per-batch rows / triggerExecution throughput, plus a cause string
+    * ("ok", or why the attempt produced no number: "deadline_Ns_Mbatches"
+    * = the 180 s deadline hit with only M productive batches,
+    * "empty_progress" = the query ran but reported none, "exception:…").
     *
     * Median, not Σrows/Σtime: the workload per batch is fixed
     * (rate-micro-batch), so every steady batch measures the same work and
@@ -99,32 +124,40 @@ object StreamingBench {
     * round-over-round. The median of 6 fixed-work batches is robust to
     * any 2 stalled outliers, which pins the probe to engine throughput.
     */
+  private val DeadlineSec = 180L
   private def measure(spark: SparkSession, batches: Int,
                       outputMode: String = "append")(
-      build: SparkSession => DataFrame): Double = {
+      build: SparkSession => DataFrame): (Double, String) = {
     val ckpt = Files.createTempDirectory("graft-sbench").toString
     try {
       val q = build(spark).writeStream.format("noop")
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0)).start()
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + DeadlineSec * 1000 * 1000 * 1000
+      var deadlineHit = false
       while (q.recentProgress.count(_.numInputRows > 0) < batches + 1 &&
-        q.isActive && System.nanoTime() < deadline)
+        q.isActive && !deadlineHit) {
         Thread.sleep(50)
+        deadlineHit = System.nanoTime() >= deadline
+      }
       q.stop()
       q.awaitTermination()
+      val productive = q.recentProgress.count(_.numInputRows > 0)
       val ps = q.recentProgress.filter(_.numInputRows > 0)
         .drop(1).take(batches) // drop the cold first batch
       val perBatch = ps.toSeq.flatMap { p =>
         val s = p.durationMs.get("triggerExecution").toDouble / 1000
         if (s > 0) Some(p.numInputRows / s) else None
       }.sorted
-      if (perBatch.isEmpty) -1.0 else perBatch(perBatch.size / 2)
+      if (perBatch.nonEmpty) (perBatch(perBatch.size / 2), "ok")
+      else if (deadlineHit)
+        (-1.0, s"deadline_${DeadlineSec}s_${productive}batches")
+      else (-1.0, "empty_progress")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
-        -1.0
+        (-1.0, s"exception:${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(80)}")
     }
   }
 }
