@@ -604,13 +604,43 @@ object LlmPipeline extends QueryModule {
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // the corpus code frame is the PQ INDEX — build-once-serve-many in
+    // production, so it is a [[graft.core.Shared]] memo here (the BM25
+    // index/serve split): the first consumer pays the encode and the
+    // bench attributes it via `shared_builds`; the codebook itself is a
+    // bounded 16-row collect re-derived per serve
+    val codes = graft.core.Shared.memo(spark, "pq_codes", dir) {
+      VectorOps.pqEncode(emb, "vec_id", "embedding", PqM, PqCbSize, Dim)
+    }
     VectorOps.pqTopK(emb, emb.where(col("vec_id") % QueryMod === 0),
-      "vec_id", "embedding", PqM, PqCbSize, Dim, PqShortlist, LshK)
+      "vec_id", "embedding", PqM, PqCbSize, Dim, PqShortlist, LshK,
+      prebuilt = Some(codes))
   }
 
   private val annPqSql =
     VectorOps.pqTopKSql("embeddings", "vec_id", "embedding",
       PqM, PqCbSize, Dim, PqShortlist, LshK, QueryMod)
+
+  // ---- contrastive hard-negative mining -----------------------------------
+  private val HnK = 5
+
+  /** [[VectorOps.hardNegativesTopK]]: per query vector, the [[HnK]]
+    * nearest candidates with a DIFFERENT label — the mining pass that
+    * feeds a contrastive training objective its informative negatives
+    * (similar embedding, different class). The label-mismatch gate runs
+    * BEFORE the rank cut; the exact serve here swaps to any of the three
+    * ANN candidate paths at scale.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.hardNegativesTopK(emb,
+      emb.where(col("vec_id") % QueryMod === 0),
+      "vec_id", "embedding", "label", HnK)
+  }
+
+  private val hardNegativesSql =
+    VectorOps.hardNegativesSql("embeddings", "vec_id", "embedding", "label",
+      HnK, Dim, QueryMod)
 
   // ---- diverse subset selection (greedy k-center) -------------------------
   private val KCenterK = 6
@@ -1388,6 +1418,20 @@ object LlmPipeline extends QueryModule {
     graft.operators.KMeans.clusterSql("embeddings", "vec_id", "embedding",
       KmK, KmIters, Dim)
 
+  /** [[graft.operators.KMeans.silhouette]] over the same deterministic
+    * Lloyd run as [[kmeansCluster]]: per-cluster mean of the per-point
+    * (b−a)/b separation against the second-nearest centroid — the "is
+    * this clustering worth sampling from" audit gating [[clusterSample]],
+    * the clustering-side sibling of [[labelSeparation]].
+    */
+  def kmeansSilhouette(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.silhouette(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+
+  private val kmeansSilhouetteSql =
+    graft.operators.KMeans.silhouetteSql("embeddings", "vec_id", "embedding",
+      KmK, KmIters, Dim)
+
   // ---- weighted sampling without replacement ------------------------------
   private val WsK = 200L
   private val WsSeed = 31
@@ -1905,9 +1949,15 @@ object LlmPipeline extends QueryModule {
       .join(lang.select(col("doc_id").as("src"), col("lang")), "src")
       .groupBy(col("lang")).agg(sum(col("d")).as("dc"))
       .agg(sum(col("dc") * col("dc")).as("sum_d2"))
+    // the Q·4m² products are lifted to decimal(38,0)/HUGEINT BEFORE
+    // multiplying: 64-bit 4·m·m overflows at m > ~1.5e9 edges (and the
+    // numerator 4·m·intra has the same exposure), which would contradict
+    // the "nothing here scales worse than the graph build" framing
     mi.crossJoin(broadcast(d2))
       .select(col("m"), col("intra_edges"), col("sum_d2"),
-        expr("(1000 * (4 * m * intra_edges - sum_d2)) div (4 * m * m)")
+        expr("(1000 * (4 * CAST(m AS DECIMAL(38,0)) * intra_edges" +
+          " - CAST(sum_d2 AS DECIMAL(38,0))))" +
+          " div (4 * CAST(m AS DECIMAL(38,0)) * m)")
           .cast("long").as("q_milli"))
   }
 
@@ -1928,8 +1978,8 @@ object LlmPipeline extends QueryModule {
        |)
        |SELECT CAST(m AS BIGINT) AS m, CAST(intra AS BIGINT) AS intra_edges,
        |  CAST(sum_d2 AS BIGINT) AS sum_d2,
-       |  CAST((1000 * (4 * m * intra - sum_d2)) // (4 * m * m) AS BIGINT)
-       |    AS q_milli
+       |  CAST((1000 * (4 * m::HUGEINT * intra - sum_d2::HUGEINT))
+       |    // (4 * m::HUGEINT * m) AS BIGINT) AS q_milli
        |FROM mi, d2""".stripMargin
 
   /** Quantile band filter: keep documents whose length sits inside the
@@ -2473,6 +2523,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("ann_pq", annPq, Some(annPqSql)),
+    QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     QueryDef("tfidf_pairs", tfidfPairs, Some(tfidfPairsSql)),
@@ -2500,6 +2551,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     QueryDef("diverse_sample", diverseSample, Some(diverseSampleSql)),
     QueryDef("cluster_sample", clusterSample, Some(clusterSampleSql)),
+    QueryDef("kmeans_silhouette", kmeansSilhouette, Some(kmeansSilhouetteSql)),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("domain_mix", domainMix, Some(domainMixSql)),
     QueryDef("split_assign", splitAssign, Some(splitAssignSql)),

@@ -32,11 +32,56 @@ object KMeans {
     */
   def cluster(emb: DataFrame, idCol: String, vecCol: String, k: Int,
               iters: Int): DataFrame = {
-    val v = graft.core.Materialize(emb.select(col(idCol).as("vec_id"),
-        VectorOps.quantize(col(vecCol)).as("qv")))
-    // seeds = the first k rows ORDERED BY id (TakeOrderedAndProject — not
-    // filter(id < k), which silently under-seeds when ids aren't 0-based
-    // contiguous); cluster j = rank j among seeds
+    val v = quantized(emb, idCol, vecCol)
+    assign(v, fit(v, k, iters))
+  }
+
+  /** Simplified silhouette audit of the SAME deterministic Lloyd run as
+    * [[cluster]]: per point, a = distance to its own (nearest) centroid
+    * and b = distance to the second-nearest — because assignment IS
+    * nearest-centroid, a ≤ b always and s = (b−a)/b ∈ [0, 1): near 1 =
+    * well inside its cluster, near 0 = on a boundary. Reported per
+    * cluster as the truncating-integer mean of per-point s·1000 — the
+    * "is this clustering worth sampling from" audit next to
+    * `label_separation`'s label-side check. Map-only serve: both
+    * distances fall out of ONE sorted literal-centroid distance array per
+    * point (no join, no second pass); at scale the centroid table comes
+    * from the training job and this is a single scan.
+    */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int): DataFrame = {
+    val v = quantized(emb, idCol, vecCol)
+    val cents = fit(v, k, iters)
+    val dot = (a: Column, b: Column) => call_function("dot_q", a, b)
+    val nx = dot(col("qv"), col("qv"))
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val nc = c.map(x => x * x).sum
+      struct((nx - lit(2L) * dot(col("qv"), typedLit(c.toSeq)) + lit(nc)).as("d"),
+        lit(j).as("j"))
+    }
+    val sorted = array_sort(array(entries.toIndexedSeq: _*))
+    val near = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    v.select(col("vec_id"), near.getField("j").as("cluster"),
+        near.getField("d").as("a"), second.getField("d").as("b"))
+      .withColumn("s_milli", expr("(1000 * (b - a)) div greatest(b, 1)"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum(col("s_milli")).as("ss"))
+      .withColumn("mean_s_milli", expr("ss div n_points"))
+      .select(col("cluster"), col("n_points"), col("mean_s_milli"))
+  }
+
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.core.Materialize(emb.select(col(idCol).as("vec_id"),
+      VectorOps.quantize(col(vecCol)).as("qv")))
+
+  /** The Lloyd iteration loop: seeds = the first k rows ORDERED BY id
+    * (TakeOrderedAndProject — not filter(id < k), which silently
+    * under-seeds when ids aren't 0-based contiguous); cluster j = rank j
+    * among seeds; `iters` assign/update rounds. The k·dim sum table is
+    * the ONLY driver collect.
+    */
+  private def fit(v: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = v.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(cents.length == k,
@@ -54,7 +99,7 @@ object KMeans {
       }
       cents = next
     }
-    assign(v, cents)
+    cents
   }
 
   /** Map-only nearest-centroid assignment: centroids enter the plan as
@@ -81,7 +126,39 @@ object KMeans {
     * LEFT JOIN coalesce).
     */
   def clusterSql(table: String, id: String, vec: String, k: Int, iters: Int,
-                 dim: Int): String = {
+                 dim: Int): String =
+    s"""${chainSql(table, id, vec, k, iters, dim)}
+       |SELECT vec_id, cid::INTEGER AS cluster, d AS sq_dist FROM dF
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin
+
+  /** DuckDB twin of [[silhouette]]: ranks the SAME dF distance table that
+    * [[clusterSql]] argmins — rank 1 is the assignment (a), rank 2 the
+    * runner-up (b).
+    */
+  def silhouetteSql(table: String, id: String, vec: String, k: Int,
+                    iters: Int, dim: Int): String =
+    s"""${chainSql(table, id, vec, k, iters, dim)}
+       |, r2 AS (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |  FROM dF
+       |), ab AS (
+       |  SELECT a.vec_id, a.cid AS cluster, a.d AS da, b.d AS db
+       |  FROM r2 a JOIN r2 b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+       |), sil AS (
+       |  SELECT cluster, (1000 * (db - da)) // greatest(db, 1) AS s_milli
+       |  FROM ab
+       |)
+       |SELECT cluster::INTEGER AS cluster, count(*)::BIGINT AS n_points,
+       |  CAST(sum(s_milli) // count(*) AS BIGINT) AS mean_s_milli
+       |FROM sil GROUP BY cluster""".stripMargin
+
+  /** Shared CTE chain: quantize, seed, `iters` assign/update rounds, and
+    * the FULL final distance table `dF` (every (vec, centroid) pair —
+    * both the assignment argmin and the silhouette runner-up read it).
+    */
+  private def chainSql(table: String, id: String, vec: String, k: Int,
+                       iters: Int, dim: Int): String = {
     val rounds = (0 until iters).map { t =>
       s"""d$t AS (
          |  SELECT vi.vec_id, c.cid, sum((vi.x - c.cv) * (vi.x - c.cv))::BIGINT AS d
@@ -112,8 +189,6 @@ object KMeans {
        |dF AS (
        |  SELECT vi.vec_id, c.cid, sum((vi.x - c.cv) * (vi.x - c.cv))::BIGINT AS d
        |  FROM vi JOIN c$iters c ON c.i = vi.i GROUP BY vi.vec_id, c.cid
-       |)
-       |SELECT vec_id, cid::INTEGER AS cluster, d AS sq_dist FROM dF
-       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin
+       |)""".stripMargin
   }
 }

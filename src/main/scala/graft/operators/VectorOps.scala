@@ -90,6 +90,60 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * nearest candidates whose LABEL DIFFERS from the query's — the pairs a
+    * contrastive objective learns most from (similar embedding, different
+    * class), mined exactly as retrieval top-k but with the label-mismatch
+    * gate applied BEFORE the rank cut (filtering after a plain top-k would
+    * drop negatives hiding behind same-label neighbors). Same broadcast
+    * query batch / exact integer cosine / rounded-score rank contract as
+    * [[bruteForceTopK]]; at scale the candidate source swaps to the
+    * LSH/IVF/PQ paths unchanged — the label gate rides the candidate
+    * stream either way.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = corpus.select(col(idCol).as("cand_id"),
+        col(labelCol).as("cand_label"), quantize(col(vecCol)).as("qv"))
+      .withColumn("nv", normQ(col("qv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"), quantize(col(vecCol)).as("qq"))
+      .withColumn("nq", normQ(col("qq")))
+    val scored = cand.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("query_id") &&
+        col("cand_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        col("cand_label"),
+        round(cosineQN(col("qq"), col("qv"), col("nq"), col("nv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[hardNegativesTopK]] (queries = id % queryMod = 0). */
+  def hardNegativesSql(table: String, id: String, vec: String, label: String,
+                       k: Int, dim: Int, queryMod: Int): String = {
+    val cos = cosineQSql("q.qq", "v.qv", dim)
+    s"""WITH v AS (
+       |  SELECT $id AS vec_id, $label AS lbl, ${quantizeSql(vec)} AS qv
+       |  FROM $table
+       |), q AS (
+       |  SELECT vec_id AS query_id, lbl AS qlbl, qv AS qq FROM v
+       |  WHERE vec_id % $queryMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, q.qlbl AS query_label, v.vec_id AS cand_id,
+       |    v.lbl AS cand_label, round($cos, 6) AS score
+       |  FROM q CROSS JOIN v
+       |  WHERE v.vec_id <> q.query_id AND v.lbl <> q.qlbl
+       |)
+       |SELECT query_id, query_label, cand_id, cand_label, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   // ---- signed-random-projection (SRP) banded LSH --------------------------
 
   /** Deterministic ±1 hyperplane components: sign(p, c) = +1 iff the first
@@ -309,30 +363,27 @@ object VectorOps {
     * broadcasts back against the corpus for the refine join; the per-query
     * top-k windows only ever see shortlist-sized groups.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, m: Int, cbSize: Int, dim: Int,
-             shortlist: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The PQ INDEX build — quantize the corpus and encode every vector as
+    * `m` codebook codes. This is the expensive, corpus-sized half of
+    * [[pqTopK]] (map-only, but m·cbSize distance expressions per row);
+    * the production shape is build-once-serve-many, so catalog consumers
+    * memoize this frame ([[graft.core.Shared]]) and pass it back via
+    * `pqTopK(prebuilt = ...)` — the BM25 index/serve split. Columns:
+    * `cand_id`, `code_0..code_{m-1}`.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, cbSize: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val cand = corpus.select(col(idCol).as("cand_id"),
       quantize(col(vecCol)).as("qv"))
-    val seeds: Array[Array[Long]] = cand.orderBy(col("cand_id")).limit(cbSize)
-      .collect().map(_.getSeq[Long](1).toArray)
-    require(seeds.length == cbSize,
-      s"PQ codebook needs ≥ $cbSize vectors, corpus has only ${seeds.length}")
-    // cb(mi)(j) = subspace-mi slice of seed j
-    val cb: Array[Array[Array[Long]]] = Array.tabulate(m, cbSize) { (mi, j) =>
-      seeds(j).slice(mi * sub, (mi + 1) * sub)
-    }
-    def subvec(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    val cb = pqCodebook(cand, m, cbSize, sub)
     def sqNorm(c: Array[Long]): Long = c.map(x => x * x).sum
-    // integer sq-L2 between a subvector column and a literal codebook entry
     def d2(xs: Column, nx: Column, c: Array[Long]): Column =
       nx - lit(2L) * dotQ(xs, typedlit(c.toSeq)) + lit(sqNorm(c))
     // encode: per subspace, argmin over cbSize literal entries (tie → lower j)
     val codeCols = (0 until m).map { mi =>
-      val xs = subvec(col("qv"), mi)
+      val xs = slice(col("qv"), mi * sub + 1, sub)
       val nx = dotQ(xs, xs)
       val entries = (0 until cbSize).map(j =>
         struct(d2(xs, nx, cb(mi)(j)).as("d"), lit(j).as("j")))
@@ -341,7 +392,44 @@ object VectorOps {
       // m·cbSize = 256 distance expressions per row
       array_min(array(entries: _*)).getField("j").as(s"code_$mi")
     }
-    val encoded = cand.select(col("cand_id") +: codeCols: _*)
+    cand.select(col("cand_id") +: codeCols: _*)
+  }
+
+  /** Deterministic seed codebook: subspace slices of the first `cbSize`
+    * corpus vectors by id — a bounded `cbSize`-row collect (the
+    * k-means-centroid pattern), re-derived cheaply wherever the literal
+    * entries are baked into an expression (encode AND query LUTs), so a
+    * memoized code frame and a fresh serve path always agree.
+    */
+  private def pqCodebook(cand: DataFrame, m: Int, cbSize: Int,
+                         sub: Int): Array[Array[Array[Long]]] = {
+    val seeds: Array[Array[Long]] = cand.orderBy(col("cand_id")).limit(cbSize)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length == cbSize,
+      s"PQ codebook needs ≥ $cbSize vectors, corpus has only ${seeds.length}")
+    // cb(mi)(j) = subspace-mi slice of seed j
+    Array.tabulate(m, cbSize) { (mi, j) =>
+      seeds(j).slice(mi * sub, (mi + 1) * sub)
+    }
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int, cbSize: Int, dim: Int,
+             shortlist: Int, k: Int,
+             prebuilt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("qv"))
+    val cb = pqCodebook(cand, m, cbSize, sub)
+    def subvec(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    def sqNorm(c: Array[Long]): Long = c.map(x => x * x).sum
+    // integer sq-L2 between a subvector column and a literal codebook entry
+    def d2(xs: Column, nx: Column, c: Array[Long]): Column =
+      nx - lit(2L) * dotQ(xs, typedlit(c.toSeq)) + lit(sqNorm(c))
+    val encoded = prebuilt.getOrElse(
+      pqEncode(corpus, idCol, vecCol, m, cbSize, dim))
     // query LUTs: lut_mi[j+1] = sq-L2(query subvector mi, codebook entry j)
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol)).as("qq"))
