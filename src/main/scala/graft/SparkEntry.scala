@@ -22,6 +22,7 @@ object SparkEntry {
     AggregateFramework,
     CurationOps,
     MixtureOps,
+    TrainingOps,
     EvalMetrics,
     RankStats,
     IoCatalog,

