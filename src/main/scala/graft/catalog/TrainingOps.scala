@@ -412,6 +412,106 @@ object TrainingOps extends QueryModule {
       |FROM hold JOIN mc USING (event_type) JOIN q USING (event_type)
       |GROUP BY hold.event_type""".stripMargin
 
+  // ---- span corruption (denoising-objective masking plan) -------------------
+  private val SpanLen = 3
+  private val SpanPct = 3 // masked blocks per 20 → 15%
+
+  /** Deterministic T5-style span-corruption PLAN over the token stream:
+    * positions group into [[SpanLen]]-token blocks, and a block is masked
+    * iff a portable seeded hash of (doc, block) clears the [[SpanPct]]/20
+    * gate — 15% expected token corruption in contiguous spans, decided by
+    * data (not RNG state) so any executor, engine or retry derives the
+    * SAME mask. Per doc: token count, masked tokens, masked spans and the
+    * realized permille — the readout a pretraining pipeline checks before
+    * materializing corrupted inputs. One posexplode (map-only, linear) +
+    * one doc rollup.
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("blk", expr(s"pos div $SpanLen"))
+      .withColumn("msk",
+        (PortableHash.h48(concat_ws(":", col("doc_id"), col("blk")))
+          % 20 < SpanPct).cast("long"))
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("msk")).as("n_masked"),
+        countDistinct(when(col("msk") === 1L, col("blk"))).as("n_spans"))
+      .withColumn("masked_pm", expr("(1000 * n_masked) div n_tokens"))
+  }
+
+  private val spanCorruptionSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, (u.ord - 1) // $SpanLen AS blk,
+       |    CASE WHEN ${PortableHash.h48Sql(
+             s"CAST(doc_id AS VARCHAR) || ':' || CAST((u.ord - 1) // $SpanLen AS VARCHAR)")}
+       |      % 20 < $SpanPct THEN 1 ELSE 0 END AS msk
+       |  FROM documents,
+       |    UNNEST(generate_series(1, len(string_split(text, ' ')))) AS u(ord)
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  CAST(sum(msk) AS BIGINT) AS n_masked,
+       |  CAST(count(DISTINCT CASE WHEN msk = 1 THEN blk END) AS BIGINT)
+       |    AS n_spans,
+       |  (1000 * CAST(sum(msk) AS BIGINT)) // count(*) AS masked_pm
+       |FROM tk GROUP BY doc_id""".stripMargin
+
+  // ---- data-constrained epoch allocation -------------------------------------
+  private val MaxEpochs = 4L
+
+  /** Multi-epoch training-mix schedule under a token budget (the
+    * data-constrained recipe: when a source can't fill its share in one
+    * pass, repeat it — up to [[MaxEpochs]] epochs — and report the
+    * shortfall). Budget = 2× the corpus's own token supply, share =
+    * budget div |sources|; per source: available tokens, the equal-share
+    * target, the epoch count ⌈target/avail⌉ clamped to [[MaxEpochs]], the
+    * allocation min(target, epochs·avail) and the unfilled shortfall.
+    * Exact integers end to end; one source rollup + one broadcast 1-row
+    * totals frame.
+    */
+  def multiEpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("avail_tokens"))
+    val tot = bySrc.agg(sum(col("avail_tokens")).as("total_avail"),
+      count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("(2 * total_avail) div n_sources"))
+      .withColumn("epochs", expr(
+        s"least($MaxEpochs, (target_tokens + avail_tokens - 1) div avail_tokens)"))
+      .withColumn("alloc_tokens",
+        expr("least(target_tokens, epochs * avail_tokens)"))
+      .withColumn("shortfall", expr("target_tokens - alloc_tokens"))
+      .select(col("source"), col("avail_tokens"), col("target_tokens"),
+        col("epochs"), col("alloc_tokens"), col("shortfall"))
+  }
+
+  private val multiEpochScheduleSql =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source
+       |), t AS (
+       |  SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_avail,
+       |    count(*)::BIGINT AS n_sources
+       |  FROM b
+       |), s AS (
+       |  SELECT source, avail_tokens,
+       |    (2 * total_avail) // n_sources AS target_tokens
+       |  FROM b CROSS JOIN t
+       |)
+       |SELECT source, avail_tokens, target_tokens,
+       |  least($MaxEpochs,
+       |    (target_tokens + avail_tokens - 1) // avail_tokens) AS epochs,
+       |  least(target_tokens,
+       |    least($MaxEpochs, (target_tokens + avail_tokens - 1) // avail_tokens)
+       |      * avail_tokens) AS alloc_tokens,
+       |  target_tokens - least(target_tokens,
+       |    least($MaxEpochs, (target_tokens + avail_tokens - 1) // avail_tokens)
+       |      * avail_tokens) AS shortfall
+       |FROM s""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("stratified_kfold", stratifiedKfold, Some(stratifiedKfoldSql)),
@@ -420,5 +520,8 @@ object TrainingOps extends QueryModule {
     QueryDef("bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     QueryDef("conformal_interval", conformalInterval,
       Some(conformalIntervalSql)),
+    QueryDef("span_corruption", spanCorruption, Some(spanCorruptionSql)),
+    QueryDef("multi_epoch_schedule", multiEpochSchedule,
+      Some(multiEpochScheduleSql)),
   )
 }

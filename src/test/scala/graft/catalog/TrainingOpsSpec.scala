@@ -101,6 +101,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("span_corruption: span algebra closes and the mask rate is ~15%") {
+    val rows = TrainingOps.spanCorruption(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length.toLong === Tables.documents(spark, dir).count())
+    rows.foreach { case (_, nTok, nMask, nSpans) =>
+      // each masked span contributes 1..SpanLen masked tokens
+      assert(nMask >= nSpans && nMask <= nSpans * 3)
+      assert(nMask <= nTok)
+    }
+    val tokTotal = rows.map(_._2).sum
+    val maskTotal = rows.map(_._3).sum
+    assert(maskTotal * 1000 / tokTotal >= 100L &&
+      maskTotal * 1000 / tokTotal <= 200L)
+  }
+
+  test("multi_epoch_schedule: allocation algebra closes per source") {
+    val rows = TrainingOps.multiEpochSchedule(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avail, target, epochs, alloc, short) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(epochs === math.min(4L, (target + avail - 1) / avail))
+      assert(alloc === math.min(target, epochs * avail))
+      assert(short === target - alloc && short >= 0)
+      // a shortfall can only arise at the epoch cap
+      if (short > 0) assert(epochs === 4L)
+    }
+  }
+
   test("conformal_interval: q95 covers ≥95% of calibration by construction") {
     val rows = TrainingOps.conformalInterval(spark, dir).collect()
     assert(rows.nonEmpty)
