@@ -623,24 +623,29 @@ object LlmPipeline extends QueryModule {
 
   // ---- contrastive hard-negative mining -----------------------------------
   private val HnK = 5
+  private val HnBudget = 10L
 
   /** [[VectorOps.hardNegativesTopK]]: per query vector, the [[HnK]]
     * nearest candidates with a DIFFERENT label — the mining pass that
     * feeds a contrastive training objective its informative negatives
     * (similar embedding, different class). The label-mismatch gate runs
     * BEFORE the rank cut; the exact serve here swaps to any of the three
-    * ANN candidate paths at scale.
+    * ANN candidate paths at scale. Queries are a FIXED
+    * [[VectorOps.auditSample]] budget, not a corpus fraction — a
+    * `% constant` batch grew with the corpus and measured exponent 1.72
+    * on a real 10× step (round 10) before the budget cap made the mine
+    * queries×corpus-linear.
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     VectorOps.hardNegativesTopK(emb,
-      emb.where(col("vec_id") % QueryMod === 0),
+      VectorOps.auditSample(emb, "vec_id", HnBudget),
       "vec_id", "embedding", "label", HnK)
   }
 
   private val hardNegativesSql =
     VectorOps.hardNegativesSql("embeddings", "vec_id", "embedding", "label",
-      HnK, Dim, QueryMod)
+      HnK, Dim, VectorOps.auditSampleModSql("embeddings", HnBudget))
 
   // ---- diverse subset selection (greedy k-center) -------------------------
   private val KCenterK = 6

@@ -91,17 +91,35 @@ object TrainingOps extends QueryModule {
     * cell holds ⌊n/k⌋ or ⌈n/k⌉ rows — the split-hygiene primitive under
     * any cross-validated eval. The readout attests MEMBERSHIP, not just
     * balance: per (label, fold) the count AND the exact id sum, so two
-    * engines that balanced differently cannot collide. One window on the
-    * (label)-partitioning + one rollup; the hash order is portable
-    * (md5-48), so the assignment is reproducible across runs, engines
-    * and cluster sizes.
+    * engines that balanced differently cannot collide. The within-label
+    * rank is NOT a per-label window (|labels| reducers would own the
+    * whole corpus at scale) — it is the [[TextAnalysis.docOffsets]]
+    * two-pass range-partitioned prefix count: range-partition by
+    * (label, hash, id), per-partition local ranks, and a bounded
+    * (label × partition)-sized base-offset table broadcast back. The
+    * hash order is portable (md5-48), so the assignment is reproducible
+    * across runs, engines and cluster sizes.
     */
   def stratifiedKfold(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("label"))
-      .orderBy(PortableHash.h48(col("vec_id").cast("string")), col("vec_id"))
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"))
-      .withColumn("fold", ((row_number().over(w) - 1) % Folds).cast("int"))
+    val d = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        PortableHash.h48(col("vec_id").cast("string")).as("h"))
+    val parts = graft.core.Materialize(
+      d.repartitionByRange(col("label"), col("h"), col("vec_id"))
+        .withColumn("pid", spark_partition_id()))
+    val base = parts.groupBy(col("label"), col("pid"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("label")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("label"), col("pid"), col("base"))
+    val wLocal = Window.partitionBy(col("label"), col("pid"))
+      .orderBy(col("h"), col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("local", coalesce(count(lit(1)).over(wLocal), lit(0L)))
+      .join(broadcast(base), Seq("label", "pid"))
+      .withColumn("fold", ((col("base") + col("local")) % Folds).cast("int"))
       .groupBy(col("label"), col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("ids_sum"))
   }
@@ -167,23 +185,26 @@ object TrainingOps extends QueryModule {
 
   // ---- label-noise screening (kNN disagreement) ------------------------------
   private val LnK = 10
-  private val LnQueryMod = 10
+  private val LnBudget = 50L
   private val LnMinVotes = 6
 
   /** Confident-learning-style label-noise screen: for each audited vector
-    * (every [[LnQueryMod]]-th id), the [[LnK]]-NN label vote — a row is
-    * `suspect` when a ≥[[LnMinVotes]]-vote neighbor majority carries a
-    * DIFFERENT label than its own, the standard candidate set a curation
-    * pass sends for re-annotation. Emits every audited row (flag column),
-    * not just suspects, so the readout also attests the clean majority.
-    * Same exact integer-cosine / deterministic-tiebreak contract as
-    * knn_classify; the brute-force candidate pass swaps to the ANN paths
-    * at scale unchanged.
+    * (a FIXED [[VectorOps.auditSample]] budget of ~[[LnBudget]] ids — a
+    * `% constant` audit set grew with the corpus and measured exponent
+    * 2.13 on a real 10× step before the cap), the [[LnK]]-NN label vote —
+    * a row is `suspect` when a ≥[[LnMinVotes]]-vote neighbor majority
+    * carries a DIFFERENT label than its own, the standard candidate set a
+    * curation pass sends for re-annotation. Emits every audited row (flag
+    * column), not just suspects, so the readout also attests the clean
+    * majority. Same exact integer-cosine / deterministic-tiebreak
+    * contract as knn_classify; the brute-force candidate pass swaps to
+    * the ANN paths at scale unchanged.
     */
   def labelNoiseAudit(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val nn = VectorOps.bruteForceTopK(emb,
-      emb.where(col("vec_id") % LnQueryMod === 0), "vec_id", "embedding", LnK)
+      VectorOps.auditSample(emb, "vec_id", LnBudget),
+      "vec_id", "embedding", LnK)
     val lbl = emb.select(col("vec_id"), col("label"))
     val votes = nn.join(lbl.withColumnRenamed("vec_id", "cand_id"), "cand_id")
       .groupBy(col("query_id"), col("label"))
@@ -206,7 +227,7 @@ object TrainingOps extends QueryModule {
        |  FROM embeddings
        |), q AS (
        |  SELECT vec_id AS query_id, qv AS qq FROM v
-       |  WHERE vec_id % $LnQueryMod = 0
+       |  WHERE vec_id % ${VectorOps.auditSampleModSql("embeddings", LnBudget)} = 0
        |), nn AS (
        |  SELECT query_id, cand_id FROM (
        |    SELECT q.query_id, v.vec_id AS cand_id,
@@ -512,6 +533,201 @@ object TrainingOps extends QueryModule {
        |      * avail_tokens) AS shortfall
        |FROM s""".stripMargin
 
+  // ---- Fleiss' kappa (multi-rater agreement audit) ---------------------------
+  /** Fleiss' κ over three deterministic document "raters" — the
+    * annotation-pipeline agreement audit (is the labeling rubric tight
+    * enough that independent raters converge?), computed here on three
+    * rule raters a quality rubric might ship: length (≥55 tokens),
+    * lexical diversity (type-token ratio ≥ 550‰) and stopword density
+    * (≥ 60‰ of {the,a,of,to,in}). Per item the agreement term
+    * `Σ_c n_c(n_c−1) / (n(n−1))` folds to one map-only scan + a 1-row
+    * aggregate; P̄, chance agreement P̄ₑ and κ are micro-rounded ratios of
+    * those exact counters. One row out regardless of corpus size.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .select(
+        expr("size(tk)").as("n"),
+        expr("size(array_distinct(tk))").as("nd"),
+        expr("size(filter(tk, x -> x IN ('the','a','of','to','in')))")
+          .as("stp"))
+      .select((expr("CASE WHEN n >= 55 THEN 1 ELSE 0 END") +
+        expr("CASE WHEN (1000 * nd) div n >= 550 THEN 1 ELSE 0 END") +
+        expr("CASE WHEN (1000 * stp) div n >= 60 THEN 1 ELSE 0 END"))
+        .cast("long").as("n1"))
+    votes
+      .agg(count(lit(1)).as("n_items"), sum(col("n1")).as("s1"),
+        sum(expr("n1 * (n1 - 1) + (3 - n1) * (2 - n1)")).as("agree_num"))
+      .withColumn("p_bar_u",
+        expr("CAST(round(1e6 * agree_num / (6e0 * n_items)) AS BIGINT)"))
+      .withColumn("p_e_u", expr(
+        "CAST(round(1e6 * ((s1 / (3e0 * n_items)) * (s1 / (3e0 * n_items)) " +
+          "+ (1e0 - s1 / (3e0 * n_items)) * (1e0 - s1 / (3e0 * n_items)))) " +
+          "AS BIGINT)"))
+      .withColumn("kappa_u", expr(
+        "CAST(round(1e6 * (agree_num / (6e0 * n_items) " +
+          "- ((s1 / (3e0 * n_items)) * (s1 / (3e0 * n_items)) " +
+          "+ (1e0 - s1 / (3e0 * n_items)) * (1e0 - s1 / (3e0 * n_items)))) " +
+          "/ (1e0 - ((s1 / (3e0 * n_items)) * (s1 / (3e0 * n_items)) " +
+          "+ (1e0 - s1 / (3e0 * n_items)) * (1e0 - s1 / (3e0 * n_items))))) " +
+          "AS BIGINT)"))
+      .select(col("n_items"), col("s1"), col("p_bar_u"), col("p_e_u"),
+        col("kappa_u"))
+  }
+
+  private val fleissKappaSql =
+    """WITH v AS (
+      |  SELECT len(tk) AS n, len(list_distinct(tk)) AS nd,
+      |    len(list_filter(tk, x -> x IN ('the','a','of','to','in'))) AS stp
+      |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)
+      |), n1s AS (
+      |  SELECT (CASE WHEN n >= 55 THEN 1 ELSE 0 END +
+      |    CASE WHEN (1000 * nd) // n >= 550 THEN 1 ELSE 0 END +
+      |    CASE WHEN (1000 * stp) // n >= 60 THEN 1 ELSE 0 END)::BIGINT AS n1
+      |  FROM v
+      |), a AS (
+      |  SELECT count(*)::BIGINT AS n_items, CAST(sum(n1) AS BIGINT) AS s1,
+      |    CAST(sum(n1 * (n1 - 1) + (3 - n1) * (2 - n1)) AS BIGINT)
+      |      AS agree_num
+      |  FROM n1s
+      |)
+      |SELECT n_items, s1,
+      |  CAST(round(1e6 * agree_num / (6e0 * n_items)) AS BIGINT) AS p_bar_u,
+      |  CAST(round(1e6 * ((s1 / (3e0 * n_items)) * (s1 / (3e0 * n_items))
+      |    + (1e0 - s1 / (3e0 * n_items)) * (1e0 - s1 / (3e0 * n_items))))
+      |    AS BIGINT) AS p_e_u,
+      |  CAST(round(1e6 * (agree_num / (6e0 * n_items)
+      |    - ((s1 / (3e0 * n_items)) * (s1 / (3e0 * n_items))
+      |      + (1e0 - s1 / (3e0 * n_items)) * (1e0 - s1 / (3e0 * n_items))))
+      |    / (1e0 - ((s1 / (3e0 * n_items)) * (s1 / (3e0 * n_items))
+      |      + (1e0 - s1 / (3e0 * n_items)) * (1e0 - s1 / (3e0 * n_items)))))
+      |    AS BIGINT) AS kappa_u
+      |FROM a""".stripMargin
+
+  // ---- temporal leakage audit -------------------------------------------------
+  /** Train/test leakage scan for a time-based split: with the corpus split
+    * at its own (min, max)-day midpoint (the [[psiDrift]] bound), per
+    * event type — how many users appear in the train half, the test half,
+    * and BOTH. A user on both sides of a temporal split leaks label
+    * signal into evaluation; overlap_pm is the number an eval harness
+    * gates on (expect ~0 after proper user-level splitting, high when
+    * splitting rows instead of users). One (type, user) rollup + one
+    * per-type fold; both corpus-linear.
+    */
+  def leakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      col("user_id"), expr("ts div 86400000000000").as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(d0 + d1 + 1) div 2"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max((col("day") < col("mid")).cast("long")).as("in_train"),
+        max((col("day") >= col("mid")).cast("long")).as("in_test"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("in_train")).as("n_train_users"),
+        sum(col("in_test")).as("n_test_users"),
+        sum(col("in_train") * col("in_test")).as("n_overlap"))
+      .withColumn("overlap_pm",
+        expr("(1000 * n_overlap) div greatest(n_test_users, 1)"))
+  }
+
+  private val leakageAuditSql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |pu AS (
+      |  SELECT event_type, user_id,
+      |    max(CASE WHEN day < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+      |      AS in_train,
+      |    max(CASE WHEN day >= (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END)
+      |      AS in_test
+      |  FROM ev CROSS JOIN b GROUP BY 1, 2
+      |)
+      |SELECT event_type,
+      |  CAST(sum(in_train) AS BIGINT) AS n_train_users,
+      |  CAST(sum(in_test) AS BIGINT) AS n_test_users,
+      |  CAST(sum(in_train * in_test) AS BIGINT) AS n_overlap,
+      |  (1000 * CAST(sum(in_train * in_test) AS BIGINT)) //
+      |    greatest(CAST(sum(in_test) AS BIGINT), 1) AS overlap_pm
+      |FROM pu GROUP BY event_type""".stripMargin
+
+  // ---- out-of-fold target encoding ---------------------------------------------
+  /** Leakage-free (out-of-fold) target encoding of `event_type` against
+    * the value target: rows fold by a portable hash of the id, and each
+    * (category, fold) cell's encoding is the target mean computed from
+    * the OTHER folds only — `(s_total − s_fold) div (n_total − n_fold)`
+    * in exact cents — the standard high-cardinality categorical feature
+    * that doesn't let a row see its own label. One (type, fold) rollup;
+    * the per-type totals derive from that same bounded frame (no second
+    * corpus scan) and join back broadcast.
+    */
+  def targetEncodeOof(spark: SparkSession, dir: String): DataFrame = {
+    val pf = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (PortableHash.h48(col("event_id").cast("string")) % 5)
+          .cast("int").as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100e0) AS BIGINT)")).as("s"))
+    val tt = pf.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_t"), sum(col("s")).as("s_t"))
+    pf.join(broadcast(tt), "event_type")
+      .withColumn("oof_mean_cents",
+        expr("(s_t - s) div greatest(n_t - n, 1)"))
+      .select(col("event_type"), col("fold"), col("n"),
+        col("oof_mean_cents"))
+  }
+
+  private val targetEncodeOofSql =
+    s"""WITH pf AS (
+       |  SELECT event_type,
+       |    CAST(${PortableHash.h48Sql("CAST(event_id AS VARCHAR)")} % 5
+       |      AS INTEGER) AS fold,
+       |    count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM events GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_t,
+       |    CAST(sum(s) AS BIGINT) AS s_t
+       |  FROM pf GROUP BY event_type
+       |)
+       |SELECT pf.event_type, pf.fold, pf.n,
+       |  (tt.s_t - pf.s) // greatest(tt.n_t - pf.n, 1) AS oof_mean_cents
+       |FROM pf JOIN tt USING (event_type)""".stripMargin
+
+  // ---- recency-decay sampling weights -------------------------------------------
+  /** Recency-weighted sampling mass per event type: each event carries
+    * weight `2^(−age/7d)` — implemented as the EXACT integer
+    * `1e6 >> (age_days div 7)`, a whole-week half-life bit shift, so both
+    * engines agree bit-for-bit with no float pow — and the per-type sum /
+    * mean is the freshness-biased sampling budget a training pipeline
+    * allocates when newer data should dominate. Map-only weight + one
+    * rollup; the corpus max-day anchor is a broadcast 1-row frame.
+    */
+  def recencyWeights(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      expr("ts div 86400000000000").as("day"))
+    val anchor = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("w_ppm",
+        expr("shiftright(1000000L, CAST((d1 - day) div 7 AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w_ppm")).as("w_sum_ppm"))
+      .withColumn("w_mean_ppm", expr("w_sum_ppm div n_events"))
+  }
+
+  private val recencyWeightsSql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+      |), a AS (SELECT max(day) AS d1 FROM ev)
+      |SELECT event_type, count(*)::BIGINT AS n_events,
+      |  CAST(sum(1000000 >> CAST((d1 - day) // 7 AS INTEGER)) AS BIGINT)
+      |    AS w_sum_ppm,
+      |  CAST(sum(1000000 >> CAST((d1 - day) // 7 AS INTEGER)) AS BIGINT)
+      |    // count(*) AS w_mean_ppm
+      |FROM ev CROSS JOIN a GROUP BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("stratified_kfold", stratifiedKfold, Some(stratifiedKfoldSql)),
@@ -523,5 +739,9 @@ object TrainingOps extends QueryModule {
     QueryDef("span_corruption", spanCorruption, Some(spanCorruptionSql)),
     QueryDef("multi_epoch_schedule", multiEpochSchedule,
       Some(multiEpochScheduleSql)),
+    QueryDef("fleiss_kappa", fleissKappa, Some(fleissKappaSql)),
+    QueryDef("leakage_audit", leakageAudit, Some(leakageAuditSql)),
+    QueryDef("target_encode_oof", targetEncodeOof, Some(targetEncodeOofSql)),
+    QueryDef("recency_weights", recencyWeights, Some(recencyWeightsSql)),
   )
 }

@@ -130,6 +130,84 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("fleiss_kappa matches a driver-side replay of the three raters") {
+    val docs = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getString(0))
+    val n1s = docs.map { t =>
+      val tk = t.split(" ")
+      val n = tk.length.toLong
+      val nd = tk.distinct.length.toLong
+      val stp = tk.count(Set("the", "a", "of", "to", "in")).toLong
+      (if (n >= 55) 1 else 0) + (if (1000 * nd / n >= 550) 1 else 0) +
+        (if (1000 * stp / n >= 60) 1 else 0)
+    }
+    val nItems = n1s.length.toLong
+    val s1 = n1s.map(_.toLong).sum
+    val agree = n1s.map(v => v.toLong * (v - 1) + (3L - v) * (2L - v)).sum
+    val pBar = agree / (6e0 * nItems)
+    val p1 = s1 / (3e0 * nItems)
+    val pE = p1 * p1 + (1e0 - p1) * (1e0 - p1)
+    val r = TrainingOps.fleissKappa(spark, dir).head()
+    assert(r.getLong(0) === nItems && r.getLong(1) === s1)
+    assert(r.getLong(2) === math.round(1e6 * pBar))
+    assert(r.getLong(3) === math.round(1e6 * pE))
+    assert(r.getLong(4) === math.round(1e6 * (pBar - pE) / (1e0 - pE)))
+  }
+
+  test("leakage_audit: overlap is bounded and the user census closes") {
+    val rows = TrainingOps.leakageAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val distinctUsers = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (t, tr, te, ov) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ov <= math.min(tr, te))
+      // every user is in train, test or both: |train ∪ test| = tr+te−ov
+      assert(tr + te - ov === distinctUsers(t))
+    }
+  }
+
+  test("target_encode_oof: encoding excludes exactly the row's own fold") {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+        col("event_id"), expr("CAST(round(value * 100e0) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def fold(id: Long): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md5.take(6).map(b => f"$b%02x").mkString, 16)
+      (h % 5).toInt
+    }
+    val got = TrainingOps.targetEncodeOof(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val byType = ev.groupBy(_._1)
+    byType.foreach { case (t, xs) =>
+      val byFold = xs.groupBy(e => fold(e._2))
+      val nT = xs.length.toLong
+      val sT = xs.map(_._3).sum
+      byFold.foreach { case (f, fs) =>
+        val (n, oof) = got((t, f))
+        assert(n === fs.length.toLong)
+        assert(oof === (sT - fs.map(_._3).sum) / math.max(nT - n, 1L))
+      }
+    }
+  }
+
+  test("recency_weights: newest week at full mass, weights halve by week") {
+    val rows = TrainingOps.recencyWeights(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, wSum, wMean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(wMean <= 1000000L && wMean >= 0L)
+      assert(wSum <= n * 1000000L)
+      assert(wMean === wSum / n)
+    }
+  }
+
   test("conformal_interval: q95 covers ≥95% of calibration by construction") {
     val rows = TrainingOps.conformalInterval(spark, dir).collect()
     assert(rows.nonEmpty)
