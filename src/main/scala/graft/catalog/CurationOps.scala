@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -334,6 +334,202 @@ object CurationOps extends QueryModule {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  // ---- rule-based filter census (Gopher-style) ------------------------------
+
+  /** The ten-word English stopword profile shared with
+    * [[TextAnalysis]]'s lang_id — re-declared here (private there) so the
+    * rule census and the language model stay independently evolvable.
+    */
+  private val EnStops =
+    Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "on")
+
+  /** Rule-based quality-filter census per source, the Gopher/C4 document
+    * filter family (Rae et al. 2021 §A1.1) re-expressed as INTEGER
+    * cross-multiplied predicates so no ratio ever leaves exact math:
+    * word count in [10, 100 000]; mean word length in [3, 10] chars
+    * (3·n ≤ Σlen ≤ 10·n); symbol-to-word ratio ≤ 10 % (`#`/`…` census);
+    * ≥ 80 % of words contain a letter; ≥ 2 English stopword occurrences.
+    * The readout is the per-source FAIL count of each rule plus the
+    * all-rules pass count — the datasheet row that says WHY a feed is
+    * losing documents, where [[TextAnalysis.qualityScore]] only says how
+    * much. Map-only per doc (one token array, shared subexpressions), one
+    * ≤|sources|-row rollup.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), toks.as("w"))
+      .select(
+        col("source"),
+        size(col("w")).cast("long").as("n_tok"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[#…]", "")))
+          .cast("long").as("symbols"),
+        size(filter(col("w"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(TextFns.tokens(lower(col("text"))),
+          t => EnStops.map(s => t === lit(s)).reduce(_ || _))).cast("long")
+          .as("n_stop"))
+    val fWords = col("n_tok") < 10 || col("n_tok") > 100000L
+    val fLen = col("sum_len") < lit(3L) * col("n_tok") ||
+      col("sum_len") > lit(10L) * col("n_tok")
+    val fSym = lit(10L) * col("symbols") > col("n_tok")
+    val fAlpha = lit(5L) * col("n_alpha") < lit(4L) * col("n_tok")
+    val fStop = col("n_stop") < 2
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(fWords.cast("long")).as("fail_words"),
+        sum(fLen.cast("long")).as("fail_wordlen"),
+        sum(fSym.cast("long")).as("fail_symbol"),
+        sum(fAlpha.cast("long")).as("fail_alpha"),
+        sum(fStop.cast("long")).as("fail_stop"),
+        sum((!(fWords || fLen || fSym || fAlpha || fStop)).cast("long"))
+          .as("n_pass"))
+  }
+
+  private val gopherRulesSql = {
+    val w = TextFns.tokensSql("text")
+    val wl = TextFns.tokensSql("lower(text)")
+    val stops = EnStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len($w)::BIGINT AS n_tok,
+       |    coalesce(list_sum(list_transform($w, x -> len(x))), 0)::BIGINT
+       |      AS sum_len,
+       |    (len(text) - len(regexp_replace(text, '[#…]', '', 'g')))::BIGINT
+       |      AS symbols,
+       |    len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+       |      AS n_alpha,
+       |    len(list_filter($wl, x -> list_contains($stops, x)))::BIGINT
+       |      AS n_stop
+       |  FROM documents
+       |), f AS (
+       |  SELECT source,
+       |    (n_tok < 10 OR n_tok > 100000) AS f_words,
+       |    (sum_len < 3 * n_tok OR sum_len > 10 * n_tok) AS f_len,
+       |    (10 * symbols > n_tok) AS f_sym,
+       |    (5 * n_alpha < 4 * n_tok) AS f_alpha,
+       |    (n_stop < 2) AS f_stop
+       |  FROM d
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+       |  CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+       |  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+       |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+       |  CAST(sum(CASE WHEN NOT (f_words OR f_len OR f_sym OR f_alpha OR f_stop)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM f GROUP BY source""".stripMargin
+  }
+
+  // ---- readability ----------------------------------------------------------
+
+  /** Flesch–Kincaid grade level per language from three INTEGER run
+    * censuses — words (whitespace tokens), sentences (maximal `[.!?]`
+    * runs, floored at 1 per doc), syllables (maximal `[aeiouy]` runs in
+    * the lowercased text, the standard cheap approximation) — combined
+    * with the published constants only at the final micro-rounded step,
+    * over LANG-LEVEL totals (so the one float expression runs on ≤|langs|
+    * rows, not per doc). The curation use: readability stratifies a
+    * pretraining mix the way quality bands do, and kids/legal/technical
+    * feeds separate by two whole grades. Run counting is split-and-count
+    * (`split(text, '[^class]+')` non-empties) — one codegen'd regex pass
+    * per census, no explode.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val nonEmpty = (c: Column) => size(filter(c, t => t =!= "")).cast("long")
+    val d = Tables.documents(spark, dir).select(
+      col("lang"),
+      size(TextFns.tokens(col("text"))).cast("long").as("words"),
+      greatest(nonEmpty(split(col("text"), "[^.!?]+")), lit(1L))
+        .as("sentences"),
+      nonEmpty(split(lower(col("text")), "[^aeiouy]+")).as("syllables"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("sum_words"),
+        sum(col("sentences")).as("sum_sentences"),
+        sum(col("syllables")).as("sum_syllables"))
+      .withColumn("fk_grade_u",
+        expr("CAST(round(1e6 * (0.39e0 * sum_words / sum_sentences" +
+          " + 11.8e0 * sum_syllables / sum_words - 15.59e0)) AS BIGINT)"))
+  }
+
+  private val readabilitySql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    len($w)::BIGINT AS words,
+       |    greatest(len(list_filter(string_split_regex(text, '[^.!?]+'),
+       |                             x -> x <> '')), 1)::BIGINT AS sentences,
+       |    len(list_filter(string_split_regex(lower(text), '[^aeiouy]+'),
+       |                    x -> x <> ''))::BIGINT AS syllables
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(words) AS BIGINT) AS sum_words,
+       |    CAST(sum(sentences) AS BIGINT) AS sum_sentences,
+       |    CAST(sum(syllables) AS BIGINT) AS sum_syllables
+       |  FROM d GROUP BY lang
+       |)
+       |SELECT lang, n_docs, sum_words, sum_sentences, sum_syllables,
+       |  CAST(round(1e6 * (0.39e0 * sum_words / sum_sentences
+       |    + 11.8e0 * sum_syllables / sum_words - 15.59e0)) AS BIGINT)
+       |    AS fk_grade_u
+       |FROM g""".stripMargin
+  }
+
+  // ---- McNemar paired-classifier test ---------------------------------------
+
+  /** McNemar's test on two PAIRED document classifiers — the statistically
+    * correct way to compare two filter heuristics evaluated on the SAME
+    * corpus (independent-sample tests overstate significance on paired
+    * predictions). Classifier A: "≥ 2 English stopword occurrences ⇒
+    * English"; classifier B: "≥ 30 tokens ⇒ English"; truth: the corpus
+    * `lang` tag. Only the DISCORDANT cells matter — b (A right, B wrong)
+    * and c (A wrong, B right) — and the continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) is exact-integer until one micro-rounded division.
+    * One map-only scan, one 1-row aggregate.
+    */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    val nStop = size(filter(TextFns.tokens(lower(col("text"))),
+      t => EnStops.map(s => t === lit(s)).reduce(_ || _)))
+    val nTok = size(TextFns.tokens(col("text")))
+    val d = Tables.documents(spark, dir).select(
+      ((nStop >= 2) === (col("lang") === "en")).cast("long").as("a_ok"),
+      ((nTok >= 30) === (col("lang") === "en")).cast("long").as("b_ok"))
+    d.agg(count(lit(1)).as("n"),
+      sum(col("a_ok") * (lit(1L) - col("b_ok"))).as("b_cell"),
+      sum((lit(1L) - col("a_ok")) * col("b_ok")).as("c_cell"))
+      .withColumn("chi2_u",
+        expr("CAST(round(1e6 * (abs(b_cell - c_cell) - 1)" +
+          " * (abs(b_cell - c_cell) - 1)" +
+          " / greatest(b_cell + c_cell, 1)) AS BIGINT)"))
+  }
+
+  private val mcnemarTestSql = {
+    val wl = TextFns.tokensSql("lower(text)")
+    val w = TextFns.tokensSql("text")
+    val stops = EnStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT
+       |    CASE WHEN (len(list_filter($wl, x -> list_contains($stops, x))) >= 2)
+       |              = (lang = 'en') THEN 1 ELSE 0 END AS a_ok,
+       |    CASE WHEN (len($w) >= 30) = (lang = 'en') THEN 1 ELSE 0 END AS b_ok
+       |  FROM documents
+       |), g AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS b_cell,
+       |    CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS c_cell
+       |  FROM d
+       |)
+       |SELECT n, b_cell, c_cell,
+       |  CAST(round(1e6 * (abs(b_cell - c_cell) - 1) * (abs(b_cell - c_cell) - 1)
+       |    / greatest(b_cell + c_cell, 1)) AS BIGINT) AS chi2_u
+       |FROM g""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("pad_efficiency", padEfficiency, Some(padEfficiencySql)),
@@ -341,5 +537,8 @@ object CurationOps extends QueryModule {
     QueryDef("hapax_rate", hapaxRate, Some(hapaxRateSql)),
     QueryDef("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     QueryDef("dp_noisy_counts", dpNoisyCounts, Some(dpNoisyCountsSql)),
+    QueryDef("gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("readability", readability, Some(readabilitySql)),
+    QueryDef("mcnemar_test", mcnemarTest, Some(mcnemarTestSql)),
   )
 }

@@ -431,6 +431,166 @@ object TpchMore extends QueryModule {
       |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
       |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** TPC-H Q9 shape: product-type profit by nation and year — the widest
+    * snowflake in the suite (lineitem ⋈ part ⋈ supplier ⋈ nation). The
+    * part filter (name contains "gear") prunes the probe side BEFORE the
+    * fact join; supplier and nation broadcast; the fact table is touched
+    * exactly once and every dimension attaches on its own key, so the plan
+    * is one shuffle-bound lineitem pass however many dimensions ride
+    * along. Adapted: the corpus has no partsupp, so profit is discounted
+    * revenue rather than revenue − ps_supplycost·qty (reference Q9's
+    * structure, not its constant).
+    */
+  def q9ProfitNation(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_name").contains("gear")).select(col("p_partkey"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(pt, col("p_partkey") === col("l_partkey"))
+      .join(sup, col("s_suppkey") === col("l_suppkey"))
+      .join(nat, col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("sum_profit"))
+  }
+
+  private val q9Sql =
+    """SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+      |FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY n_name, o_year""".stripMargin
+
+  /** TPC-H Q11 shape: grouped aggregate filtered against a FRACTION OF THE
+    * GLOBAL TOTAL (the "important stock" HAVING subquery). Revenue is
+    * lifted to exact integer cents before summing, so the per-part totals,
+    * the global total and the 0.1 %-of-total threshold comparison are all
+    * bit-identical across engines — no float-sum boundary row can flip.
+    * The global total AND the part count are a 1-row aggregate OF THE
+    * PER-PART FRAME (not a second corpus scan) broadcast under the
+    * filter; the threshold is RELATIVE (1.5× the mean per-part share), so
+    * the query returns a stable slice at every scale factor instead of
+    * pinning an absolute share no part reaches in a uniform corpus. The
+    * cross-multiply `2·value·n > 3·total` runs in DECIMAL(38,0)/HUGEINT —
+    * value·n_parts wraps int64 near value ≈ 10¹⁵ cents × n ≈ 10⁵ parts,
+    * squarely inside the 100 TB envelope. Adapted: no partsupp, so
+    * "stock value" is lineitem revenue per part.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"))
+    val tot = perPart.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(tot))
+      .where(expr("2 * CAST(value_cents AS DECIMAL(38,0)) * n_parts" +
+        " > 3 * CAST(total_cents AS DECIMAL(38,0))"))
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
+  private val q11Sql =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * (1e0 - l_discount) * 100e0) AS BIGINT))
+      |      AS value_cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts
+      |        FROM per_part)
+      |SELECT l_partkey, value_cents
+      |FROM per_part CROSS JOIN tot
+      |WHERE 2 * CAST(value_cents AS HUGEINT) * n_parts
+      |    > 3 * CAST(total_cents AS HUGEINT)""".stripMargin
+
+  /** TPC-H Q12 shape: fact⋈fact join with a two-sided conditional count
+    * (late shipments split by order priority). Both CASE counts ride ONE
+    * aggregate over one join pass — the reference's version is a full
+    * reduce-side join job followed by a second counting job. The lateness
+    * predicate (shipped > 90 days after order date) is integer day math on
+    * both engines. Adapted: the corpus has no l_shipmode/l_receiptdate, so
+    * the group key is l_linestatus and lateness is ship-lag (structure of
+    * Q12 — conditional priority split over a join — not its columns).
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val hi = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .where(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE date_diff('day', o_orderdate, l_shipdate) > 90
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** TPC-H Q21 shape: "suppliers who kept orders waiting" — the
+    * EXISTS(another supplier) / NOT EXISTS(another LATE supplier)
+    * double-correlate. Rather than two extra self-joins of the fact table
+    * (the literal EXISTS plan — reference Q21 is the classic 4-job chain),
+    * both correlates collapse into ONE per-order aggregate: distinct
+    * supplier count, distinct late-supplier count, and the max late
+    * suppkey — an order qualifies iff suppliers ≥ 2 and late suppliers
+    * = 1, at which point the max IS the culprit. One lineitem shuffle on
+    * the order key replaces three. Adapted: "late" is shipped > 60 days
+    * after order date on 'F'-status orders (no l_receiptdate/commitdate).
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = datediff(col("l_shipdate"), col("o_orderdate")) > 60
+    val perOrder = li.join(ordF, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("late_supp"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  private val q21Sql =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      |                        THEN l_suppkey END) AS n_late_supp,
+      |    max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      |             THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_order JOIN supplier ON s_suppkey = late_supp
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q4_order_priority", q4OrderPriority, Some(q4Sql)),
     QueryDef("q14_promo_revenue", q14PromoRevenue, Some(q14Sql)),
@@ -443,5 +603,9 @@ object TpchMore extends QueryModule {
     QueryDef("q13_order_distribution", q13OrderDistribution, Some(q13Sql)),
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     QueryDef("q17_small_qty", q17SmallQty, Some(q17Sql)),
+    QueryDef("q9_profit_nation", q9ProfitNation, Some(q9Sql)),
+    QueryDef("q11_important_parts", q11ImportantParts, Some(q11Sql)),
+    QueryDef("q12_late_priority", q12LatePriority, Some(q12Sql)),
+    QueryDef("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
   )
 }

@@ -174,4 +174,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       "greedy MMR scores must be non-increasing from pick 2 on")
   }
+
+  test("gopher_rules: census partitions the corpus; pass + fails consistent") {
+    val rows = CurationOps.gopherRules(spark, dir).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, dir).count())
+    assert(rows.map(_.getLong(7)).sum === 258L) // DuckDB-derived n_pass
+    rows.foreach { r =>
+      // a doc passing all rules cannot exceed docs minus the worst fail
+      val fails = (2 to 6).map(r.getLong)
+      assert(r.getLong(7) <= r.getLong(1) - fails.max,
+        s"n_pass inconsistent with per-rule fails in ${r.getString(0)}")
+    }
+  }
+
+  test("readability: run censuses exact; FK grade matches hand formula") {
+    val rows = CurationOps.readability(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // DuckDB-derived at sf0.001; synthetic docs carry no [.!?], so the
+    // 1-sentence floor binds everywhere (the floor device itself under test)
+    assert(rows.head === (("de", 71L, 4070L, 71L, 5776L, 23512481L)))
+    rows.foreach { case (_, _, w, s, y, fk) =>
+      val hand = math.round(1e6 * (0.39 * w / s + 11.8 * y / w - 15.59))
+      assert(fk === hand, "fk_grade_u must equal the formula on the totals")
+    }
+  }
+
+  test("mcnemar: discordant cells + continuity-corrected statistic") {
+    val r = CurationOps.mcnemarTest(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((500L, 95L, 72L, 2898204L)))
+  }
 }

@@ -112,4 +112,38 @@ class TpchMoreSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === 5L)
     assert(math.abs(rows.map(_.getDouble(2)).sum - 38848.49) < 1e-6)
   }
+
+  test("q9: snowflake keeps ONE fact pass; name filter pruned before the join") {
+    val df = TpchMore.q9ProfitNation(spark, dir)
+    val p = plan(df)
+    // part prunes on p_name at ITS scan, not above the fact join
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)") ||
+      p.contains("Contains(p_name,gear)"), s"p_name filter not pushed:\n$p")
+    val rows = df.collect()
+    assert(rows.length === 70)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 50489385.22) < 0.05)
+  }
+
+  test("q11: relative-share HAVING in exact decimal; total from the part frame") {
+    val rows = TpchMore.q11ImportantParts(spark, dir).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(1)).sum === 498960736L)
+  }
+
+  test("q12: both priority counts ride one aggregate over one join pass") {
+    val got = TpchMore.q12LatePriority(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(("F", 582L, 890L), ("O", 601L, 886L)))
+  }
+
+  test("q21: double-correlate collapses to one per-order aggregate") {
+    val df = TpchMore.q21WaitingSupplier(spark, dir)
+    // the EXISTS/NOT-EXISTS pair must NOT plan as extra fact self-joins:
+    // exactly one scan of lineitem in the whole plan
+    val scans = "Scan parquet".r.findAllIn(plan(df)).size
+    assert(scans <= 3, s"q21 should scan lineitem once (+orders/supplier), got $scans")
+    val rows = df.collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(1)).sum === 109L)
+  }
 }
