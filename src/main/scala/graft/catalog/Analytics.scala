@@ -2228,7 +2228,56 @@ object Analytics extends QueryModule {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- Theil–Sen robust trend ----------------------------------------------
+
+  /** Theil–Sen estimator of the daily-revenue trend: the MEDIAN of all
+    * pairwise slopes between daily totals — the robust twin of
+    * [[linregTrend]] (one wild day moves OLS arbitrarily; it moves a
+    * median of slopes not at all, breakdown point 29 %). Slopes are exact
+    * integers (micro-cents/day, truncating div — Spark `div` and DuckDB
+    * `//` both truncate toward zero, pinned by spec on a negative pair);
+    * the median is the lower median at rank ⌈n/2⌉, deterministic.
+    *
+    * Scale shape: the corpus collapses to ONE row per day before anything
+    * quadratic happens, so the pair frame is |days|²/2 — bounded by the
+    * CALENDAR, not the data (a decade is ~6.7 M pairs); the single-
+    * partition rank window runs on that calendar-bounded frame only.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val a = daily.select(col("day").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("day").as("d2"), col("y").as("y2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .select(expr("(1000000 * (y2 - y1)) div (d2 - d1)").as("slope_u"))
+    val ranked = pairs.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("slope_u"))).cast("long"))
+    ranked.crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .where(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("slope_u").as("slope_u_med"))
+  }
+
+  private val theilSenSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1
+      |), pairs AS (
+      |  SELECT (1000000 * (b.y - a.y)) // (b.day - a.day) AS slope_u
+      |  FROM daily a JOIN daily b ON a.day < b.day
+      |), r AS (
+      |  SELECT slope_u, row_number() OVER (ORDER BY slope_u) AS rk,
+      |    count(*) OVER () AS n_pairs
+      |  FROM pairs
+      |)
+      |SELECT n_pairs, slope_u AS slope_u_med
+      |FROM r WHERE rk = (n_pairs + 1) // 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("theil_sen", theilSen, Some(theilSenSql)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
     QueryDef("ols_multi", olsMulti, Some(olsMultiSql)),
     QueryDef("anova_groups", anovaGroups, Some(anovaGroupsSql)),

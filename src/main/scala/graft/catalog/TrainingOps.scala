@@ -1,11 +1,11 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, TextFns}
 import graft.operators.VectorOps
 
 /** Training-data-pipeline operators, round 10: the audits and transforms a
@@ -728,6 +728,288 @@ object TrainingOps extends QueryModule {
       |    // count(*) AS w_mean_ppm
       |FROM ev CROSS JOIN a GROUP BY event_type""".stripMargin
 
+  // ---- Brier reliability ------------------------------------------------------
+
+  /** Brier-score reliability table for a probabilistic classifier: the
+    * predictor is the capped English-stopword count (p̂ = min(count,10)/10,
+    * an 11-cell probability grid), the outcome is the corpus `lang` tag.
+    * Per probability cell: n, positives, the EXACT integer squared-error
+    * sum in (milli)² units — per-row square ≤ 10⁶ so the sum holds to
+    * ~9·10¹² rows in int64 — and the cell Brier in micro units
+    * (truncating div). The Brier score is the PROPER scoring rule a
+    * quality/language classifier gate should report instead of accuracy;
+    * the per-cell table is its Murphy reliability decomposition. One
+    * map-only scan + an 11-row rollup.
+    */
+  def brierScore(spark: SparkSession, dir: String): DataFrame = {
+    val nStop = size(filter(TextFns.tokens(lower(col("text"))),
+      t => Seq("the", "of", "and", "to", "in", "is", "it", "that", "for",
+        "on").map(s => t === lit(s)).reduce(_ || _)))
+    Tables.documents(spark, dir)
+      .select(least(nStop, lit(10)).cast("long").as("p_deci"),
+        (col("lang") === "en").cast("long").as("y"))
+      .withColumn("sq",
+        (col("p_deci") * 100 - col("y") * 1000) *
+          (col("p_deci") * 100 - col("y") * 1000))
+      .groupBy(col("p_deci"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("sq")).as("sum_sq"))
+      .withColumn("brier_u", expr("sum_sq div n"))
+  }
+
+  private val brierScoreSql = {
+    val wl = TextFns.tokensSql("lower(text)")
+    val stops = Seq("the", "of", "and", "to", "in", "is", "it", "that",
+      "for", "on").map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT least(len(list_filter($wl, x -> list_contains($stops, x))),
+       |           10)::BIGINT AS p_deci,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |)
+       |SELECT p_deci, count(*) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum((p_deci * 100 - y * 1000) * (p_deci * 100 - y * 1000))
+       |    AS BIGINT) AS sum_sq,
+       |  CAST(sum((p_deci * 100 - y * 1000) * (p_deci * 100 - y * 1000))
+       |    AS BIGINT) // count(*) AS brier_u
+       |FROM d GROUP BY p_deci""".stripMargin
+  }
+
+  // ---- inverse-propensity-scored policy evaluation ----------------------------
+
+  /** Offline (counterfactual) policy evaluation by inverse-propensity
+    * scoring: estimate the mean event value a UNIFORM-over-types target
+    * policy would observe, from logs collected under the empirical
+    * behavior policy — the core off-policy estimator (Horvitz–Thompson)
+    * behind every "would the new sampling mix be better" question asked
+    * of logged data. Per-event weight wᵢ = π(aᵢ)/p̂(aᵢ) = N/(K·n_a)
+    * depends only on the event's TYPE, so the whole estimate collapses
+    * onto the ≤K-row per-type table: naive mean, IPS mean (per-type
+    * truncating micro terms, summed), and the effective sample size
+    * K²/Σ(1/n_a) that says how much log the reweighting threw away. ONE
+    * corpus scan; everything after is K-row arithmetic.
+    */
+  def ipsPolicyEval(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_a"), sum(col("cents")).as("s_a"))
+    val k = perType.agg(count(lit(1)).as("k_types"), sum(col("n_a")).as("n"))
+    perType.crossJoin(broadcast(k))
+      .agg(first(col("n")).as("n"), first(col("k_types")).as("k_types"),
+        expr("(1000000 * sum(s_a)) div first(n)").as("naive_u"),
+        sum(expr("(1000000 * s_a) div (k_types * n_a)")).as("ips_u"),
+        expr("CAST(round(1000e0 * first(k_types) * first(k_types)" +
+          " / sum(1e0 / n_a)) AS BIGINT)").as("ess_milli"))
+  }
+
+  private val ipsPolicyEvalSql =
+    """WITH t AS (
+      |  SELECT event_type, count(*) AS n_a,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_a
+      |  FROM events GROUP BY event_type
+      |), k AS (SELECT count(*) AS k_types, CAST(sum(n_a) AS BIGINT) AS n FROM t)
+      |SELECT any_value(n) AS n, any_value(k_types) AS k_types,
+      |  (1000000 * CAST(sum(s_a) AS BIGINT)) // any_value(n) AS naive_u,
+      |  CAST(sum((1000000 * s_a) // (k_types * n_a)) AS BIGINT) AS ips_u,
+      |  CAST(round(1000e0 * any_value(k_types) * any_value(k_types)
+      |    / sum(1e0 / n_a)) AS BIGINT) AS ess_milli
+      |FROM t CROSS JOIN k""".stripMargin
+
+  // ---- cluster purity prune -----------------------------------------------
+
+  /** Cluster-level pruning decision table (the MiniPile/SemDeDup recipe:
+    * cluster the corpus, then DROP whole low-quality clusters rather than
+    * scoring documents one by one): per k-means cluster, size, the
+    * majority label and its purity in basis points, and the keep/drop
+    * verdict at ≥ 25 % purity. Consumes the SAME memoized deterministic
+    * Lloyd assignment as cluster_sample/semantic_dedup ([[graft.core
+    * .Shared]] "kmeans_assignment"), so the expensive part is already
+    * paid; everything here is one (cluster × label)-bounded count and a
+    * ≤k-row argmax window.
+    */
+  def clusterPrune(spark: SparkSession, dir: String): DataFrame = {
+    val km = LlmPipeline.kmeansCluster(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val cell = km.join(lab, "vec_id")
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("c").desc, col("label"))
+    cell
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("cluster"))))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("n"),
+        col("label").as("top_label"),
+        expr("(10000 * c) div n").as("purity_bp"),
+        (expr("(10000 * c) div n") >= 2500).cast("long").as("kept"))
+  }
+
+  private val clusterPruneSql = {
+    val km = graft.operators.KMeans.clusterSql(
+      "embeddings", "vec_id", "embedding", 8, 3, 64)
+    s"""WITH km AS (
+       |${km.linesIterator.map("  " + _).mkString("\n")}
+       |), cell AS (
+       |  SELECT km.cluster, e.label, count(*) AS c
+       |  FROM km JOIN embeddings e USING (vec_id)
+       |  GROUP BY km.cluster, e.label
+       |), r AS (
+       |  SELECT cluster, label, c,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label)
+       |      AS rk,
+       |    sum(c) OVER (PARTITION BY cluster) AS n
+       |  FROM cell
+       |)
+       |SELECT cluster, CAST(n AS BIGINT) AS n, label AS top_label,
+       |  (10000 * c) // n AS purity_bp,
+       |  CAST(CASE WHEN (10000 * c) // n >= 2500 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept
+       |FROM r WHERE rk = 1""".stripMargin
+  }
+
+  // ---- curriculum shard assignment -------------------------------------------
+
+  private val CurrShards = 8
+
+  /** Difficulty-ordered curriculum shard assignment: each document gets an
+    * integer difficulty (the Flesch–Kincaid censuses in truncating milli
+    * units — words-per-sentence + syllables-per-word terms), the corpus is
+    * globally ranked by (difficulty, doc_id), and rank mod [[CurrShards]]
+    * deals documents round-robin into shards — so every shard sees the
+    * same difficulty SPECTRUM while the within-shard order ascends (the
+    * standard curriculum-with-coverage deal). The global rank is NOT a
+    * single-reducer window: range-partition by (difficulty, doc_id),
+    * per-partition local ranks, bounded base-offset table broadcast back
+    * (the stratified_kfold / doc_offsets device). Readout attests
+    * MEMBERSHIP per shard: count, id-sum, difficulty-sum and extremes.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val nonEmpty = (c: Column) => size(filter(c, t => t =!= "")).cast("long")
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("words"),
+      greatest(nonEmpty(split(col("text"), "[^.!?]+")), lit(1L))
+        .as("sentences"),
+      nonEmpty(split(lower(col("text")), "[^aeiouy]+")).as("syllables"))
+      .select(col("doc_id"),
+        (expr("(390000 * words) div sentences") +
+          expr("(11800000 * syllables) div greatest(words, 1)")).as("diff_m"))
+    val parts = graft.core.Materialize(
+      d.repartitionByRange(col("diff_m"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val base = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("base"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("diff_m"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("local", coalesce(count(lit(1)).over(wLocal), lit(0L)))
+      .join(broadcast(base), "pid")
+      .withColumn("shard", ((col("base") + col("local")) % CurrShards)
+        .cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids_sum"),
+        sum(col("diff_m")).as("diff_sum"),
+        min(col("diff_m")).as("diff_min"), max(col("diff_m")).as("diff_max"))
+  }
+
+  private val curriculumOrderSql = {
+    val w = TextFns.tokensSql("text")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len($w)::BIGINT AS words,
+       |    greatest(len(list_filter(string_split_regex(text, '[^.!?]+'),
+       |                             x -> x <> '')), 1)::BIGINT AS sentences,
+       |    len(list_filter(string_split_regex(lower(text), '[^aeiouy]+'),
+       |                    x -> x <> ''))::BIGINT AS syllables
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    (390000 * words) // sentences
+       |      + (11800000 * syllables) // greatest(words, 1) AS diff_m
+       |  FROM d
+       |), r AS (
+       |  SELECT doc_id, diff_m,
+       |    CAST((row_number() OVER (ORDER BY diff_m, doc_id) - 1)
+       |      % $CurrShards AS INTEGER) AS shard
+       |  FROM s
+       |)
+       |SELECT shard, count(*) AS n,
+       |  CAST(sum(doc_id) AS BIGINT) AS ids_sum,
+       |  CAST(sum(diff_m) AS BIGINT) AS diff_sum,
+       |  CAST(min(diff_m) AS BIGINT) AS diff_min,
+       |  CAST(max(diff_m) AS BIGINT) AS diff_max
+       |FROM r GROUP BY shard""".stripMargin
+  }
+
+  // ---- int8 quantization error audit ------------------------------------------
+
+  /** Embedding int8-quantization distortion audit: symmetric per-vector
+    * int8 (scale = max |component|, code = round(127·x/scale) as the
+    * EXACT integer `(254·q + sign(q)·scale) div (2·scale)` — round-half-
+    * away-from-zero with no float in the codec), dequantize as
+    * code·scale, and report the per-label cosine distortion between the
+    * original and reconstructed vectors in micro units. This is the audit
+    * that decides whether a 4× smaller serving index is safe — run BEFORE
+    * swapping the ANN fleet to int8. All dots are exact integer
+    * ([[VectorOps]] contract; deq components ≤ 127·10⁶ keep the 64-dim
+    * norms under int64); one map-only scan + ≤|labels| rollup.
+    */
+  def quantErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val qv = VectorOps.quantize(col("embedding"))
+    val d = Tables.embeddings(spark, dir)
+      .select(col("label"), qv.as("qv"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("qv"), x => abs(x))), lit(1L)))
+      .withColumn("deq", expr(
+        "transform(qv, x -> ((x * 254 + CAST(sign(x) AS BIGINT) * scale)" +
+          " div (scale * 2)) * scale)"))
+      .select(col("label"),
+        (lit(1000000L) -
+          expr("CAST(round(1000000e0 * " +
+            "(CAST(dot_q(qv, deq) AS DOUBLE) / " +
+            "(sqrt(CAST(dot_q(qv, qv) AS DOUBLE)) * " +
+            "sqrt(CAST(dot_q(deq, deq) AS DOUBLE))))) AS BIGINT)"))
+          .as("err_u"))
+    d.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(err_u) div count(1)").as("mean_err_u"),
+        max(col("err_u")).as("max_err_u"))
+  }
+
+  private val quantErrorAuditSql = {
+    val qv = VectorOps.quantizeSql("embedding")
+    val cos = VectorOps.cosineQSql("qv", "deq", 64)
+    s"""WITH q AS (
+       |  SELECT label, $qv AS qv FROM embeddings
+       |), s AS (
+       |  SELECT label, qv,
+       |    greatest(list_max(list_transform(qv, x -> abs(x))), 1) AS scale
+       |  FROM q
+       |), z AS (
+       |  SELECT label, qv,
+       |    list_transform(qv, x ->
+       |      ((x * 254 + sign(x)::BIGINT * scale) // (scale * 2)) * scale)
+       |      AS deq
+       |  FROM s
+       |), e AS (
+       |  SELECT label,
+       |    1000000 - CAST(round(1000000e0 * ($cos)) AS BIGINT) AS err_u
+       |  FROM z
+       |)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(err_u) AS BIGINT) // count(*) AS mean_err_u,
+       |  CAST(max(err_u) AS BIGINT) AS max_err_u
+       |FROM e GROUP BY label""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("stratified_kfold", stratifiedKfold, Some(stratifiedKfoldSql)),
@@ -743,5 +1025,10 @@ object TrainingOps extends QueryModule {
     QueryDef("leakage_audit", leakageAudit, Some(leakageAuditSql)),
     QueryDef("target_encode_oof", targetEncodeOof, Some(targetEncodeOofSql)),
     QueryDef("recency_weights", recencyWeights, Some(recencyWeightsSql)),
+    QueryDef("brier_score", brierScore, Some(brierScoreSql)),
+    QueryDef("ips_policy_eval", ipsPolicyEval, Some(ipsPolicyEvalSql)),
+    QueryDef("cluster_prune", clusterPrune, Some(clusterPruneSql)),
+    QueryDef("curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
+    QueryDef("quant_error_audit", quantErrorAudit, Some(quantErrorAuditSql)),
   )
 }

@@ -120,4 +120,25 @@ class RobustStatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
     assert(got === expect)
   }
+
+  test("theil_sen: matches brute-force median of pairwise slopes") {
+    val daily = graft.core.Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield {
+      val num = 1000000L * (daily(j)._2 - daily(i)._2)
+      val den = daily(j)._1 - daily(i)._1
+      num / den // JVM / truncates toward zero — the div/`//` contract
+    }
+    assert(slopes.exists(_ < 0),
+      "corpus must exercise the negative-slope truncation path")
+    val sorted = slopes.sorted
+    val r = Analytics.theilSen(spark, dir).collect().head
+    assert(r.getLong(0) === slopes.length.toLong)
+    assert(r.getLong(1) === sorted((slopes.length + 1) / 2 - 1))
+  }
 }

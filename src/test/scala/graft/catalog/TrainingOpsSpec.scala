@@ -227,4 +227,70 @@ class TrainingOpsSpec extends SparkSpec {
       assert(below.toLong < (nCal * 95 + 99) / 100)
     }
   }
+
+  test("brier_score: per-cell squared-error algebra closes") {
+    val rows = TrainingOps.brierScore(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (p, n, nPos, sumSq, brierU) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val pm = p * 100
+      // sq per row depends only on (p_deci, y): negatives pm², positives (1000−pm)²
+      assert(sumSq === (n - nPos) * pm * pm + nPos * (1000 - pm) * (1000 - pm))
+      assert(brierU === sumSq / n)
+    }
+  }
+
+  test("ips_policy_eval: estimates recompute from per-type counts; ESS ≤ N") {
+    val r = TrainingOps.ipsPolicyEval(spark, dir).collect().head
+    val (n, k, naive, ips, ess) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    val perType = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).map { case (_, es) => (es.length.toLong, es.map(_._2).sum) }
+      .toSeq
+    assert(k === perType.length.toLong)
+    assert(n === perType.map(_._1).sum)
+    assert(naive === 1000000L * perType.map(_._2).sum / n)
+    assert(ips === perType.map { case (na, sa) => 1000000L * sa / (k * na) }.sum)
+    assert(ess <= 1000L * n, "effective sample size cannot exceed N")
+    val handEss = math.round(1000.0 * k * k /
+      perType.map { case (na, _) => 1.0 / na }.sum)
+    assert(ess === handEss)
+  }
+
+  test("cluster_prune: cluster sizes partition the corpus; purity consistent") {
+    val rows = TrainingOps.clusterPrune(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      val (purity, kept) = (r.getLong(3), r.getLong(4))
+      assert(purity > 0 && purity <= 10000)
+      assert(kept === (if (purity >= 2500) 1L else 0L))
+    }
+  }
+
+  test("curriculum_order: round-robin deal — shard counts differ by ≤1") {
+    val rows = TrainingOps.curriculumOrder(spark, dir).collect()
+    assert(rows.length === 8)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, "rank mod S must deal evenly")
+    assert(ns.sum === Tables.documents(spark, dir).count())
+    val total = Tables.documents(spark, dir)
+      .agg(sum(col("doc_id"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === total, "id sums must partition")
+    rows.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
+  }
+
+  test("quant_error_audit: distortion non-negative, mean ≤ max, all labels") {
+    val rows = TrainingOps.quantErrorAudit(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(3))
+      // int8 over 64 dims distorts cosine by well under 1%
+      assert(r.getLong(3) < 10000L, s"int8 distortion implausibly large: $r")
+    }
+  }
 }
