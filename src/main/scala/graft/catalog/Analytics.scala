@@ -2228,6 +2228,84 @@ object Analytics extends QueryModule {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- uplift by segment -----------------------------------------------------
+
+  private val UpliftSeed = 47
+
+  /** Segment-level uplift readout for the hash-randomized experiment: per
+    * user-activity band (light/medium/heavy by event count), the
+    * treatment−control difference in purchase-conversion rate, in exact
+    * basis points (each rate its own truncating 10⁴ cross-multiply — no
+    * float subtraction). This is the heterogeneous-treatment-effect table
+    * behind every "ship it for whom?" decision; a flat experiment readout
+    * ([[abTest]]) averages away exactly what this surfaces. Bands are
+    * RELATIVE to the corpus's own mean activity (light < 90 %, heavy >
+    * 110 %, integer cross-multiplied against a broadcast 1-row total), so
+    * the segmentation is scale-free. Shape: one per-user rollup (arm is a
+    * pure hash of the id, the split_assign device), one ≤(3 bands ×
+    * 2 arms) aggregate.
+    */
+  def upliftBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val arm = graft.functions.PortableHash
+      .h48(col("user_id").cast("string"), UpliftSeed) % 2
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max((col("event_type") === "purchase").cast("long")).as("converted"))
+      .select(arm.as("arm"), col("n_ev"), col("converted"))
+    val tot = perUser.agg(sum(col("n_ev")).as("total_ev"),
+      count(lit(1)).as("n_users"))
+    perUser.crossJoin(broadcast(tot))
+      .withColumn("segment",
+        when(expr("10 * n_ev * n_users < 9 * total_ev"), "light")
+          .when(expr("10 * n_ev * n_users > 11 * total_ev"), "heavy")
+          .otherwise("medium"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("users_t"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("users_c"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_c"))
+      .withColumn("uplift_bp",
+        // greatest(·,1): a tiny-SF segment can have an empty arm (conv is
+        // then 0 too, so the guarded rate is correctly 0, not an error)
+        expr("(10000 * conv_t) div greatest(users_t, 1)" +
+          " - (10000 * conv_c) div greatest(users_c, 1)"))
+  }
+
+  private val upliftBySegmentSql = {
+    val h = graft.functions.PortableHash.h48Sql("user_id::VARCHAR", UpliftSeed)
+    s"""WITH pu AS (
+       |  SELECT user_id, count(*) AS n_ev,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS converted,
+       |    $h % 2 AS arm
+       |  FROM events GROUP BY user_id
+       |), tot AS (
+       |  SELECT CAST(sum(n_ev) AS BIGINT) AS total_ev, count(*) AS n_users
+       |  FROM pu
+       |), s AS (
+       |  SELECT CASE WHEN 10 * n_ev * n_users < 9 * total_ev THEN 'light'
+       |              WHEN 10 * n_ev * n_users > 11 * total_ev THEN 'heavy'
+       |              ELSE 'medium' END AS segment,
+       |    arm, converted
+       |  FROM pu CROSS JOIN tot
+       |), g AS (
+       |  SELECT segment,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_t,
+       |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+       |      AS conv_t,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_c,
+       |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+       |      AS conv_c
+       |  FROM s GROUP BY segment
+       |)
+       |SELECT segment, users_t, conv_t, users_c, conv_c,
+       |  (10000 * conv_t) // greatest(users_t, 1)
+       |    - (10000 * conv_c) // greatest(users_c, 1) AS uplift_bp
+       |FROM g""".stripMargin
+  }
+
   // ---- Theil–Sen robust trend ----------------------------------------------
 
   /** Theil–Sen estimator of the daily-revenue trend: the MEDIAN of all
@@ -2278,6 +2356,7 @@ object Analytics extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("theil_sen", theilSen, Some(theilSenSql)),
+    QueryDef("uplift_by_segment", upliftBySegment, Some(upliftBySegmentSql)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
     QueryDef("ols_multi", olsMulti, Some(olsMultiSql)),
     QueryDef("anova_groups", anovaGroups, Some(anovaGroupsSql)),

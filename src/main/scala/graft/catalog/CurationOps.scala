@@ -530,6 +530,160 @@ object CurationOps extends QueryModule {
        |FROM g""".stripMargin
   }
 
+  // ---- content-defined chunk dedup --------------------------------------------
+
+  /** Boundary gate for [[contentChunkDedup]]: a token opens a new chunk
+    * when its portable hash lands in 1/16 of the space — expected chunk
+    * length 16 tokens, and the boundary decision depends ONLY on local
+    * content, never on offsets.
+    */
+  private val ChunkMask = 16L
+  private val ChunkSeed = 59
+
+  /** Content-defined-chunking dedup rate per source — the STORAGE-dedup
+    * recipe (LBFS/rsync lineage) next to the similarity recipes: chunk
+    * boundaries are set by the CONTENT (portable hash of the token ∈
+    * 1/[[ChunkMask]] of the space), so an insertion early in a document
+    * shifts no boundary after the next gate token and the shared tail
+    * still dedups — exactly what fixed 8-gram spans (span_dedup) and
+    * whole-doc hashes (dedup_exact) cannot give. Pipeline: posexplode →
+    * per-doc running boundary count (window per doc_id: reducer keys =
+    * documents, bounded per-doc work) → chunk text via order-pinned
+    * string_agg → md5 → per-source distinct/dup census. Everything is
+    * token-linear; the chunk-hash rollup is the only shuffle that
+    * matters.
+    */
+  def contentChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunks = toks
+      .withColumn("gate",
+        (graft.functions.PortableHash.h48(col("tok"), ChunkSeed)
+          % ChunkMask === 0L).cast("long"))
+      .withColumn("chunk", sum(col("gate")).over(wDoc))
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("h"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_bp",
+        expr("(10000 * (n_chunks - n_distinct)) div n_chunks"))
+  }
+
+  private val contentChunkDedupSql = {
+    val w = TextFns.tokensSql("text")
+    val h = graft.functions.PortableHash.h48Sql("tok", ChunkSeed)
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $w AS toks FROM documents
+       |), u AS (
+       |  SELECT doc_id, source, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS pos
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, source, tok, pos,
+       |    sum(CASE WHEN $h % $ChunkMask = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+       |  FROM u
+       |), c AS (
+       |  SELECT doc_id, source, chunk,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+       |  FROM g GROUP BY doc_id, source, chunk
+       |)
+       |SELECT source, count(*) AS n_chunks,
+       |  count(DISTINCT h) AS n_distinct,
+       |  (10000 * (count(*) - count(DISTINCT h))) // count(*) AS dup_bp
+       |FROM c GROUP BY source""".stripMargin
+  }
+
+  // ---- mojibake / encoding-damage scan -----------------------------------------
+
+  /** Encoding-damage census per source: occurrences of the Unicode
+    * replacement character (U+FFFD — a decoder already gave up) and the
+    * two classic UTF-8-read-as-Latin-1 mojibake signatures (`Ã`-prefixed
+    * vowels, `â€`-prefixed punctuation). Counting is the codegen'd
+    * subtraction device `(len(text) − len(replace(text, m, ''))) ÷
+    * len(m)` — three literal replaces, no regex, no explode; one
+    * ≤|sources| rollup. The readout every ingest gate runs before
+    * trusting a feed's declared encoding.
+    */
+  def mojibakeScan(spark: SparkSession, dir: String): DataFrame = {
+    def occ(m: String) =
+      ((length(col("text")) -
+        length(call_function("replace", col("text"), lit(m), lit(""))))
+        .cast("long") / lit(m.length.toLong)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        occ("�").as("n_fffd"),
+        occ("Ã").as("n_a_tilde"),
+        occ("â€").as("n_smart_punct"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_fffd")).as("fffd_occ"),
+        sum(col("n_a_tilde")).as("a_tilde_occ"),
+        sum(col("n_smart_punct")).as("smart_punct_occ"),
+        sum(((col("n_fffd") + col("n_a_tilde") + col("n_smart_punct")) > 0)
+          .cast("long")).as("n_damaged"))
+  }
+
+  private val mojibakeScanSql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    (len(text) - len(replace(text, chr(65533), ''))) AS n_fffd,
+       |    (len(text) - len(replace(text, chr(195), ''))) AS n_a_tilde,
+       |    (len(text) - len(replace(text, chr(226) || chr(8364), ''))) // 2
+       |      AS n_smart_punct
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_fffd) AS BIGINT) AS fffd_occ,
+       |  CAST(sum(n_a_tilde) AS BIGINT) AS a_tilde_occ,
+       |  CAST(sum(n_smart_punct) AS BIGINT) AS smart_punct_occ,
+       |  CAST(sum(CASE WHEN n_fffd + n_a_tilde + n_smart_punct > 0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged
+       |FROM d GROUP BY source""".stripMargin
+
+  // ---- cross-source duplicate overlap matrix ------------------------------------
+
+  /** Source-pair overlap matrix over shared BOILERPLATE TEMPLATES: for
+    * every pair of sources, how many distinct normalized leading-8-token
+    * prefixes (the [[MixtureOps]] prefix_dup fingerprint) appear in both —
+    * the provenance readout that finds mirror/syndication feeds BEFORE
+    * similarity dedup spends compute on them (its diagonal-free
+    * complement dedup_rate_by_source only says how much of each source is
+    * duplicated, not WITH WHOM). Shape: prefix key per doc (map-only), a
+    * DISTINCT (key, source) frame, then a self-join ON THE KEY — the
+    * per-key fan-out is ≤|sources|², a constant, so the join output is
+    * bounded by distinct-key count × sources², never corpus-quadratic.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = md5(array_join(
+      slice(TextFns.tokens(lower(col("text"))), 1, 8), " "))
+    val hs = Tables.documents(spark, dir)
+      .select(prefix.as("h"), col("source"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  private val sourceOverlapMatrixSql = {
+    val w = TextFns.tokensSql("lower(text)")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT md5(array_to_string(($w)[1:8], ' ')) AS h, source
+       |  FROM documents
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       |GROUP BY a.source, b.source""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("pad_efficiency", padEfficiency, Some(padEfficiencySql)),
@@ -540,5 +694,10 @@ object CurationOps extends QueryModule {
     QueryDef("gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("readability", readability, Some(readabilitySql)),
     QueryDef("mcnemar_test", mcnemarTest, Some(mcnemarTestSql)),
+    QueryDef("content_chunk_dedup", contentChunkDedup,
+      Some(contentChunkDedupSql)),
+    QueryDef("mojibake_scan", mojibakeScan, Some(mojibakeScanSql)),
+    QueryDef("source_overlap_matrix", sourceOverlapMatrix,
+      Some(sourceOverlapMatrixSql)),
   )
 }

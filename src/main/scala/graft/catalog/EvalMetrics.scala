@@ -893,6 +893,116 @@ object EvalMetrics extends QueryModule {
        |  count(*) - 1 AS df, CAST(sum(ca + cb) AS BIGINT) AS chi2_milli
        |FROM x""".stripMargin
 
+  // ---- cumulative lift table ------------------------------------------------
+
+  /** Cumulative lift table for the stopword-count English scorer: rank the
+    * 11 score cells best-first, and per cutoff report how much better the
+    * kept slice's positive rate is than the corpus base rate
+    * (lift·1000 = (cum_pos·N) ÷ (cum_n·P), exact integer cross-multiply).
+    * The lift curve is THE triage readout for a quality gate — "if we can
+    * only afford to keep 30 %, how enriched is it" — and is deliberately
+    * computed on the SCORE-CELL rollup, not per document: the corpus
+    * collapses to ≤ 11 rows before any window runs, so the cumulative
+    * pass is constant-size at every scale factor.
+    */
+  def liftTable(spark: SparkSession, dir: String): DataFrame = {
+    val nStop = size(filter(
+      graft.functions.TextFns.tokens(lower(col("text"))),
+      t => Seq("the", "of", "and", "to", "in", "is", "it", "that", "for",
+        "on").map(s => t === lit(s)).reduce(_ || _)))
+    val cells = Tables.documents(spark, dir)
+      .select(least(nStop, lit(10)).cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = cells.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+    cells
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        expr("(1000 * cum_pos * nn) div (cum_n * pp)").as("lift_milli"))
+  }
+
+  private val liftTableSql = {
+    val wl = graft.functions.TextFns.tokensSql("lower(text)")
+    val stops = Seq("the", "of", "and", "to", "in", "is", "it", "that",
+      "for", "on").map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT least(len(list_filter($wl, x -> list_contains($stops, x))),
+       |           10)::BIGINT AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |), cells AS (
+       |  SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM d GROUP BY score
+       |), c AS (
+       |  SELECT score, n, pos,
+       |    sum(n) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+       |    sum(pos) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+       |  FROM cells
+       |), tot AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM cells)
+       |SELECT score, n, pos,
+       |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+       |  CAST((1000 * cum_pos * nn) // (cum_n * pp) AS BIGINT) AS lift_milli
+       |FROM c CROSS JOIN tot""".stripMargin
+  }
+
+  // ---- MASE forecast-skill readout -------------------------------------------
+
+  /** Mean-absolute-scaled-error readout for the weekly-seasonal naive
+    * forecaster on daily revenue: MAE of the lag-7 forecast scaled by MAE
+    * of the lag-1 naive (Hyndman & Koehler 2006). MASE < 1000 (milli)
+    * means weekly seasonality genuinely predicts — the go/no-go for the
+    * seasonal_forecast operator's model family. Everything after the
+    * daily rollup is CALENDAR-bounded: the two lag series are windows on
+    * the ≤|days| frame, absolute-error sums are exact cents, and the
+    * final ratio is one integer cross-multiply.
+    */
+  def maseEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("y1", lag(col("y"), 1).over(w))
+      .withColumn("y7", lag(col("y"), 7).over(w))
+      .agg(
+        sum(when(col("y7").isNotNull, abs(col("y") - col("y7")))).as("sae7"),
+        count(when(col("y7").isNotNull, 1)).as("n7"),
+        sum(when(col("y1").isNotNull, abs(col("y") - col("y1")))).as("sae1"),
+        count(when(col("y1").isNotNull, 1)).as("n1"))
+      .withColumn("mase_milli",
+        expr("(1000 * sae7 * n1) div (sae1 * n7)"))
+  }
+
+  private val maseEvalSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1
+      |), l AS (
+      |  SELECT y, lag(y, 1) OVER (ORDER BY day) AS y1,
+      |    lag(y, 7) OVER (ORDER BY day) AS y7
+      |  FROM daily
+      |), m AS (
+      |  SELECT CAST(sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) END) AS BIGINT)
+      |      AS sae7,
+      |    count(CASE WHEN y7 IS NOT NULL THEN 1 END) AS n7,
+      |    CAST(sum(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS BIGINT)
+      |      AS sae1,
+      |    count(CASE WHEN y1 IS NOT NULL THEN 1 END) AS n1
+      |  FROM l
+      |)
+      |SELECT sae7, n7, sae1, n1,
+      |  (1000 * sae7 * n1) // (sae1 * n7) AS mase_milli
+      |FROM m""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("eval_confusion", evalConfusion, Some(evalConfusionSql)),
     QueryDef("auc_rank", aucRank, Some(aucRankSql)),
@@ -906,5 +1016,7 @@ object EvalMetrics extends QueryModule {
     QueryDef("hhi_concentration", hhiConcentration, Some(hhiConcentrationSql)),
     QueryDef("bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("chi2_drift", chi2Drift, Some(chi2DriftSql)),
+    QueryDef("lift_table", liftTable, Some(liftTableSql)),
+    QueryDef("mase_eval", maseEval, Some(maseEvalSql)),
   )
 }

@@ -892,6 +892,45 @@ object IoCatalog extends QueryModule {
       |  CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Point-lookup part keys for [[parquetBloomFilter]] — low enough to
+    * exist at every scale factor (sf0.001 has 200 parts). */
+  private val BloomProbeKeys = Seq(7L, 77L, 177L)
+
+  /** Parquet bloom-filter write/read path: the fact slice is written with
+    * a COLUMN-LEVEL BLOOM FILTER on the point-lookup key
+    * (`parquet.bloom.filter.enabled#l_partkey`) plus small row groups, so
+    * a selective equality probe skips row groups whose filter proves the
+    * key absent — the storage-side rejection that min/max statistics
+    * cannot give a HIGH-CARDINALITY UNSORTED key (every row group's
+    * partkey range spans the domain; only the bloom filter discriminates).
+    * At 100 TB this is the difference between a point lookup touching
+    * ~one row group per file and scanning all of them. The readout
+    * re-aggregates the probed keys so the oracle attests the roundtrip
+    * end-to-end.
+    */
+  def parquetBloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir("parquet_bloom", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_partkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_partkey", "1000000")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(s"$path/bloomed")
+    spark.read.parquet(s"$path/bloomed")
+      .where(col("l_partkey").isin(BloomProbeKeys: _*))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  private val parquetBloomFilterSql =
+    s"""SELECT l_partkey, count(*) AS n_rows,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |FROM lineitem
+       |WHERE l_partkey IN (${BloomProbeKeys.mkString(", ")})
+       |GROUP BY l_partkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("text_roundtrip", textRoundtrip, Some(textRoundtripSql)),
     QueryDef("orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
@@ -925,5 +964,7 @@ object IoCatalog extends QueryModule {
     QueryDef("multiple_outputs_write", multipleOutputsWrite, Some(multipleOutputsWriteSql)),
     QueryDef("multiple_outputs_named", multipleOutputsNamed, Some(multipleOutputsNamedSql)),
     QueryDef("jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
+    QueryDef("parquet_bloom_filter", parquetBloomFilter,
+      Some(parquetBloomFilterSql)),
   )
 }

@@ -1010,6 +1010,91 @@ object TrainingOps extends QueryModule {
        |FROM e GROUP BY label""".stripMargin
   }
 
+  // ---- rolling-origin (forward-chaining) CV splits ----------------------------
+
+  /** Rolling-origin evaluation splits over the event stream — the
+    * time-series answer to k-fold (training on the future of your test
+    * window is the classic leakage): three origins at 40/60/80 % of the
+    * corpus's own day range, train = everything before the origin, test =
+    * the 5 days from it. Per origin the readout is the split census plus
+    * the two numbers that decide whether the split is usable: how many
+    * test-window users have train history (warm) and how many are cold —
+    * a recommender eval with 90 % cold users is measuring the fallback,
+    * not the model. Shape: one (user, day)-distinct frame joined to a
+    * broadcast 3-row origin table derived from the corpus's own (min,
+    * max) bounds; nothing here is calendar-pinned or data-quadratic.
+    */
+  def rollingOriginCv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("ts div 86400000000000").as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val origins = bounds.select(explode(array(lit(40L), lit(60L), lit(80L)))
+      .as("origin_pct"), col("d0"), col("d1"))
+      .withColumn("t", expr("d0 + ((d1 - d0) * origin_pct) div 100"))
+      .select(col("origin_pct"), col("t"))
+    // event-level census per origin
+    val census = ev.crossJoin(broadcast(origins))
+      .withColumn("split",
+        when(col("day") < col("t"), "train")
+          .when(col("day") < col("t") + 5, "test"))
+      .where(col("split").isNotNull)
+      .groupBy(col("origin_pct"))
+      .agg(sum((col("split") === "train").cast("long")).as("n_train"),
+        sum((col("split") === "test").cast("long")).as("n_test"),
+        sum(when(col("split") === "test", col("cents"))
+          .otherwise(lit(0L))).as("test_cents"))
+    // user-level warm/cold census per origin, from a (user, day) distinct
+    // frame (bounded by users × days, never event-sized)
+    val ud = ev.select(col("user_id"), col("day")).distinct()
+    val users = ud.crossJoin(broadcast(origins))
+      .groupBy(col("origin_pct"), col("user_id"))
+      .agg(max((col("day") < col("t")).cast("long")).as("has_train"),
+        max((col("day") >= col("t") && col("day") < col("t") + 5)
+          .cast("long")).as("has_test"))
+      .where(col("has_test") === 1)
+      .groupBy(col("origin_pct"))
+      .agg(sum(col("has_train")).as("warm_users"),
+        sum(lit(1L) - col("has_train")).as("cold_users"))
+    census.join(users, "origin_pct")
+  }
+
+  private val rollingOriginCvSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |o AS (
+      |  SELECT origin_pct, d0 + ((d1 - d0) * origin_pct) // 100 AS t
+      |  FROM b, (SELECT unnest([40, 60, 80]) AS origin_pct)
+      |), census AS (
+      |  SELECT origin_pct,
+      |    CAST(sum(CASE WHEN day < t THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(sum(CASE WHEN day >= t AND day < t + 5 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN day >= t AND day < t + 5 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS test_cents
+      |  FROM ev CROSS JOIN o
+      |  WHERE day < t + 5
+      |  GROUP BY origin_pct
+      |), ud AS (SELECT DISTINCT user_id, day FROM ev),
+      |u AS (
+      |  SELECT origin_pct, user_id,
+      |    max(CASE WHEN day < t THEN 1 ELSE 0 END) AS has_train,
+      |    max(CASE WHEN day >= t AND day < t + 5 THEN 1 ELSE 0 END) AS has_test
+      |  FROM ud CROSS JOIN o
+      |  GROUP BY origin_pct, user_id
+      |), uu AS (
+      |  SELECT origin_pct,
+      |    CAST(sum(has_train) AS BIGINT) AS warm_users,
+      |    CAST(sum(1 - has_train) AS BIGINT) AS cold_users
+      |  FROM u WHERE has_test = 1 GROUP BY origin_pct
+      |)
+      |SELECT census.origin_pct, n_train, n_test, test_cents,
+      |  warm_users, cold_users
+      |FROM census JOIN uu USING (origin_pct)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("stratified_kfold", stratifiedKfold, Some(stratifiedKfoldSql)),
@@ -1030,5 +1115,6 @@ object TrainingOps extends QueryModule {
     QueryDef("cluster_prune", clusterPrune, Some(clusterPruneSql)),
     QueryDef("curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     QueryDef("quant_error_audit", quantErrorAudit, Some(quantErrorAuditSql)),
+    QueryDef("rolling_origin_cv", rollingOriginCv, Some(rollingOriginCvSql)),
   )
 }

@@ -207,4 +207,46 @@ class CurationOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((500L, 95L, 72L, 2898204L)))
   }
+
+  test("content_chunk_dedup: every doc chunks; dup algebra closes") {
+    val rows = CurationOps.contentChunkDedup(spark, dir).collect()
+    assert(rows.length === 20)
+    val docs = Tables.documents(spark, dir).count()
+    // ≥ 1 chunk per document (all corpus docs have tokens)
+    assert(rows.map(_.getLong(1)).sum >= docs)
+    rows.foreach { r =>
+      val (n, d, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d >= 1 && d <= n)
+      assert(bp === 10000 * (n - d) / n)
+    }
+  }
+
+  test("mojibake_scan: clean synthetic corpus — zero damage, full census") {
+    val rows = CurationOps.mojibakeScan(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1))
+      // occurrences can only be zero when no doc is flagged damaged
+      if (r.getLong(2) + r.getLong(3) + r.getLong(4) === 0L)
+        assert(r.getLong(5) === 0L)
+    }
+  }
+
+  test("source_overlap_matrix: matches brute-force prefix-key recount") {
+    val prefixes = Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text")).as("t")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("\\s+").filter(_.nonEmpty).take(8).mkString(" ")))
+      .distinct
+    val byKey = prefixes.groupBy(_._2).values
+      .flatMap { g =>
+        val ss = g.map(_._1).distinct.sorted
+        for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+      }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    val got = CurationOps.sourceOverlapMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === byKey)
+  }
 }

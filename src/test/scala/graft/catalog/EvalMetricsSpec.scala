@@ -270,4 +270,46 @@ class EvalMetricsSpec extends SparkSpec {
       assert(milli === acf(lag.toInt), s"lag $lag")
     }
   }
+
+  test("lift_table: full-corpus cutoff has lift exactly 1000; cum monotone") {
+    val rows = EvalMetrics.liftTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(-_._1)
+    // cum columns must be running sums in score-desc order
+    assert(rows.map(_._2).sum === rows.last._4)
+    assert(rows.map(_._3).sum === rows.last._5)
+    rows.indices.drop(1).foreach { i =>
+      assert(rows(i)._4 === rows(i - 1)._4 + rows(i)._2)
+      assert(rows(i)._5 === rows(i - 1)._5 + rows(i)._3)
+    }
+    // keeping everything = base rate (milli cross-multiply is exact here)
+    val (_, _, _, cumN, cumPos, lift) = rows.last
+    assert(lift === 1000L * cumPos * cumN / (cumN * cumPos))
+    assert(lift === 1000L)
+    // every cutoff's lift recomputes from its own cumulative cells (the
+    // curve itself need not be monotone for a miscalibrated scorer —
+    // sf0.001's top cell genuinely under-enriches, and that's the point
+    // of publishing the table)
+    rows.foreach { case (_, _, _, cn, cp, l) =>
+      assert(l === 1000L * cp * cumN / (cn * cumPos))
+    }
+  }
+
+  test("mase_eval: matches brute-force lag series on daily totals") {
+    val daily = graft.core.Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    def sae(lag: Int) =
+      (lag until daily.length).map(i => math.abs(daily(i) - daily(i - lag)))
+        .map(BigInt(_)).sum
+    val r = EvalMetrics.maseEval(spark, dir).collect().head
+    assert(r.getLong(0) === sae(7).toLong)
+    assert(r.getLong(1) === (daily.length - 7).toLong)
+    assert(r.getLong(2) === sae(1).toLong)
+    assert(r.getLong(3) === (daily.length - 1).toLong)
+    assert(BigInt(r.getLong(4)) ===
+      1000 * sae(7) * (daily.length - 1) / (sae(1) * (daily.length - 7)))
+  }
 }

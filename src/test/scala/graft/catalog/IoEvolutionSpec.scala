@@ -33,4 +33,19 @@ class IoEvolutionSpec extends SparkSpec {
       .agg(sum(col("n_chars"))).head().getLong(0)
     assert(r.getLong(2) === goodChars)
   }
+
+  test("parquet_bloom_filter: probe pushes In-filter to the scan; values match") {
+    val df = IoCatalog.parquetBloomFilter(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(l_partkey"),
+      s"partkey IN-probe not pushed to the bloomed scan:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = graft.core.Tables.lineitem(spark, dir)
+      .where(col("l_partkey").isin(7L, 77L, 177L))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
 }

@@ -284,6 +284,41 @@ class TrainingOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
   }
 
+  test("rolling_origin_cv: train grows with origin; warm+cold = test users") {
+    val rows = TrainingOps.rollingOriginCv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(40L, 60L, 80L))
+    // a later origin can only see MORE training history
+    assert(rows(0)._2 < rows(1)._2 && rows(1)._2 < rows(2)._2)
+    // warm/cold recount from raw events per origin
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    rows.foreach { case (pct, _, _, _, warm, cold) =>
+      val t = d0 + (d1 - d0) * pct / 100
+      val testUsers = ev.filter(e => e._2 >= t && e._2 < t + 5).map(_._1).toSet
+      val trainUsers = ev.filter(_._2 < t).map(_._1).toSet
+      assert(warm === (testUsers & trainUsers).size.toLong)
+      assert(cold === (testUsers -- trainUsers).size.toLong)
+    }
+  }
+
+  test("uplift_by_segment: arms partition users; uplift recomputes from cells") {
+    val rows = Analytics.upliftBySegment(spark, dir).collect()
+    assert(rows.length === 3)
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum === users)
+    rows.foreach { r =>
+      val (ut, ct, uc, cc, bp) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(ct <= ut && cc <= uc)
+      assert(bp === 10000 * ct / math.max(ut, 1) - 10000 * cc / math.max(uc, 1))
+    }
+  }
+
   test("quant_error_audit: distortion non-negative, mean ≤ max, all labels") {
     val rows = TrainingOps.quantErrorAudit(spark, dir).collect()
     assert(rows.length === 10)
