@@ -924,6 +924,90 @@ object Algorithms extends QueryModule {
        |FROM eu""".stripMargin
   }
 
+  // ---- minimum spanning forest (single-linkage backbone) ---------------------
+
+  /** Borůvka rounds the ORACLE unrolls — 14 covers 2¹⁴ components, far
+    * above the sf0.01 co-purchase graph's ~1.4 K nodes; converged rounds
+    * replay as no-ops. The Spark side runs the same schedule with a
+    * fixpoint exit ([[graft.operators.Mst]]).
+    */
+  private val MstRounds = 14
+
+  /** Minimum spanning forest of the support-filtered co-purchase graph
+    * ([[graft.operators.Mst]], Borůvka) — the single-linkage clustering
+    * backbone: cutting the forest's k−1 heaviest edges yields the k
+    * single-linkage clusters, so this one artifact answers every "how do
+    * the product communities merge as the similarity threshold loosens"
+    * question without re-clustering. Readout: node/edge/component census
+    * + total and maximum forest weight (the first cut). The forest is
+    * UNIQUE under the (w, u, v) tie-broken edge order, which is what lets
+    * the DuckDB twin attest it by replaying the same bounded Borůvka
+    * schedule (per round: per-component argmin via one window, merge via
+    * the dedup_cluster-style recursive reach over the ≤|comps|-sized
+    * component graph).
+    */
+  def mstForest(spark: SparkSession, dir: String): DataFrame = {
+    val edges = weightedCoEdges(spark, dir)
+    val f = graft.operators.Mst.forest(edges, maxRounds = 16,
+      trace = Some("mst_forest"))
+    val nNodes = edges
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    f.agg(count(lit(1)).as("n_mst_edges"),
+        sum(col("w")).as("total_w"), max(col("w")).as("max_w"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_mst_edges"),
+        (col("n_nodes") - col("n_mst_edges")).as("n_components"),
+        col("total_w"), col("max_w"))
+  }
+
+  private val mstForestSql = {
+    val rounds = (1 to MstRounds).map { k =>
+      val p = k - 1
+      s"""e$k AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w, a.label AS cu, b.label AS cv
+         |  FROM ed e JOIN comp$p a ON a.id = e.u JOIN comp$p b ON b.id = e.v
+         |  WHERE a.label <> b.label
+         |), cand$k AS (
+         |  SELECT cu AS c, w, u, v FROM e$k
+         |  UNION ALL SELECT cv AS c, w, u, v FROM e$k
+         |), sel$k AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, w FROM (
+         |    SELECT c, u, v, w,
+         |      row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+         |    FROM cand$k) t WHERE rn = 1
+         |), mst$k AS MATERIALIZED (
+         |  SELECT u, v, w FROM mst$p UNION ALL SELECT u, v, w FROM sel$k
+         |), cg$k AS (
+         |  SELECT DISTINCT a.label AS x, b.label AS y
+         |  FROM sel$k s JOIN comp$p a ON a.id = s.u JOIN comp$p b ON b.id = s.v
+         |), scg$k AS MATERIALIZED (
+         |  SELECT x, y FROM cg$k UNION SELECT y AS x, x AS y FROM cg$k
+         |), reach$k(x, r) AS (
+         |  SELECT label, label FROM (SELECT DISTINCT label FROM comp$p) t
+         |  UNION
+         |  SELECT s.x, reach$k.r FROM scg$k s JOIN reach$k ON reach$k.x = s.y
+         |), rel$k AS MATERIALIZED (
+         |  SELECT x, min(r) AS nl FROM reach$k GROUP BY x
+         |), comp$k AS MATERIALIZED (
+         |  SELECT c.id, r.nl AS label FROM comp$p c JOIN rel$k r ON r.x = c.label
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $coEdgesSql,
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT u AS id FROM ed UNION ALL SELECT v AS id FROM ed) t
+       |), comp0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+       |mst0 AS (SELECT u, v, w FROM ed WHERE false),
+       |$rounds
+       |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       |  count(*) AS n_mst_edges,
+       |  (SELECT count(*) FROM nodes) - count(*) AS n_components,
+       |  CAST(sum(w) AS BIGINT) AS total_w,
+       |  CAST(max(w) AS BIGINT) AS max_w
+       |FROM mst$MstRounds""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("hll_merge", hllMerge, Some(hllMergeSql)),
@@ -938,6 +1022,7 @@ object Algorithms extends QueryModule {
     QueryDef("graph_diameter", graphDiameter, Some(graphDiameterSql)),
     QueryDef("link_predict", linkPredict, Some(linkPredictSql)),
     QueryDef("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
+    QueryDef("mst_forest", mstForest, Some(mstForestSql)),
     QueryDef("heavy_hitters", heavyHitterTokens, Some(heavyHittersSql)),
     QueryDef("approx_topk", approxTopKTokens, Some(approxTopKSql)),
     QueryDef("approx_quantiles", approxQuantilesBinned, Some(approxQuantilesSql)),

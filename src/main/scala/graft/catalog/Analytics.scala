@@ -2228,9 +2228,136 @@ object Analytics extends QueryModule {
        |GROUP BY 1""".stripMargin
   }
 
-  // ---- uplift by segment -----------------------------------------------------
-
+  /** Hash seed shared by the experiment readouts (prop_ztest,
+    * uplift_by_segment) — declared BEFORE the SQL vals that interpolate
+    * it: Scala object vals initialize in declaration order, and an
+    * oracle string built from a not-yet-initialized Int would silently
+    * bake in 0 (bitten once: round-10 prop_ztest).
+    */
   private val UpliftSeed = 47
+
+  // ---- two-proportion z-test ---------------------------------------------------
+
+  /** Two-proportion z-test on the hash-randomized experiment's
+    * user-conversion rates — the significance readout [[abTest]] stops
+    * short of (counts without a test invite peeking). Pooled-variance z
+    * from EXACT per-arm user/converter counts; the one float expression
+    * (z itself) runs on a 1-row frame in e0 doubles under milli rounding.
+    * One per-user rollup + one 2-cell aggregate — nothing here grows with
+    * anything but the user count.
+    */
+  def propZtest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = graft.functions.PortableHash
+      .h48(col("user_id").cast("string"), UpliftSeed) % 2
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      // the woe_iv label convention: "heavy purchaser" = ≥ 14 purchases
+      // (every synthetic user purchases at least once, so the ≥1 outcome
+      // would be degenerate at p̄ = 1)
+      .agg((sum((col("event_type") === "purchase").cast("long")) >= 14)
+        .cast("long").as("conv"))
+      .select(arm.as("arm"), col("conv"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_c"))
+      .withColumn("z_milli", expr(
+        // degenerate pool (p̄ ∈ {0,1}) has zero variance: report z = 0
+        "CASE WHEN conv_t + conv_c = 0 OR conv_t + conv_c = n_t + n_c" +
+          " THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(round(1000e0 * ((conv_t * 1e0 / n_t) - (conv_c * 1e0 / n_c))" +
+          " / sqrt(((conv_t + conv_c) * 1e0 / (n_t + n_c))" +
+          " * (1e0 - (conv_t + conv_c) * 1e0 / (n_t + n_c))" +
+          " * (1e0 / n_t + 1e0 / n_c))) AS BIGINT) END"))
+  }
+
+  private val propZtestSql = {
+    val h = graft.functions.PortableHash.h48Sql("user_id::VARCHAR", UpliftSeed)
+    s"""WITH pu AS (
+       |  SELECT user_id, $h % 2 AS arm,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |         >= 14 THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY user_id
+       |), g AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+       |  FROM pu
+       |)
+       |SELECT n_t, conv_t, n_c, conv_c,
+       |  CASE WHEN conv_t + conv_c = 0 OR conv_t + conv_c = n_t + n_c
+       |       THEN CAST(0 AS BIGINT) ELSE
+       |  CAST(round(1000e0 * ((conv_t * 1e0 / n_t) - (conv_c * 1e0 / n_c))
+       |    / sqrt(((conv_t + conv_c) * 1e0 / (n_t + n_c))
+       |    * (1e0 - (conv_t + conv_c) * 1e0 / (n_t + n_c))
+       |    * (1e0 / n_t + 1e0 / n_c))) AS BIGINT) END AS z_milli
+       |FROM g""".stripMargin
+  }
+
+  // ---- sequential probability ratio test monitor --------------------------------
+
+  /** SPRT (Wald) monitoring curve over the daily purchase-conversion
+    * stream: cumulative log-likelihood ratio of H₁ (p = 12 %) against H₀
+    * (p = 10 %), with the symmetric α = β = 5 % decision bands ±ln 19 —
+    * the readout an always-on experiment monitor publishes so a test can
+    * STOP the day the evidence suffices instead of waiting out a fixed
+    * horizon. Per day: exact event/conversion counts; the cumulative LLR
+    * is count₁·ln(p₁/p₀) + count₀·ln(q₁/q₀) — two constant lns scaled by
+    * EXACT integer prefix sums over the calendar-bounded day frame, so
+    * the window is ≤|days| rows however large the corpus.
+    */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"),
+        (col("event_type") === "purchase").cast("long").as("c"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_conv", sum(col("conv")).over(w))
+      .withColumn("cum_miss", sum(col("n") - col("conv")).over(w))
+      .withColumn("llr_micro", expr(
+        "CAST(round(1000000e0 * (cum_conv * ln(0.12e0 / 0.10e0)" +
+          " + cum_miss * ln(0.88e0 / 0.90e0))) AS BIGINT)"))
+      .withColumn("decision", expr(
+        "CASE WHEN llr_micro >= CAST(round(1000000e0 * ln(19e0)) AS BIGINT)" +
+          " THEN 'reject_h0'" +
+          " WHEN llr_micro <= -CAST(round(1000000e0 * ln(19e0)) AS BIGINT)" +
+          " THEN 'accept_h0' ELSE 'continue' END"))
+      .select(col("day"), col("n"), col("conv"), col("llr_micro"),
+        col("decision"))
+  }
+
+  private val sprtMonitorSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM events GROUP BY 1
+      |), c AS (
+      |  SELECT day, n, conv,
+      |    sum(conv) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_conv,
+      |    sum(n - conv) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_miss
+      |  FROM daily
+      |), l AS (
+      |  SELECT day, n, conv,
+      |    CAST(round(1000000e0 * (cum_conv * ln(0.12e0 / 0.10e0)
+      |      + cum_miss * ln(0.88e0 / 0.90e0))) AS BIGINT) AS llr_micro
+      |  FROM c
+      |)
+      |SELECT day, n, conv, llr_micro,
+      |  CASE WHEN llr_micro >= CAST(round(1000000e0 * ln(19e0)) AS BIGINT)
+      |       THEN 'reject_h0'
+      |       WHEN llr_micro <= -CAST(round(1000000e0 * ln(19e0)) AS BIGINT)
+      |       THEN 'accept_h0' ELSE 'continue' END AS decision
+      |FROM l""".stripMargin
+
+  // ---- uplift by segment -----------------------------------------------------
 
   /** Segment-level uplift readout for the hash-randomized experiment: per
     * user-activity band (light/medium/heavy by event count), the
@@ -2251,7 +2378,10 @@ object Analytics extends QueryModule {
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
-        max((col("event_type") === "purchase").cast("long")).as("converted"))
+        // ≥14 purchases (the woe_iv heavy-purchaser label) — the ≥1
+        // outcome is degenerate on this corpus (every user purchases)
+        (sum((col("event_type") === "purchase").cast("long")) >= 14)
+          .cast("long").as("converted"))
       .select(arm.as("arm"), col("n_ev"), col("converted"))
     val tot = perUser.agg(sum(col("n_ev")).as("total_ev"),
       count(lit(1)).as("n_users"))
@@ -2277,8 +2407,8 @@ object Analytics extends QueryModule {
     val h = graft.functions.PortableHash.h48Sql("user_id::VARCHAR", UpliftSeed)
     s"""WITH pu AS (
        |  SELECT user_id, count(*) AS n_ev,
-       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-       |      AS converted,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |         >= 14 THEN 1 ELSE 0 END AS converted,
        |    $h % 2 AS arm
        |  FROM events GROUP BY user_id
        |), tot AS (
@@ -2357,6 +2487,8 @@ object Analytics extends QueryModule {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("theil_sen", theilSen, Some(theilSenSql)),
     QueryDef("uplift_by_segment", upliftBySegment, Some(upliftBySegmentSql)),
+    QueryDef("prop_ztest", propZtest, Some(propZtestSql)),
+    QueryDef("sprt_monitor", sprtMonitor, Some(sprtMonitorSql)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
     QueryDef("ols_multi", olsMulti, Some(olsMultiSql)),
     QueryDef("anova_groups", anovaGroups, Some(anovaGroupsSql)),

@@ -334,6 +334,179 @@ object CurationOps extends QueryModule {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  // ---- incremental view maintenance -------------------------------------------
+
+  /** Incremental maintenance of the per-status (count, Σcents) aggregate
+    * under the SAME deterministic change log as [[cdcApply]] — the
+    * warehouse pattern where the day's MERGE must also refresh the
+    * downstream rollup WITHOUT re-aggregating the table: new_agg =
+    * base_agg ⊎ delta_agg, where the delta derives from the log joined to
+    * the base rows OF THE CHANGED KEYS ONLY (updates contribute new−old,
+    * deletes −old, inserts +new). The base table is touched twice — once
+    * for the one-off base aggregate, once as the join's PROBE side on a
+    * log-sized key set — never re-aggregated; at 100 TB with a 0.1 % daily
+    * log that is the difference between a minutes-long refresh and
+    * re-scanning the lake. The oracle recomputes the aggregate from the
+    * fully-merged state, so a green row PROVES the delta algebra equals
+    * full recomputation.
+    */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val base = snap.groupBy(col("status"))
+      .agg(count(lit(1)).as("bn"), sum(col("price_cents")).as("bc"))
+    // the cdc_apply change log, minus the snapshot itself
+    val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
+      .select(col("k"), col("status"),
+        (col("price_cents") + 111).as("price_cents"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
+      .select(col("k"), col("status"),
+        (col("price_cents") + 222).as("price_cents"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = snap.where(pmod(col("k"), lit(9)) === 4)
+      .select(col("k"), col("status"), col("price_cents"),
+        lit(1L).as("seq"), lit("D").as("op"))
+    val ins = snap.where(pmod(col("k"), lit(9)) === 7)
+      .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
+        (col("price_cents") + 5).as("price_cents"),
+        lit(1L).as("seq"), lit("I").as("op"))
+    val latestLog = u1.unionByName(u2).unionByName(del).unionByName(ins)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .where(col("rn") === 1)
+      .select(col("k"), col("status").as("new_status"),
+        col("price_cents").as("new_cents"), col("op"))
+    // old row only for changed keys — log-sized probe of the base table
+    val old = snap.select(col("k"), col("status").as("old_status"),
+      col("price_cents").as("old_cents"))
+    val delta = latestLog.join(old, Seq("k"), "left")
+      .select(
+        when(col("op") === "D", col("old_status"))
+          .otherwise(col("new_status")).as("status"),
+        when(col("op") === "I", 1L)
+          .when(col("op") === "D", -1L).otherwise(0L).as("dn"),
+        when(col("op") === "I", col("new_cents"))
+          .when(col("op") === "D", -col("old_cents"))
+          .otherwise(col("new_cents") - col("old_cents")).as("dc"))
+      .groupBy(col("status"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    base.join(delta, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("sum_price_cents"))
+      .where(col("n_rows") > 0)
+  }
+
+  // oracle: FULL recomputation over the merged state — identical readout
+  // to cdc_apply, which is the point: incremental must equal recompute
+  private val ivmAggSql =
+    s"""WITH snap AS (
+       |  SELECT o_orderkey AS k, o_orderstatus AS status,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       |         0::BIGINT AS seq, 'I' AS op
+       |  FROM orders
+       |), log AS (
+       |  SELECT k, status, price_cents + 111 AS price_cents, 1::BIGINT AS seq, 'U' AS op
+       |  FROM snap WHERE k % 9 = 1
+       |  UNION ALL
+       |  SELECT k, status, price_cents + 222, 2::BIGINT, 'U' FROM snap WHERE k % 9 = 1
+       |  UNION ALL
+       |  SELECT k, status, price_cents, 1::BIGINT, 'D' FROM snap WHERE k % 9 = 4
+       |  UNION ALL
+       |  SELECT k + 1000000000, 'N', price_cents + 5, 1::BIGINT, 'I'
+       |  FROM snap WHERE k % 9 = 7
+       |), merged AS (
+       |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+       |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM log)
+       |)
+       |SELECT status, count(*) AS n_rows,
+       |       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+       |FROM merged WHERE rn = 1 AND op <> 'D'
+       |GROUP BY status""".stripMargin
+
+  // ---- out-of-order lateness census ---------------------------------------------
+
+  /** Out-of-orderness census of the event stream — THE number that sizes a
+    * streaming watermark: for each event, its lateness against the high
+    * watermark at its arrival (running max event-time over arrival order,
+    * arrival ≈ event_id), bucketed into on-time / ≤1 min / ≤1 h / ≤1 d /
+    * later. A watermark narrower than the observed tail silently drops
+    * those rows; wider holds state longer — this table IS that trade-off.
+    * The running max is NOT a single global window: range-partition by
+    * arrival, per-partition local running max, and a ≤|partitions|-row
+    * prefix-max table broadcast back (the doc_offsets device with max for
+    * sum).
+    */
+  def lateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Materialize
+    // the corpus ships no arrival order (event_id is perfectly
+    // time-sorted — every event would be on_time), so arrival derives as
+    // a DETERMINISTIC multi-source interleave: blocks of 100 events
+    // arrive together, intra-block order by portable hash — the shape a
+    // reader merging shard streams actually sees. The watermark plumbing
+    // and the census are the artifact; production swaps in the log's true
+    // arrival column.
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+      .withColumn("blk", expr("event_id div 100"))
+      .withColumn("h", graft.functions.PortableHash.h48(
+        col("event_id").cast("string")) % 97)
+    val parts = Materialize(
+      ev.repartitionByRange(col("blk"), col("h"), col("event_id"))
+        .withColumn("pid", spark_partition_id()))
+    val base = parts.groupBy(col("pid")).agg(max(col("ts")).as("pmax"))
+      .withColumn("prior", max(col("pmax")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prior"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("blk"), col("h"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Spark's greatest() skips nulls, so hw is null only for the very
+    // first arrival (no watermark yet → lateness 0 via the coalesce)
+    val hw = greatest(max(col("ts")).over(wLocal), col("prior"))
+    val lateNs = greatest(coalesce(hw - col("ts"), lit(0L)), lit(0L))
+    parts.join(broadcast(base), "pid")
+      .withColumn("late_ns", lateNs)
+      .withColumn("bucket",
+        when(col("late_ns") === 0, "on_time")
+          .when(col("late_ns") <= 60L * 1000000000L, "within_1m")
+          .when(col("late_ns") <= 3600L * 1000000000L, "within_1h")
+          .when(col("late_ns") <= 86400L * 1000000000L, "within_1d")
+          .otherwise("later"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(col("late_ns")).as("max_late_ns"))
+  }
+
+  private val lateDataAuditSql = {
+    val h = graft.functions.PortableHash.h48Sql("event_id::VARCHAR")
+    s"""WITH ev AS (
+      |  SELECT event_id, epoch_ns(ts) AS ts, event_id // 100 AS blk,
+      |    $h % 97 AS h
+      |  FROM events
+      |), l AS (
+      |  SELECT greatest(coalesce(
+      |      max(ts) OVER (ORDER BY blk, h, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts,
+      |      0), 0) AS late_ns
+      |  FROM ev
+      |), b AS (
+      |  SELECT CASE WHEN late_ns = 0 THEN 'on_time'
+      |              WHEN late_ns <= 60 * 1000000000::BIGINT THEN 'within_1m'
+      |              WHEN late_ns <= 3600 * 1000000000::BIGINT THEN 'within_1h'
+      |              WHEN late_ns <= 86400 * 1000000000::BIGINT THEN 'within_1d'
+      |              ELSE 'later' END AS bucket, late_ns
+      |  FROM l
+      |)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(max(late_ns) AS BIGINT) AS max_late_ns
+      |FROM b GROUP BY bucket""".stripMargin
+  }
+
   // ---- rule-based filter census (Gopher-style) ------------------------------
 
   /** The ten-word English stopword profile shared with
@@ -699,5 +872,7 @@ object CurationOps extends QueryModule {
     QueryDef("mojibake_scan", mojibakeScan, Some(mojibakeScanSql)),
     QueryDef("source_overlap_matrix", sourceOverlapMatrix,
       Some(sourceOverlapMatrixSql)),
+    QueryDef("ivm_agg", ivmAgg, Some(ivmAggSql)),
+    QueryDef("late_data_audit", lateDataAudit, Some(lateDataAuditSql)),
   )
 }

@@ -1457,6 +1457,88 @@ object TextAnalysis extends QueryModule {
        |LEFT JOIN agg a ON a.lang = l.lang""".stripMargin
   }
 
+  // ---- Dunning log-likelihood-ratio collocations ------------------------------
+
+  private val LlrMinCount = 5L
+  private val LlrK = 20
+
+  /** Dunning G² log-likelihood-ratio collocation test over adjacent word
+    * pairs (Dunning 1993) — the statistically calibrated replacement for
+    * raw PMI lift ([[pmiBigrams]]), which over-rewards rare pairs: G²
+    * compares the 2×2 contingency table (pair / prev-only / next-only /
+    * neither) against independence and is χ²-distributed, so one
+    * threshold works at every corpus size. All four cell counts derive
+    * from EXACT integer bigram counts and the two marginal tables (both
+    * vocabulary-bounded); only the final Σ k·ln(k·N ÷ (row·col)) runs in
+    * e0 doubles under micro rounding. Shuffles: one gram-linear bigram
+    * count, two vocabulary-bounded marginal joins, a broadcast 1-row
+    * total; top-[[LlrK]] via TakeOrdered, never a full sort.
+    */
+  def llrBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+    val bg = Tables.documents(spark, dir).select(toks.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(grams).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("prev"),
+        substring_index(col("bigram"), " ", -1).as("next_tok"))
+      .groupBy(col("prev"), col("next_tok")).agg(count(lit(1)).as("k11"))
+    val rowM = bg.groupBy(col("prev")).agg(sum(col("k11")).as("ra"))
+    val colM = bg.groupBy(col("next_tok")).agg(sum(col("k11")).as("cb"))
+    val tot = bg.agg(sum(col("k11")).as("nn"))
+    // xlogx-style term: k·ln(k·N/(row·col)), with the 0-count convention
+    def term(k: String, row: String, colS: String) =
+      s"CASE WHEN $k > 0 THEN $k * ln(($k * 1e0 * nn) / (($row * 1e0) * $colS)) ELSE 0e0 END"
+    bg.where(col("k11") >= LlrMinCount)
+      .join(rowM, "prev").join(colM, "next_tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("k12", col("ra") - col("k11"))
+      .withColumn("k21", col("cb") - col("k11"))
+      .withColumn("k22", col("nn") - col("ra") - col("cb") + col("k11"))
+      .withColumn("g2_micro", expr(
+        "CAST(round(1000000e0 * 2e0 * (" +
+          term("k11", "ra", "cb") + " + " +
+          term("k12", "ra", "(nn - cb)") + " + " +
+          term("k21", "(nn - ra)", "cb") + " + " +
+          term("k22", "(nn - ra)", "(nn - cb)") + ")) AS BIGINT)"))
+      .select(col("prev"), col("next_tok"), col("k11"), col("g2_micro"))
+      .orderBy(col("g2_micro").desc, col("prev"), col("next_tok"))
+      .limit(LlrK)
+  }
+
+  private val llrBigramsSql = {
+    val w = TextFns.tokensSql("text")
+    def term(k: String, row: String, colS: String) =
+      s"CASE WHEN $k > 0 THEN $k * ln(($k * 1e0 * nn) / (($row * 1e0) * $colS)) ELSE 0e0 END"
+    s"""WITH bg AS (
+       |  SELECT split_part(bigram, ' ', 1) AS prev,
+       |    split_part(bigram, ' ', 2) AS next_tok, count(*) AS k11
+       |  FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |    FROM (SELECT $w AS w FROM documents) WHERE len(w) >= 2)
+       |  GROUP BY 1, 2
+       |), rm AS (SELECT prev, CAST(sum(k11) AS BIGINT) AS ra FROM bg GROUP BY prev),
+       |cm AS (SELECT next_tok, CAST(sum(k11) AS BIGINT) AS cb FROM bg GROUP BY next_tok),
+       |tot AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM bg),
+       |x AS (
+       |  SELECT bg.prev, bg.next_tok, bg.k11,
+       |    ra - k11 AS k12, cb - k11 AS k21, nn - ra - cb + k11 AS k22,
+       |    ra, cb, nn
+       |  FROM bg JOIN rm USING (prev) JOIN cm USING (next_tok) CROSS JOIN tot
+       |  WHERE k11 >= $LlrMinCount
+       |)
+       |SELECT prev, next_tok, k11,
+       |  CAST(round(1000000e0 * 2e0 * (
+       |    ${term("k11", "ra", "cb")} +
+       |    ${term("k12", "ra", "(nn - cb)")} +
+       |    ${term("k21", "(nn - ra)", "cb")} +
+       |    ${term("k22", "(nn - ra)", "(nn - cb)")})) AS BIGINT) AS g2_micro
+       |FROM x
+       |ORDER BY g2_micro DESC, prev, next_tok LIMIT $LlrK""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("corpus_card", corpusCard, Some(corpusCardSql)),
@@ -1468,6 +1550,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("top_bigrams", topBigrams, Some(topBigramsSql)),
     QueryDef("bigram_next_token", bigramNextToken, Some(bigramNextTokenSql)),
     QueryDef("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
+    QueryDef("llr_bigrams", llrBigrams, Some(llrBigramsSql)),
     QueryDef("zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("bigram_accuracy", bigramAccuracy, Some(bigramAccuracySql)),

@@ -30,6 +30,29 @@ class CollocationSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("llr_bigrams: matches brute-force Dunning G² ranking") {
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select(col("text")).collect()
+      .map(_.getString(0).split("\\s+").filter(_.nonEmpty).toSeq).toSeq
+    val bg = toks.flatMap(_.sliding(2).collect { case Seq(a, b) => (a, b) })
+      .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val row = bg.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val colM = bg.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val nn = bg.values.sum
+    def t(k: Long, r: Long, c: Long): Double =
+      if (k > 0) k * math.log((k * 1.0 * nn) / ((r * 1.0) * c)) else 0.0
+    val expect = bg.toSeq.collect { case ((a, b), k11) if k11 >= 5 =>
+      val (ra, cb) = (row(a), colM(b))
+      val g2 = 2.0 * (t(k11, ra, cb) + t(ra - k11, ra, nn - cb) +
+        t(cb - k11, nn - ra, cb) + t(nn - ra - cb + k11, nn - ra, nn - cb))
+      (a, b, k11, math.round(1000000.0 * g2))
+    }.sortBy { case (a, b, _, s) => (-s, a, b) }.take(20)
+    val got = TextAnalysis.llrBigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
   test("cluster_size_hist: totals reconcile with the component frame") {
     val hist = LlmPipeline.clusterSizeHist(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

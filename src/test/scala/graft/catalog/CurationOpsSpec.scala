@@ -233,6 +233,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivm_agg: incremental delta algebra equals the full CDC recompute") {
+    val inc = CurationOps.ivmAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = CurationOps.cdcApply(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full, "base ⊎ delta must equal re-aggregating the merged state")
+  }
+
+  test("late_data_audit: matches a sequential watermark replay") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        graft.functions.PortableHash.h48(col("event_id").cast("string")) % 97)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val arrival = ev.sortBy { case (id, _, h) => (id / 100, h, id) }
+    var hw = Long.MinValue
+    val buckets = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    arrival.foreach { case (_, ts, _) =>
+      val late = if (hw == Long.MinValue) 0L else math.max(hw - ts, 0L)
+      val b = if (late == 0) "on_time"
+      else if (late <= 60L * 1000000000L) "within_1m"
+      else if (late <= 3600L * 1000000000L) "within_1h"
+      else if (late <= 86400L * 1000000000L) "within_1d" else "later"
+      val (n, mx) = buckets.getOrElse(b, (0L, 0L))
+      buckets(b) = (n + 1, math.max(mx, late))
+      hw = math.max(hw, ts)
+    }
+    val got = CurationOps.lateDataAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === buckets.toMap)
+    assert(got.size > 1, "the interleave must actually produce late rows")
+  }
+
   test("source_overlap_matrix: matches brute-force prefix-key recount") {
     val prefixes = Tables.documents(spark, dir)
       .select(col("source"), lower(col("text")).as("t")).collect()

@@ -319,6 +319,36 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("prop_ztest: z recomputes from the exact arm cells") {
+    val r = Analytics.propZtest(spark, dir).collect().head
+    val (nt, ct, nc, cc, z) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(ct <= nt && cc <= nc && nt > 0 && nc > 0)
+    if (ct + cc > 0 && ct + cc < nt + nc) {
+      val p = (ct + cc).toDouble / (nt + nc)
+      val hand = math.round(1000.0 * (ct.toDouble / nt - cc.toDouble / nc) /
+        math.sqrt(p * (1 - p) * (1.0 / nt + 1.0 / nc)))
+      assert(z === hand)
+    } else assert(z === 0L)
+  }
+
+  test("sprt_monitor: cumulative LLR recomputes; decisions respect the bands") {
+    val rows = Analytics.sprtMonitor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1)
+    val bound = math.round(1e6 * math.log(19.0))
+    var (cumC, cumM) = (0L, 0L)
+    rows.foreach { case (_, n, c, llr, dec) =>
+      cumC += c; cumM += n - c
+      val hand = math.round(1e6 *
+        (cumC * math.log(0.12 / 0.10) + cumM * math.log(0.88 / 0.90)))
+      assert(llr === hand)
+      val expDec = if (llr >= bound) "reject_h0"
+      else if (llr <= -bound) "accept_h0" else "continue"
+      assert(dec === expDec)
+    }
+  }
+
   test("quant_error_audit: distortion non-negative, mean ≤ max, all labels") {
     val rows = TrainingOps.quantErrorAudit(spark, dir).collect()
     assert(rows.length === 10)
