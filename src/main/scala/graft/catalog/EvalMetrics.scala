@@ -952,6 +952,62 @@ object EvalMetrics extends QueryModule {
        |FROM c CROSS JOIN tot""".stripMargin
   }
 
+  // ---- pass@k estimator ---------------------------------------------------------
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, the Codex paper):
+    * per task with n attempts and c successes, pass@k = 1 − C(n−c,k)/C(n,k),
+    * averaged over tasks — the estimator every sampled-attempts eval
+    * (code generation, tool use, agentic rollouts) reports instead of the
+    * biased "any success in the first k" count. Tasks here are users,
+    * attempts their events, success a ≥150-value purchase. The binomial
+    * ratio collapses to Π_{i<k}(n−c−i)/(n−i), computed as two EXACT
+    * integer products per (task, k) — a zero factor (n−c < k) makes the
+    * failure term vanish exactly as the combinatorics demand, so no edge
+    * CASE exists — then one micro-rounded truncating division. int64
+    * holds the k=5 products to ~2 500 attempts/task; lift to decimal
+    * beyond. One corpus scan → per-task rollup → 3 k-rows.
+    */
+  def passAtK(spark: SparkSession, dir: String): DataFrame = {
+    val tasks = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase" && col("value") >= 150.0)
+          .cast("long")).as("c"))
+    tasks
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(lit(1L), lit(3L), lit(5L))).as("k"))))
+      .where(col("n") >= col("k"))
+      .withColumn("num", expr(
+        "aggregate(sequence(0L, k - 1), 1L, (acc, i) -> acc * (n - c - i))"))
+      .withColumn("den", expr(
+        "aggregate(sequence(0L, k - 1), 1L, (acc, i) -> acc * (n - i))"))
+      .withColumn("pass_u", expr("1000000 - (1000000 * num) div den"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_tasks"),
+        expr("sum(pass_u) div count(1)").as("mean_pass_u"))
+  }
+
+  private val passAtKSql =
+    """WITH tasks AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND value >= 150e0
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id
+      |), tk AS (
+      |  SELECT user_id, n, c, k
+      |  FROM tasks, (SELECT unnest([1, 3, 5]) AS k)
+      |  WHERE n >= k
+      |), pr AS (
+      |  SELECT user_id, k,
+      |    1000000 - (1000000 * CAST(product(n - c - i) AS BIGINT))
+      |      // CAST(product(n - i) AS BIGINT) AS pass_u
+      |  FROM tk, unnest(range(k)) AS u(i)
+      |  GROUP BY user_id, n, c, k
+      |)
+      |SELECT k, count(*) AS n_tasks,
+      |  CAST(sum(pass_u) AS BIGINT) // count(*) AS mean_pass_u
+      |FROM pr GROUP BY k""".stripMargin
+
   // ---- MASE forecast-skill readout -------------------------------------------
 
   /** Mean-absolute-scaled-error readout for the weekly-seasonal naive
@@ -1018,5 +1074,6 @@ object EvalMetrics extends QueryModule {
     QueryDef("chi2_drift", chi2Drift, Some(chi2DriftSql)),
     QueryDef("lift_table", liftTable, Some(liftTableSql)),
     QueryDef("mase_eval", maseEval, Some(maseEvalSql)),
+    QueryDef("pass_at_k", passAtK, Some(passAtKSql)),
   )
 }

@@ -563,6 +563,127 @@ object LlmPipeline extends QueryModule {
        |    AS recall_permille
        |FROM h""".stripMargin
 
+  // ---- dimensionality-truncation audit -------------------------------------
+  private val TruncDim = 16
+  private val TruncK = 10
+  private val TruncBudget = 100L
+
+  /** Matryoshka-style dimensionality-truncation audit: top-[[TruncK]]
+    * retrieval overlap between the FULL 64-dim embedding ranking and the
+    * ranking from only the first [[TruncDim]] dims — the number that
+    * decides whether a 4× narrower serving index (or an MRL prefix) is
+    * safe, exactly the way [[annRecallAudit]] decides it for the LSH
+    * index and quant_error_audit for int8. Both rankings run the
+    * brute-force exact-integer-cosine contract over the same FIXED
+    * ~[[TruncBudget]]-query batch ([[VectorOps.auditSample]] — a
+    * %-constant batch grew with the corpus and measured exponent 1.34 on
+    * a real 10× step before the fixed budget brought the audit back to
+    * linear); at scale both legs swap to the ANN candidate paths
+    * unchanged. Readout: 1-row overlap permille.
+    */
+  def dimTruncationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, TruncDim).as("embedding"))
+    val full = VectorOps.bruteForceTopK(emb,
+        VectorOps.auditSample(emb, "vec_id", TruncBudget), "vec_id",
+        "embedding", TruncK)
+      .select(col("query_id"), col("cand_id"))
+    val narrow = VectorOps.bruteForceTopK(trunc,
+        VectorOps.auditSample(trunc, "vec_id", TruncBudget), "vec_id",
+        "embedding", TruncK)
+      .select(col("query_id"), col("cand_id"))
+    val hits = narrow.join(full, Seq("query_id", "cand_id"))
+    full.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_full"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_queries"), col("n_full"), col("n_hits"),
+        expr("(1000 * n_hits) div n_full").cast("long").as("overlap_permille"))
+  }
+
+  private val dimTruncationAuditSql = {
+    def leg(vecExpr: String, dim: Int) = {
+      val cos = VectorOps.cosineQSql("q.qq", "v.qv", dim)
+      s"""SELECT query_id, cand_id FROM (
+         |  SELECT q.query_id, v.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round($cos, 6) DESC, v.vec_id) AS rank
+         |  FROM (SELECT vec_id, ${VectorOps.quantizeSql(vecExpr)} AS qv
+         |        FROM embeddings) v
+         |  CROSS JOIN (SELECT vec_id AS query_id,
+         |                ${VectorOps.quantizeSql(vecExpr)} AS qq
+         |              FROM embeddings WHERE vec_id %
+         |                ${VectorOps.auditSampleModSql("embeddings", TruncBudget)} = 0) q
+         |  WHERE v.vec_id <> q.query_id) t
+         |WHERE rank <= $TruncK""".stripMargin
+    }
+    s"""WITH fl AS MATERIALIZED (
+       |${leg("embedding", Dim).linesIterator.map("  " + _).mkString("\n")}
+       |), nr AS MATERIALIZED (
+       |${leg(s"embedding[1:$TruncDim]", TruncDim).linesIterator.map("  " + _).mkString("\n")}
+       |), h AS (
+       |  SELECT count(*) AS n_hits FROM nr JOIN fl
+       |    ON nr.query_id = fl.query_id AND nr.cand_id = fl.cand_id
+       |)
+       |SELECT
+       |  CAST((SELECT count(DISTINCT query_id) FROM fl) AS BIGINT) AS n_queries,
+       |  CAST((SELECT count(*) FROM fl) AS BIGINT) AS n_full,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST((1000 * n_hits) // (SELECT count(*) FROM fl) AS BIGINT)
+       |    AS overlap_permille
+       |FROM h""".stripMargin
+  }
+
+  // ---- near-dup threshold sweep ----------------------------------------------
+
+  /** Dedup-rate sweep across Jaccard thresholds 0.5 … 0.9, in ONE pass
+    * over the memoized exact pair frame ([[exactPairsShared]]) — the
+    * datasheet a team reads to PICK the dedup threshold: how many pairs
+    * and how many distinct documents each setting would implicate, and
+    * what fraction of the corpus that is (basis points). The pair frame
+    * is derived once (its own exponent measured 1.06); everything here is
+    * a 5-way broadcast fan-out of it plus bounded rollups, so the sweep
+    * costs five threshold rows, not five dedup runs.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = exactPairsShared(spark, dir)
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val ts = Seq(500L, 600L, 700L, 800L, 900L)
+    val perT = pairs
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(ts.map(lit): _*)).as("t_milli"))))
+      .where(col("jaccard") >= col("t_milli").cast("double") / 1000.0)
+    val pairCounts = perT.groupBy(col("t_milli"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = perT
+      .select(col("t_milli"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("t_milli"))
+      .agg(countDistinct(col("doc")).as("n_docs_hit"))
+    pairCounts.join(docCounts, "t_milli")
+      .crossJoin(broadcast(nDocs))
+      .select(col("t_milli"), col("n_pairs"), col("n_docs_hit"),
+        expr("(10000 * n_docs_hit) div n_docs").as("affected_bp"))
+  }
+
+  private val dedupThresholdSweepSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |${ngramJaccardSql.linesIterator.map("  " + _).mkString("\n")}
+       |), t AS (SELECT unnest([500, 600, 700, 800, 900]) AS t_milli),
+       |p AS MATERIALIZED (
+       |  SELECT t_milli, doc_a, doc_b FROM pairs CROSS JOIN t
+       |  WHERE jaccard >= t_milli::DOUBLE / 1000.0
+       |), pc AS (SELECT t_milli, count(*) AS n_pairs FROM p GROUP BY t_milli),
+       |dc AS (
+       |  SELECT t_milli, count(DISTINCT doc) AS n_docs_hit
+       |  FROM (SELECT t_milli, unnest([doc_a, doc_b]) AS doc FROM p)
+       |  GROUP BY t_milli
+       |)
+       |SELECT t_milli, n_pairs, n_docs_hit,
+       |  (10000 * n_docs_hit) // (SELECT count(*) FROM documents)
+       |    AS affected_bp
+       |FROM pc JOIN dc USING (t_milli)""".stripMargin
+
   // ---- ANN: IVF inverted lists (cluster-routed scale path) ----------------
   private val IvfCentroidMod = 25 // nlist = n/25 → 20 lists at sf0.01
   private val IvfNProbe = 5
@@ -2548,6 +2669,10 @@ object LlmPipeline extends QueryModule {
     QueryDef("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     QueryDef("simhash_recall_audit", simhashRecallAudit, Some(simhashRecallAuditSql)),
     QueryDef("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    QueryDef("dim_truncation_audit", dimTruncationAudit,
+      Some(dimTruncationAuditSql)),
+    QueryDef("dedup_threshold_sweep", dedupThresholdSweep,
+      Some(dedupThresholdSweepSql)),
     QueryDef("minhash_est_audit", minhashEstAudit, Some(minhashEstAuditSql)),
     QueryDef("rrf_fuse", rrfFuse, Some(rrfFuseSql)),
     QueryDef("dedup_rate_by_source", dedupRateBySource, Some(dedupRateBySourceSql)),

@@ -294,8 +294,86 @@ object MixtureOps extends QueryModule {
        |FROM da LEFT JOIN nt ON da.decile = nt.decile""".stripMargin
   }
 
+  // ---- water-filling token-budget allocation -----------------------------------
+
+  /** Water-filling allocation of a token budget across sources: every
+    * source receives min(supply, L) tokens where the water level L is the
+    * largest integer with Σ min(supplyₛ, L) ≤ budget — the
+    * equal-treatment-up-to-supply allocation behind "cap every feed at
+    * the same level, let small feeds keep everything" mixture policies
+    * (the supply-capped complement of [[temperatureMix]]'s rate scaling
+    * and [[TrainingOps]]' multi_epoch_schedule). The budget here is half
+    * the corpus's own token mass (broadcast 1-row frame — calendar- and
+    * scale-free). Finding L is the classic sorted-prefix scan, run
+    * ENTIRELY on the ≤|sources|-row supply table: ascending-supply rank,
+    * prefix sums, first row whose candidate level (remaining budget
+    * spread over remaining sources, truncating div) fits under its own
+    * supply. One corpus scan for supplies; everything after is
+    * sources-bounded.
+    */
+  def waterfillBudget(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("supply"))
+    val budget = sup.agg((sum(col("supply")) / 2).cast("long").as("budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("supply"), col("source"))
+    val ranked = sup.crossJoin(broadcast(budget))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(sum(col("supply")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("supply"), col("source"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .withColumn("cand", expr("(budget - prefix) div (n_src - rn + 1)"))
+    // first valid row by rank via a null-skipping struct-min (min and
+    // union+limit are both order-unsafe); no valid row ⇔ the budget
+    // covers every supply, then level = max supply
+    val lvl = ranked.agg(
+        min(when(col("cand") <= col("supply"),
+          struct(col("rn"), col("cand")))).as("s"),
+        max(col("supply")).as("mx"))
+      .select(coalesce(col("s.cand"), col("mx")).as("level"))
+    ranked.crossJoin(broadcast(lvl))
+      .select(col("source"), col("supply"),
+        least(col("supply"), col("level")).as("alloc"),
+        col("level"), col("budget"))
+  }
+
+  private val waterfillBudgetSql = {
+    val wtok = graft.functions.TextFns.tokensSql("text")
+    s"""WITH sup AS (
+       |  SELECT source, CAST(sum(len($wtok)) AS BIGINT) AS supply
+       |  FROM documents GROUP BY source
+       |), b AS (SELECT CAST(sum(supply) // 2 AS BIGINT) AS budget FROM sup),
+       |r AS (
+       |  SELECT source, supply, budget,
+       |    row_number() OVER (ORDER BY supply, source) AS rn,
+       |    coalesce(sum(supply) OVER (ORDER BY supply, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+       |    count(*) OVER () AS n_src
+       |  FROM sup CROSS JOIN b
+       |), c AS (
+       |  SELECT *, (budget - prefix) // (n_src - rn + 1) AS cand FROM r
+       |), lvl AS (
+       |  SELECT coalesce(
+       |    (SELECT cand FROM c WHERE cand <= supply ORDER BY rn LIMIT 1),
+       |    (SELECT max(supply) FROM sup)) AS level
+       |)
+       |SELECT source, supply,
+       |  least(supply, level) AS alloc, CAST(level AS BIGINT) AS level,
+       |  budget
+       |FROM c CROSS JOIN lvl""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    QueryDef("waterfill_budget", waterfillBudget, Some(waterfillBudgetSql)),
     QueryDef("dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     QueryDef("source_calibrate", sourceCalibrate, Some(sourceCalibrateSql)),
     QueryDef("prefix_dup", prefixDup, Some(prefixDupSql)),

@@ -233,6 +233,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dim_truncation_audit: hit algebra closes; full-dim self-overlap sane") {
+    val r = LlmPipeline.dimTruncationAudit(spark, dir).collect().head
+    val (nq, nf, nh, pm) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(nf === nq * 10, "k=10 rows per query in the full leg")
+    assert(nh <= nf && pm === 1000 * nh / nf)
+    assert(pm > 0, "16 of 64 dims must retain SOME neighborhood signal")
+  }
+
+  test("dedup_threshold_sweep: monotone in the threshold; base row = pair frame") {
+    val rows = LlmPipeline.dedupThresholdSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(500L, 600L, 700L, 800L, 900L))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+        "a stricter threshold cannot implicate more pairs or docs")
+    }
+    val basePairs = LlmPipeline.ngramJaccard(spark, dir).count()
+    assert(rows.head._2 === basePairs, "t=0.5 row IS the memoized pair frame")
+  }
+
   test("ivm_agg: incremental delta algebra equals the full CDC recompute") {
     val inc = CurationOps.ivmAgg(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -295,6 +295,31 @@ class EvalMetricsSpec extends SparkSpec {
     }
   }
 
+  test("pass_at_k: matches the exact combinatorial estimator; monotone in k") {
+    val tasks = graft.core.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase" && col("value") >= 150.0)
+          .cast("long")).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def passU(n: Long, c: Long, k: Long): Long = {
+      val num = (0L until k).map(i => n - c - i).product
+      val den = (0L until k).map(i => n - i).product
+      1000000L - 1000000L * num / den
+    }
+    val got = EvalMetrics.passAtK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    got.foreach { case (k, nTasks, mean) =>
+      val eligible = tasks.filter(_._1 >= k)
+      assert(nTasks === eligible.length.toLong)
+      assert(mean === eligible.map { case (n, c) => passU(n, c, k) }.sum
+        / eligible.length)
+    }
+    // pass@k is non-decreasing in k for every task, hence for the mean
+    assert(got(0)._3 <= got(1)._3 && got(1)._3 <= got(2)._3)
+  }
+
   test("mase_eval: matches brute-force lag series on daily totals") {
     val daily = graft.core.Tables.events(spark, dir)
       .select(expr("(ts div 1000) div 86400000000").as("day"),

@@ -126,4 +126,26 @@ class MixtureOpsSpec extends SparkSpec {
     // error over the ≥0.5-Jaccard pair set sits well inside 250‰
     assert(mean <= 250L, s"mean estimate error $mean‰ implausibly large")
   }
+
+  test("waterfill_budget: allocation feasible, maximal, and supply-capped") {
+    val rows = MixtureOps.waterfillBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val budget = rows.head._5
+    val level = rows.head._4
+    val total = rows.map(_._3).sum
+    assert(total <= budget, "allocation must fit the budget")
+    rows.foreach { case (_, supply, alloc, l, b) =>
+      assert(l === level && b === budget)
+      assert(alloc === math.min(supply, level), "alloc = min(supply, level)")
+    }
+    // maximality: raising the level by 1 must overflow the budget —
+    // unless every source is already fully allocated
+    val atLevelPlus = rows.map { case (_, s, _, _, _) =>
+      math.min(s, level + 1)
+    }.sum
+    val allSaturated = rows.forall { case (_, s, a, _, _) => a === s }
+    assert(allSaturated || atLevelPlus > budget,
+      "water level must be the largest feasible integer")
+  }
 }
