@@ -146,8 +146,11 @@ object Bench {
     // shared_builds disclosure (r9 1.77/5.91 and 0.58/3.77) — a warmup
     // pays the build untimed so the band measures the query, the
     // dedup_simhash treatment
+    // ann_pq: first consumer of the memoized PQ code frame — same story
+    // (r10 closing bench band 1.22/4.28 with the build disclosed; the
+    // warmup moves the build out of the timed max entirely)
     val warmFirst = Set("pentomino", "bfs_hops", "graph_diameter",
-      "bm25_topk", "graph_assortativity")
+      "bm25_topk", "graph_assortativity", "ann_pq")
     // per-query shared-frame builds (label list): a memoized consumer's
     // first attempt pays the build, so its max/min spread is explained
     // here rather than read as variance
