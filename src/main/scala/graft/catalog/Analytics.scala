@@ -2236,6 +2236,105 @@ object Analytics extends QueryModule {
     */
   private val UpliftSeed = 47
 
+  // ---- Hill tail-index estimator ---------------------------------------------
+
+  private val HillK = 200
+
+  /** Hill estimator of the event-value distribution's tail index over the
+    * top-[[HillK]] order statistics: α̂⁻¹ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) — the
+    * standard heavy-tail gauge (α < 2 ⇒ infinite variance: sampling,
+    * capping and mean-based SLOs all behave differently) next to
+    * zipf_fit's token-frequency slope. The order statistics come from a
+    * distributed TakeOrdered (per-partition top-(k+1), merged — never a
+    * full sort); ties collapse to equal VALUES so the estimate is
+    * tie-order-free; per-row ln micro-rounds before the exact integer
+    * mean (truncating div).
+    */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .orderBy(col("cents").desc).limit(HillK + 1)
+    val ref = top.orderBy(col("cents")).limit(1)
+      .select(col("cents").as("x_ref"))
+    top.crossJoin(broadcast(ref))
+      .where(col("cents") > col("x_ref"))
+      .agg(count(lit(1)).as("k"), max(col("x_ref")).as("x_ref_cents"),
+        sum(expr("CAST(round(1000000e0 * ln(cents * 1e0 / x_ref)) AS BIGINT)"))
+          .as("ln_sum_u"))
+      .withColumn("hill_inv_u", expr("ln_sum_u div k"))
+      .withColumn("alpha_milli", expr("(1000 * 1000000) div hill_inv_u"))
+  }
+
+  private val hillTailSql =
+    s"""WITH top AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+       |  ORDER BY cents DESC LIMIT ${HillK + 1}
+       |), ref AS (SELECT min(cents) AS x_ref FROM top)
+       |SELECT count(*) AS k, CAST(max(x_ref) AS BIGINT) AS x_ref_cents,
+       |  CAST(sum(CAST(round(1000000e0 * ln(cents * 1e0 / x_ref)) AS BIGINT))
+       |    AS BIGINT) AS ln_sum_u,
+       |  CAST(sum(CAST(round(1000000e0 * ln(cents * 1e0 / x_ref)) AS BIGINT))
+       |    AS BIGINT) // count(*) AS hill_inv_u,
+       |  (1000 * 1000000) // (CAST(sum(CAST(round(1000000e0 *
+       |    ln(cents * 1e0 / x_ref)) AS BIGINT)) AS BIGINT) // count(*))
+       |    AS alpha_milli
+       |FROM top CROSS JOIN ref
+       |WHERE cents > x_ref""".stripMargin
+
+  // ---- weekly seasonality strength ------------------------------------------
+
+  /** Seasonality strength of daily revenue: the share of daily variance
+    * explained by the day-of-week profile (between-group sum of squares
+    * over total, in micro) — the one number that says whether
+    * [[seasonalForecast]]'s weekly model family is even applicable, next
+    * to [[EvalMetrics.maseEval]]'s forecast-skill readout. All moments
+    * are EXACT (counts, cent sums, decimal(38,0) squares — the
+    * burstiness headroom convention); the per-dow s²/n terms use
+    * truncating division, identically on both engines, and the frames
+    * after the daily rollup are calendar-bounded (≤|days| rows, 7 dow
+    * groups).
+    */
+  def seasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val byDow = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(col("y").cast("decimal(38,0)")).as("s_w"))
+      .agg(sum(expr("CAST((s_w * s_w) div n_w AS DECIMAL(38,0))")).as("ssb_raw"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(38,0)")).as("s"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("q"))
+    // decimals stay INTERNAL (the burstiness convention): the readout is
+    // the count and the micro strength, both bigint at any scale
+    byDow.crossJoin(broadcast(tot))
+      .select(col("n").as("n_days"),
+        expr("CAST((1000000 * (ssb_raw - (s * s) div n))" +
+          " div (q - (s * s) div n) AS BIGINT)").as("strength_u"))
+  }
+
+  private val seasonalityStrengthSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1
+      |), d AS (SELECT day, y, day % 7 AS dow FROM daily),
+      |w AS (
+      |  SELECT CAST(sum((s_w * s_w) // n_w) AS HUGEINT) AS ssb_raw FROM (
+      |    SELECT dow, count(*) AS n_w, CAST(sum(y) AS HUGEINT) AS s_w
+      |    FROM d GROUP BY dow)
+      |), t AS (
+      |  SELECT count(*) AS n, CAST(sum(y) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+      |  FROM d
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST((1000000 * (ssb_raw - (s * s) // n))
+      |    // (q - (s * s) // n) AS BIGINT) AS strength_u
+      |FROM w CROSS JOIN t""".stripMargin
+
   // ---- two-proportion z-test ---------------------------------------------------
 
   /** Two-proportion z-test on the hash-randomized experiment's
@@ -2489,6 +2588,9 @@ object Analytics extends QueryModule {
     QueryDef("uplift_by_segment", upliftBySegment, Some(upliftBySegmentSql)),
     QueryDef("prop_ztest", propZtest, Some(propZtestSql)),
     QueryDef("sprt_monitor", sprtMonitor, Some(sprtMonitorSql)),
+    QueryDef("hill_tail", hillTail, Some(hillTailSql)),
+    QueryDef("seasonality_strength", seasonalityStrength,
+      Some(seasonalityStrengthSql)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
     QueryDef("ols_multi", olsMulti, Some(olsMultiSql)),
     QueryDef("anova_groups", anovaGroups, Some(anovaGroupsSql)),

@@ -428,6 +428,102 @@ object CurationOps extends QueryModule {
        |FROM merged WHERE rn = 1 AND op <> 'D'
        |GROUP BY status""".stripMargin
 
+  // ---- snapshot diff --------------------------------------------------------------
+
+  /** Table diff between the snapshot and its CDC-merged successor — the
+    * per-status added/removed/changed/unchanged census a merge job
+    * publishes for review BEFORE the swap (and the audit that catches a
+    * bad change log before ivm_agg propagates it to rollups). Runs on the
+    * SAME deterministic log as cdc_apply/ivm_agg: one log-sized window +
+    * one log-keyed probe of the base table, never two full-table scans
+    * diffed row-by-row (the 100 TB anti-pattern); unchanged counts derive
+    * as base − touched, a subtraction on the ≤|status| rollup.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
+      .select(col("k"), col("status"),
+        (col("price_cents") + 111).as("price_cents"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
+      .select(col("k"), col("status"),
+        (col("price_cents") + 222).as("price_cents"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = snap.where(pmod(col("k"), lit(9)) === 4)
+      .select(col("k"), col("status"), col("price_cents"),
+        lit(1L).as("seq"), lit("D").as("op"))
+    val ins = snap.where(pmod(col("k"), lit(9)) === 7)
+      .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
+        (col("price_cents") + 5).as("price_cents"),
+        lit(1L).as("seq"), lit("I").as("op"))
+    val latest = u1.unionByName(u2).unionByName(del).unionByName(ins)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .where(col("rn") === 1)
+    val old = snap.select(col("k"), col("status").as("old_status"),
+      col("price_cents").as("old_cents"))
+    val touched = latest.join(old, Seq("k"), "left")
+      .select(
+        coalesce(col("old_status"), col("status")).as("status"),
+        when(col("op") === "I", 1L).otherwise(0L).as("added"),
+        when(col("op") === "D", 1L).otherwise(0L).as("removed"),
+        when(col("op") === "U" &&
+          col("price_cents") =!= col("old_cents"), 1L)
+          .otherwise(0L).as("changed"))
+      .groupBy(col("status"))
+      .agg(sum(col("added")).as("n_added"),
+        sum(col("removed")).as("n_removed"),
+        sum(col("changed")).as("n_changed"))
+    val base = snap.groupBy(col("status")).agg(count(lit(1)).as("n_base"))
+    base.join(touched, Seq("status"), "full_outer")
+      .select(col("status"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"),
+        (coalesce(col("n_base"), lit(0L)) - coalesce(col("n_removed"), lit(0L))
+          - coalesce(col("n_changed"), lit(0L))).as("n_unchanged"))
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH snap AS (
+       |  SELECT o_orderkey AS k, o_orderstatus AS status,
+       |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+       |  FROM orders
+       |), log AS (
+       |  SELECT k, status, price_cents + 111 AS price_cents, 1::BIGINT AS seq, 'U' AS op
+       |  FROM snap WHERE k % 9 = 1
+       |  UNION ALL
+       |  SELECT k, status, price_cents + 222, 2::BIGINT, 'U' FROM snap WHERE k % 9 = 1
+       |  UNION ALL
+       |  SELECT k, status, price_cents, 1::BIGINT, 'D' FROM snap WHERE k % 9 = 4
+       |  UNION ALL
+       |  SELECT k + 1000000000, 'N', price_cents + 5, 1::BIGINT, 'I'
+       |  FROM snap WHERE k % 9 = 7
+       |), latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+       |    FROM log) t WHERE rn = 1
+       |), touched AS (
+       |  SELECT coalesce(s.status, l.status) AS status,
+       |    CAST(sum(CASE WHEN l.op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |    CAST(sum(CASE WHEN l.op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    CAST(sum(CASE WHEN l.op = 'U' AND l.price_cents <> s.price_cents
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+       |  FROM latest l LEFT JOIN snap s USING (k)
+       |  GROUP BY coalesce(s.status, l.status)
+       |), base AS (
+       |  SELECT status, count(*) AS n_base FROM snap GROUP BY status
+       |)
+       |SELECT coalesce(base.status, touched.status) AS status,
+       |  coalesce(n_added, 0) AS n_added,
+       |  coalesce(n_removed, 0) AS n_removed,
+       |  coalesce(n_changed, 0) AS n_changed,
+       |  coalesce(n_base, 0) - coalesce(n_removed, 0) - coalesce(n_changed, 0)
+       |    AS n_unchanged
+       |FROM base FULL OUTER JOIN touched ON base.status = touched.status""".stripMargin
+
   // ---- out-of-order lateness census ---------------------------------------------
 
   /** Out-of-orderness census of the event stream — THE number that sizes a
@@ -874,5 +970,6 @@ object CurationOps extends QueryModule {
       Some(sourceOverlapMatrixSql)),
     QueryDef("ivm_agg", ivmAgg, Some(ivmAggSql)),
     QueryDef("late_data_audit", lateDataAudit, Some(lateDataAuditSql)),
+    QueryDef("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
   )
 }

@@ -952,6 +952,71 @@ object EvalMetrics extends QueryModule {
        |FROM c CROSS JOIN tot""".stripMargin
   }
 
+  // ---- mean reciprocal rank ------------------------------------------------------
+
+  private val MrrK = 10
+  private val MrrBudget = 100L
+
+  /** Mean reciprocal rank of the embedding retrieval against label
+    * relevance: per audit query (fixed ~[[MrrBudget]]-query batch — the
+    * auditSample device), the rank of the FIRST same-label neighbor in
+    * the exact top-[[MrrK]], reciprocal in micro (0 when no relevant
+    * neighbor ranks) — the first-hit metric that completes the IR-eval
+    * family next to ndcg_eval (graded gains) and avg_precision_k (all
+    * hits). Same brute-force integer-cosine contract; the candidate pass
+    * swaps to ANN at scale.
+    */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val topk = graft.operators.VectorOps.bruteForceTopK(emb,
+      graft.operators.VectorOps.auditSample(emb, "vec_id", MrrBudget),
+      "vec_id", "embedding", MrrK)
+    val firstHit = topk
+      .join(labels.toDF("vec_id", "q_label"),
+        col("vec_id") === col("query_id"))
+      .join(labels.toDF("cand_vid", "c_label"),
+        col("cand_vid") === col("cand_id"))
+      .where(col("q_label") === col("c_label"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_rank"))
+    val queries = topk.select(col("query_id")).distinct()
+    queries.join(firstHit, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("first_rank").isNotNull.cast("long")).as("n_with_hit"),
+        sum(coalesce(expr("1000000 div first_rank"), lit(0L))).as("rr_sum"))
+      .withColumn("mrr_micro", expr("rr_sum div n_queries"))
+  }
+
+  private val mrrEvalSql = {
+    import graft.operators.VectorOps
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", 64)
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS qv
+       |  FROM embeddings
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, label AS q_label, qv AS qq FROM v
+       |  WHERE vec_id % ${VectorOps.auditSampleModSql("embeddings", MrrBudget)} = 0
+       |), tk AS MATERIALIZED (
+       |  SELECT query_id, q_label, cand_id, c_label, rank FROM (
+       |    SELECT q.query_id, q.q_label, v.vec_id AS cand_id,
+       |      v.label AS c_label,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round($cos, 6) DESC, v.vec_id) AS rank
+       |    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id) t
+       |  WHERE rank <= $MrrK
+       |), fh AS (
+       |  SELECT query_id, min(rank) AS first_rank FROM tk
+       |  WHERE q_label = c_label GROUP BY query_id
+       |), qs AS (SELECT DISTINCT query_id FROM tk)
+       |SELECT count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_with_hit,
+       |  CAST(sum(coalesce(1000000 // first_rank, 0)) AS BIGINT) AS rr_sum,
+       |  CAST(sum(coalesce(1000000 // first_rank, 0)) AS BIGINT)
+       |    // count(*) AS mrr_micro
+       |FROM qs LEFT JOIN fh USING (query_id)""".stripMargin
+  }
+
   // ---- pass@k estimator ---------------------------------------------------------
 
   /** Unbiased pass@k estimator (Chen et al. 2021, the Codex paper):
@@ -1075,5 +1140,6 @@ object EvalMetrics extends QueryModule {
     QueryDef("lift_table", liftTable, Some(liftTableSql)),
     QueryDef("mase_eval", maseEval, Some(maseEvalSql)),
     QueryDef("pass_at_k", passAtK, Some(passAtKSql)),
+    QueryDef("mrr_eval", mrrEval, Some(mrrEvalSql)),
   )
 }

@@ -1010,6 +1010,73 @@ object TrainingOps extends QueryModule {
        |FROM e GROUP BY label""".stripMargin
   }
 
+  // ---- cluster medoids ----------------------------------------------------------
+
+  /** Medoid (most-central member) of every k-means cluster — the topic
+    * EXEMPLAR a curation review reads instead of scrolling raw members,
+    * and the representative a coreset/distillation pass keeps first. Per
+    * cluster the medoid maximizes the summed within-cluster cosine
+    * (micro-rounded per pair, exact integer sums; argmax tie-broken by
+    * id) — computed over the SAME memoized Lloyd assignment as
+    * cluster_prune/cluster_sample/semantic_dedup, with the pair volume
+    * equi-join-bounded to Σnᵢ² (never n²; at deployment k scales with the
+    * corpus to keep nᵢ bounded, the semantic_dedup contract). Readout per
+    * cluster: medoid id, size, the medoid's mean similarity micro.
+    */
+  def clusterMedoids(spark: SparkSession, dir: String): DataFrame = {
+    val km = LlmPipeline.kmeansCluster(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+    val qv = Tables.embeddings(spark, dir).select(col("vec_id"),
+      VectorOps.quantize(col("embedding")).as("qv"))
+    val m = km.join(qv, "vec_id")
+    val a = m.select(col("cluster"), col("vec_id").as("a"), col("qv").as("va"))
+    val b = m.select(col("cluster"), col("vec_id").as("b"), col("qv").as("vb"))
+    val sums = a.join(b, Seq("cluster"))
+      .where(col("a") =!= col("b"))
+      .select(col("cluster"), col("a"),
+        expr("CAST(round(1000000e0 * (CAST(dot_q(va, vb) AS DOUBLE)" +
+          " / (sqrt(CAST(dot_q(va, va) AS DOUBLE))" +
+          " * sqrt(CAST(dot_q(vb, vb) AS DOUBLE))))) AS BIGINT)").as("c_u"))
+      .groupBy(col("cluster"), col("a"))
+      .agg(sum(col("c_u")).as("sim_sum"), count(lit(1)).as("n_others"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("sim_sum").desc, col("a"))
+    sums.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("a").as("medoid_id"),
+        (col("n_others") + 1).as("n"),
+        expr("sim_sum div n_others").as("mean_sim_u"))
+  }
+
+  private val clusterMedoidsSql = {
+    val km = graft.operators.KMeans.clusterSql(
+      "embeddings", "vec_id", "embedding", 8, 3, 64)
+    val cos = VectorOps.cosineQSql("a.qv", "b.qv", 64)
+    s"""WITH km AS MATERIALIZED (
+       |${km.linesIterator.map("  " + _).mkString("\n")}
+       |), m AS MATERIALIZED (
+       |  SELECT km.vec_id, km.cluster,
+       |    ${VectorOps.quantizeSql("e.embedding")} AS qv
+       |  FROM km JOIN embeddings e USING (vec_id)
+       |), s AS (
+       |  SELECT a.cluster, a.vec_id AS a,
+       |    CAST(sum(CAST(round(1000000e0 * ($cos)) AS BIGINT)) AS BIGINT)
+       |      AS sim_sum,
+       |    count(*) AS n_others
+       |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  GROUP BY a.cluster, a.vec_id
+       |), r AS (
+       |  SELECT cluster, a, sim_sum, n_others,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY sim_sum DESC, a) AS rk
+       |  FROM s
+       |)
+       |SELECT cluster, a AS medoid_id,
+       |  CAST(n_others + 1 AS BIGINT) AS n,
+       |  sim_sum // n_others AS mean_sim_u
+       |FROM r WHERE rk = 1""".stripMargin
+  }
+
   // ---- rolling-origin (forward-chaining) CV splits ----------------------------
 
   /** Rolling-origin evaluation splits over the event stream — the
@@ -1116,5 +1183,6 @@ object TrainingOps extends QueryModule {
     QueryDef("curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     QueryDef("quant_error_audit", quantErrorAudit, Some(quantErrorAuditSql)),
     QueryDef("rolling_origin_cv", rollingOriginCv, Some(rollingOriginCvSql)),
+    QueryDef("cluster_medoids", clusterMedoids, Some(clusterMedoidsSql)),
   )
 }

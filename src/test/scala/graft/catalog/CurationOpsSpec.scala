@@ -255,6 +255,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.head._2 === basePairs, "t=0.5 row IS the memoized pair frame")
   }
 
+  test("snapshot_diff: census reconciles with the mod-9 log construction") {
+    val rows = CurationOps.snapshotDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val snap = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def mod(k: Long, m: Long) = ((k % 9) + 9) % 9 == m
+    val byStatus = snap.groupBy(_._2)
+    rows.filter(_._1 != "N").foreach { case (st, added, removed, changed, unch) =>
+      val ks = byStatus.getOrElse(st, Array.empty).map(_._1)
+      assert(added === 0L, "only the synthetic 'N' status gains rows")
+      assert(removed === ks.count(mod(_, 4)).toLong)
+      assert(changed === ks.count(mod(_, 1)).toLong)
+      assert(unch === ks.length - removed - changed)
+    }
+    val nRow = rows.find(_._1 == "N").get
+    assert(nRow._2 === snap.count(e => mod(e._1, 7)).toLong)
+    assert((nRow._3, nRow._4, nRow._5) === ((0L, 0L, 0L)))
+  }
+
   test("ivm_agg: incremental delta algebra equals the full CDC recompute") {
     val inc = CurationOps.ivmAgg(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -295,6 +295,51 @@ class EvalMetricsSpec extends SparkSpec {
     }
   }
 
+  test("mrr_eval: algebra closes and first hits respect the k-cut") {
+    val r = EvalMetrics.mrrEval(spark, dir).collect().head
+    val (nq, hit, rrSum, mrr) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(hit <= nq && mrr === rrSum / nq)
+    // each hit contributes 1e6/rank with rank in [1, 10]
+    assert(rrSum >= hit * 100000L && rrSum <= hit * 1000000L)
+    assert(nq > 50, "the fixed audit budget must yield a real batch")
+  }
+
+  test("hill_tail: matches driver-side recompute over the top order stats") {
+    val cents = graft.core.Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val top = cents.take(201)
+    val ref = top.last
+    val lnU = top.filter(_ > ref)
+      .map(x => math.round(1e6 * math.log(x.toDouble / ref)))
+    val r = Analytics.hillTail(spark, dir).collect().head
+    assert(r.getLong(0) === lnU.length.toLong)
+    assert(r.getLong(1) === ref)
+    assert(r.getLong(2) === lnU.sum)
+    assert(r.getLong(3) === lnU.sum / lnU.length)
+  }
+
+  test("seasonality_strength: matches driver moments; bounded in [0, 1e6]") {
+    val daily = graft.core.Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = BigInt(daily.length)
+    val s = daily.map(d => BigInt(d._2)).sum
+    val q = daily.map(d => BigInt(d._2) * d._2).sum
+    val ssbRaw = daily.groupBy(_._1 % 7).values.map { g =>
+      val sw = g.map(d => BigInt(d._2)).sum
+      sw * sw / g.length
+    }.sum
+    val hand = (BigInt(1000000) * (ssbRaw - s * s / n) / (q - s * s / n)).toLong
+    val r = Analytics.seasonalityStrength(spark, dir).collect().head
+    assert(r.getLong(0) === daily.length.toLong)
+    assert(r.getLong(1) === hand)
+    assert(r.getLong(1) >= 0 && r.getLong(1) <= 1000000L)
+  }
+
   test("pass_at_k: matches the exact combinatorial estimator; monotone in k") {
     val tasks = graft.core.Tables.events(spark, dir)
       .groupBy(col("user_id"))

@@ -319,6 +319,33 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("cluster_medoids: each medoid maximizes its cluster's similarity sum") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x * 1e6).toLong).toArray).toMap
+    val assign = LlmPipeline.kmeansCluster(spark, dir)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def cosU(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      math.round(1e6 * dot /
+        (math.sqrt(a.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.map(x => x * x).sum.toDouble)))
+    }
+    val byCluster = assign.groupBy(_._2)
+    val expect = byCluster.map { case (cl, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map { a =>
+        (a, ids.filter(_ != a).map(b => cosU(vecs(a), vecs(b))).sum)
+      }.maxBy { case (a, s) => (s, -a) }
+      (cl, best._1, ids.length.toLong, best._2 / (ids.length - 1))
+    }.toSet
+    val got = TrainingOps.clusterMedoids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+  }
+
   test("prop_ztest: z recomputes from the exact arm cells") {
     val r = Analytics.propZtest(spark, dir).collect().head
     val (nt, ct, nc, cc, z) = (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -521,4 +521,41 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
       assert(got(2L) == CdcOut(2L, live = false, 1L, 0L), s"got ${got(2L)}")
     } finally q.stop()
   }
+
+  test("windowedAgg append mode: too-late rows drop, counted in progress") {
+    // the streaming twin of the batch late_data_audit: rows older than
+    // the watermark are DROPPED (not silently merged), and the engine
+    // attests every drop via numRowsDroppedByWatermark — the number that
+    // validates a watermark width chosen from the batch census
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val sink = s"late_drop_${System.nanoTime()}"
+    val q = StreamingOps.windowedAgg(df, "ts", "10 seconds", "10 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("latedrop"))
+      .start()
+    try {
+      // batch 1 advances the watermark to 40 − 10 = 30
+      in.addData((ts(5), "view", 1.0), (ts(40), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: ts=3 is BELOW the watermark → must be dropped; ts=41 lives
+      in.addData((ts(3), "view", 4.0), (ts(41), "view", 8.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum
+      assert(dropped === 1L,
+        s"exactly the one too-late row must be dropped, got $dropped")
+      // and the [0,10) window, already emitted/closed, never absorbs ts=3:
+      // its count stays what batch 1 produced once it finalizes
+      in.addData((ts(60), "view", 1.0)) // push the watermark past 40
+      q.processAllAvailable()
+      val w0 = spark.table(sink)
+        .where(col("window_start") === ts(0)).collect()
+      assert(w0.forall(_.getLong(2) == 1L),
+        s"the closed [0,10) window must hold only the on-time row: ${w0.toSeq}")
+    } finally q.stop()
+  }
 }
