@@ -2236,6 +2236,78 @@ object Analytics extends QueryModule {
     */
   private val UpliftSeed = 47
 
+  // ---- new-vs-returning daily actives ------------------------------------------
+
+  /** Growth accounting of daily actives: per day, how many active users
+    * are NEW (first-ever appearance) vs RETURNING — the decomposition
+    * behind every "is usage growing or churning-and-refilling" readout.
+    * One per-user min-day aggregate (the cohort_retention first-touch
+    * shape), one (user, day)-distinct frame, one join on the user key,
+    * ≤|days| output rows. The new/returning split is exact set algebra —
+    * no window over the full log.
+    */
+  def novelUserRate(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    ud.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("actives"),
+        sum((col("day") === col("d0")).cast("long")).as("new_users"))
+      .withColumn("returning", col("actives") - col("new_users"))
+      .withColumn("new_pm", expr("(1000 * new_users) div actives"))
+  }
+
+  private val novelUserRateSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id)
+      |SELECT day, count(*) AS actives,
+      |  CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |  count(*) - CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returning,
+      |  (1000 * CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT))
+      |    // count(*) AS new_pm
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY day""".stripMargin
+
+  // ---- inter-event-time distribution ---------------------------------------------
+
+  /** Inter-arrival-time histogram of the per-user event stream: the gap
+    * between consecutive events per user, bucketed by power-of-two hours —
+    * the arrival-process profile that separates session-bursty usage from
+    * Poisson-like drip (burstiness gives the daily-count dispersion; this
+    * is its per-user micro-structure, and the distribution a load model or
+    * session-gap choice reads). Per-user lag window (reducer keys = users,
+    * per-user work bounded by that user's events), floor-log₂ bucketing
+    * via the `length(bin(x))` device, one ≤~40-row rollup.
+    */
+  def interEventTimeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .select(expr("(ts - prev_ts) div 3600000000000").as("gap_h"))
+      // bucket = floor(log2(gap_h+1)): 0h, 1h, 2-3h, 4-7h, …
+      .select(expr("length(bin(gap_h + 1)) - 1").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  private val interEventTimeDistSql =
+    """WITH g AS (
+      |  SELECT (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id))
+      |    // 3600000000000 AS gap_h
+      |  FROM events
+      |)
+      |SELECT len(bin(gap_h + 1)) - 1 AS bucket, count(*) AS n_gaps
+      |FROM g WHERE gap_h IS NOT NULL
+      |GROUP BY bucket""".stripMargin
+
   // ---- Hill tail-index estimator ---------------------------------------------
 
   private val HillK = 200
@@ -2591,6 +2663,9 @@ object Analytics extends QueryModule {
     QueryDef("hill_tail", hillTail, Some(hillTailSql)),
     QueryDef("seasonality_strength", seasonalityStrength,
       Some(seasonalityStrengthSql)),
+    QueryDef("novel_user_rate", novelUserRate, Some(novelUserRateSql)),
+    QueryDef("inter_event_time_dist", interEventTimeDist,
+      Some(interEventTimeDistSql)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendSql)),
     QueryDef("ols_multi", olsMulti, Some(olsMultiSql)),
     QueryDef("anova_groups", anovaGroups, Some(anovaGroupsSql)),

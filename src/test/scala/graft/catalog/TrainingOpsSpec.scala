@@ -319,6 +319,32 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("novel_user_rate: day-1 all new; new totals equal the user census") {
+    val rows = Analytics.novelUserRate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.head._3 === rows.head._2, "every first-day active is new")
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum === users,
+      "each user is new exactly once across all days")
+    rows.foreach { case (_, act, nw, ret, pm) =>
+      assert(nw + ret === act)
+      assert(pm === 1000 * nw / act)
+    }
+  }
+
+  test("inter_event_time_dist: gap count = events − users; buckets log2") {
+    val rows = Analytics.interEventTimeDist(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val events = Tables.events(spark, dir).count()
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum === events - users,
+      "every user contributes exactly (their events − 1) gaps")
+    assert(rows.forall(_._1 >= 0))
+  }
+
   test("cluster_medoids: each medoid maximizes its cluster's similarity sum") {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).collect()
