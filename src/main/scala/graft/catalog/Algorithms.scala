@@ -926,10 +926,13 @@ object Algorithms extends QueryModule {
 
   // ---- minimum spanning forest (single-linkage backbone) ---------------------
 
-  /** Borůvka rounds the ORACLE unrolls — 14 covers 2¹⁴ components, far
-    * above the sf0.01 co-purchase graph's ~1.4 K nodes; converged rounds
-    * replay as no-ops. The Spark side runs the same schedule with a
-    * fixpoint exit ([[graft.operators.Mst]]).
+  /** Borůvka rounds BOTH engines are bounded by — 14 covers 2¹⁴
+    * components, far above the sf0.01 co-purchase graph's ~1.4 K nodes;
+    * converged rounds replay as no-ops in the oracle's unroll. The Spark
+    * side runs the SAME bound with a fixpoint exit, and
+    * [[graft.operators.Mst.forest]] fails loudly if cross-component
+    * edges remain at the bound — so a graph needing > 14 rounds can
+    * never silently diverge from the oracle's truncated replay.
     */
   private val MstRounds = 14
 
@@ -948,7 +951,7 @@ object Algorithms extends QueryModule {
     */
   def mstForest(spark: SparkSession, dir: String): DataFrame = {
     val edges = weightedCoEdges(spark, dir)
-    val f = graft.operators.Mst.forest(edges, maxRounds = 16,
+    val f = graft.operators.Mst.forest(edges, maxRounds = MstRounds,
       trace = Some("mst_forest"))
     val nNodes = edges
       .select(explode(array(col("u"), col("v"))).as("id")).distinct()

@@ -923,7 +923,8 @@ object EvalMetrics extends QueryModule {
       .withColumn("cum_pos", sum(col("pos")).over(w))
       .crossJoin(broadcast(tot))
       .select(col("score"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
-        expr("(1000 * cum_pos * nn) div (cum_n * pp)").as("lift_milli"))
+        expr("(1000 * CAST(cum_pos AS DECIMAL(38,0)) * nn)" +
+          " div (CAST(cum_n AS DECIMAL(38,0)) * pp)").as("lift_milli"))
   }
 
   private val liftTableSql = {
@@ -1064,10 +1065,12 @@ object EvalMetrics extends QueryModule {
       |  WHERE n >= k
       |), pr AS (
       |  SELECT user_id, k,
-      |    1000000 - (1000000 * CAST(product(n - c - i) AS BIGINT))
-      |      // CAST(product(n - i) AS BIGINT) AS pass_u
-      |  FROM tk, unnest(range(k)) AS u(i)
-      |  GROUP BY user_id, n, c, k
+      |    1000000 - (1000000 *
+      |      list_reduce(list_transform(range(k), i -> n - c - i),
+      |                  (acc, x) -> acc * x))
+      |      // list_reduce(list_transform(range(k), i -> n - i),
+      |                     (acc, x) -> acc * x) AS pass_u
+      |  FROM tk
       |)
       |SELECT k, count(*) AS n_tasks,
       |  CAST(sum(pass_u) AS BIGINT) // count(*) AS mean_pass_u
@@ -1099,7 +1102,8 @@ object EvalMetrics extends QueryModule {
         sum(when(col("y1").isNotNull, abs(col("y") - col("y1")))).as("sae1"),
         count(when(col("y1").isNotNull, 1)).as("n1"))
       .withColumn("mase_milli",
-        expr("(1000 * sae7 * n1) div (sae1 * n7)"))
+        expr("(1000 * CAST(sae7 AS DECIMAL(38,0)) * n1)" +
+          " div (CAST(sae1 AS DECIMAL(38,0)) * n7)"))
   }
 
   private val maseEvalSql =
@@ -1121,7 +1125,8 @@ object EvalMetrics extends QueryModule {
       |  FROM l
       |)
       |SELECT sae7, n7, sae1, n1,
-      |  (1000 * sae7 * n1) // (sae1 * n7) AS mase_milli
+      |  CAST((1000 * CAST(sae7 AS HUGEINT) * n1)
+      |    // (CAST(sae1 AS HUGEINT) * n7) AS BIGINT) AS mase_milli
       |FROM m""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(

@@ -317,7 +317,7 @@ object MixtureOps extends QueryModule {
         size(graft.functions.TextFns.tokens(col("text"))).cast("long")
           .as("tok"))
       .groupBy(col("source")).agg(sum(col("tok")).as("supply"))
-    val budget = sup.agg((sum(col("supply")) / 2).cast("long").as("budget"))
+    val budget = sup.agg(expr("sum(supply) div 2").as("budget"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("supply"), col("source"))
     val ranked = sup.crossJoin(broadcast(budget))
@@ -366,7 +366,8 @@ object MixtureOps extends QueryModule {
        |    (SELECT max(supply) FROM sup)) AS level
        |)
        |SELECT source, supply,
-       |  least(supply, level) AS alloc, CAST(level AS BIGINT) AS level,
+       |  CAST(least(supply, level) AS BIGINT) AS alloc,
+       |  CAST(level AS BIGINT) AS level,
        |  budget
        |FROM c CROSS JOIN lvl""".stripMargin
   }

@@ -507,7 +507,7 @@ object TpchMore extends QueryModule {
       |  FROM lineitem GROUP BY l_partkey),
       |tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts
       |        FROM per_part)
-      |SELECT l_partkey, value_cents
+      |SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
       |FROM per_part CROSS JOIN tot
       |WHERE 2 * CAST(value_cents AS HUGEINT) * n_parts
       |    > 3 * CAST(total_cents AS HUGEINT)""".stripMargin
@@ -537,10 +537,10 @@ object TpchMore extends QueryModule {
 
   private val q12Sql =
     """SELECT l_linestatus,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |           THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |           THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       |WHERE date_diff('day', o_orderdate, l_shipdate) > 90
       |GROUP BY l_linestatus""".stripMargin

@@ -865,7 +865,7 @@ object TrainingOps extends QueryModule {
        |  FROM cell
        |)
        |SELECT cluster, CAST(n AS BIGINT) AS n, label AS top_label,
-       |  (10000 * c) // n AS purity_bp,
+       |  CAST((10000 * c) // n AS BIGINT) AS purity_bp,
        |  CAST(CASE WHEN (10000 * c) // n >= 2500 THEN 1 ELSE 0 END AS BIGINT)
        |    AS kept
        |FROM r WHERE rk = 1""".stripMargin

@@ -38,7 +38,9 @@ object Mst {
     * @param maxRounds backstop on Borůvka rounds (components at least
     *              halve per round, so 16 covers 65 536 components — at
     *              larger scale pass log₂|V|; the fixpoint exit fires
-    *              first on every real graph).
+    *              first on every real graph). If the bound is hit while
+    *              cross-component edges remain, the run FAILS LOUDLY
+    *              rather than silently returning a non-spanning forest.
     * @return the forest's edge frame (`u`, `v`, `w`) — n_nodes − n_comps
     *         rows by the forest property.
     */
@@ -82,6 +84,18 @@ object Mst {
               .withColumnRenamed("component", "nl"), "label")
             .select(col("id"), col("nl").as("label")))
       }
+    }
+    if (selected > 0) {
+      // exited on the round bound with the last round still selecting —
+      // converged iff no cross-component edge remains; anything else is
+      // an incomplete forest and must not be returned silently
+      val cu = comp.select(col("id").as("u"), col("label").as("cu"))
+      val cv = comp.select(col("id").as("v"), col("label").as("cv"))
+      val remaining = e0.join(cu, "u").join(cv, "v")
+        .where(col("cu") =!= col("cv")).limit(1).count()
+      require(remaining == 0L,
+        s"Mst.forest did not converge within maxRounds=$maxRounds " +
+          "(cross-component edges remain); raise maxRounds to log2(|V|)")
     }
     mst
   }
