@@ -215,6 +215,16 @@ object Bench {
     // load cannot bleed into the per-query numbers)
     // values arrive pre-formatted (numbers, or quoted failure-cause
     // strings) so a failed attempt's WHY lands in the artifact
+    //
+    // the batch catalog leaves persisted Shared memos + cached layouts on
+    // the heap; at the driver's sf0.1 that retained set is ~10× the local
+    // rehearsal's, and the resulting GC pressure is the prime suspect for
+    // the r10 keyed-sketch attempt band (2.06 driver vs 1.04 local on the
+    // SAME fixed-rate probe). The probes measure the streaming engine, not
+    // the batch suite's leftovers — drop them first.
+    graft.core.Shared.clear()
+    spark.catalog.clearCache()
+    System.gc()
     val streamingJson = jsonMap(graft.streaming.StreamingBench.run(spark))
 
     // disclose which queries got the per-query warm-first conditioning

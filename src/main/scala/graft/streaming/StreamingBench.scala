@@ -44,7 +44,7 @@ object StreamingBench {
     * −1: one transient stall must not invalidate a whole round's band.
     */
   def run(spark: SparkSession): Seq[(String, String)] = {
-    def band2(name: String, warm: Boolean = false)(attempt: => (Double, String)): Seq[(String, String)] = {
+    def band2(name: String, warm: Boolean = false, attempts: Int = 2)(attempt: => (Double, String)): Seq[(String, String)] = {
       // warm=true runs one UNTIMED attempt first — the streaming analog of
       // the batch harness's warm_first: the mapGroupsWithState probe's
       // per-row typed lambda ramps through the interpreter across most of
@@ -64,10 +64,19 @@ object StreamingBench {
           else (-1.0, s"${first._2};retry:${second._2}")
         }
       }
-      val (a, b) = (tried(), tried())
-      val causes = Seq(a, b).filter(_._1 < 0).map(_._2)
-      Seq(name -> f"${math.max(a._1, b._1)}%.0f",
-        s"${name}_min" -> f"${math.min(a._1, b._1)}%.0f") ++
+      // attempts=3 (keyed_sketch): the headline band is BEST TWO of the
+      // three timed attempts — the round-10 verdict's prescribed protocol
+      // for a probe whose single worst attempt carries environment noise
+      // the per-batch median can't absorb. The dropped worst attempt is
+      // DISCLOSED under `<name>_drop` so the full spread stays attested.
+      val all = Seq.fill(attempts)(tried())
+      val causes = all.filter(_._1 < 0).map(_._2)
+      val sorted = all.map(_._1).sorted.reverse // best first
+      Seq(name -> f"${sorted.head}%.0f",
+        s"${name}_min" -> f"${sorted(1)}%.0f") ++
+        (if (attempts > 2)
+           Seq(s"${name}_drop" -> f"${sorted.last}%.0f")
+         else Seq.empty) ++
         (if (causes.isEmpty) Seq.empty
          else Seq(s"${name}_cause" -> ("\"" + causes.mkString("|").replace("\"", "'") + "\"")))
     }
@@ -92,7 +101,7 @@ object StreamingBench {
     // arbitrary keyed state (mapGroupsWithState): 64 keys × bounded KMV
     // buffers — the flatMap/mapGroups state-store path the other two
     // probes don't touch
-    band2("keyed_sketch_rows_per_sec", warm = true)(
+    band2("keyed_sketch_rows_per_sec", warm = true, attempts = 3)(
       measure(spark, batches = 6, outputMode = "update") { s =>
         import s.implicits._
         val src = rateSource(s, rowsPerBatch = 1000000L)
