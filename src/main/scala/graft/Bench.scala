@@ -149,8 +149,21 @@ object Bench {
     // ann_pq: first consumer of the memoized PQ code frame — same story
     // (r10 closing bench band 1.22/4.28 with the build disclosed; the
     // warmup moves the build out of the timed max entirely)
+    // cluster_medoids: alphabetically the FIRST consumer of the
+    // kmeans_assignment memo — its first timed attempt paid the Lloyd
+    // build (r10 band 0.49/1.55; isolated BenchOne 3.98/0.91/0.83 s, warm
+    // band 1.11 — the query itself is tight, the spread is the build)
+    // approx_distinct_kmv / jdbc_roundtrip: no shared build, but the r10
+    // >3× bands (0.40/1.80, 0.41/1.33) are first-attempt one-time costs —
+    // KMV sketch codegen C2 compile, H2 driver + database-file init —
+    // confirmed tight once warm (isolated BenchOne warm bands 1.24 / 1.03)
+    // curation_funnel: alphabetically ahead of dedup_simhash, so it is
+    // now the first consumer of the simhash_fingerprints memo — same
+    // first-consumer treatment as cluster_medoids above
     val warmFirst = Set("pentomino", "bfs_hops", "graph_diameter",
-      "bm25_topk", "graph_assortativity", "ann_pq")
+      "bm25_topk", "graph_assortativity", "ann_pq",
+      "cluster_medoids", "approx_distinct_kmv", "jdbc_roundtrip",
+      "curation_funnel")
     // per-query shared-frame builds (label list): a memoized consumer's
     // first attempt pays the build, so its max/min spread is explained
     // here rather than read as variance

@@ -29,6 +29,7 @@ object SparkEntry {
     MiscOps,
     MrFacade,
     Extras,
+    Composites,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

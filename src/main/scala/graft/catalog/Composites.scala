@@ -1,0 +1,478 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{SimHash, VectorOps}
+
+/** Pipeline-shaped composites: multi-stage queries that CHAIN existing
+  * catalog components end-to-end, rather than adding another leaf metric.
+  * Each stage reuses the exact machinery of its standalone component
+  * (same constants, same helper code paths), so the composite is an
+  * integration proof: the pieces agree when wired together, and the
+  * DuckDB twin replays the whole chain.
+  *
+  * Reference framing: the closest reference shape is a JobControl DAG of
+  * chained MapReduce jobs (reference `src/mapred/.../jobcontrol/JobControl.java`)
+  * — here the chain is ONE declarative plan, so Catalyst sees across
+  * stage boundaries (shared scans, pruned columns) instead of
+  * re-materializing between jobs.
+  */
+object Composites extends QueryModule {
+
+  // ---- staged curation funnel ---------------------------------------------
+
+  /** End-to-end curation funnel: ingest → Gopher-rule admission →
+    * exact dedup → SimHash near-dedup → token-budget shard packing, with
+    * a per-stage census (docs, tokens, shards) as the readout — the
+    * datasheet a corpus build publishes: how much survived each gate and
+    * what got packed.
+    *
+    * Stage reuse: admission = [[CurationOps.gopherDocStats]] +
+    * [[CurationOps.gopherAdmit]] (the gopher_rules constants); exact
+    * dedup = the dedup_exact content key (min-id canonical per key);
+    * near-dedup = the MEMOIZED [[LlmPipeline.simhashFingerprints]] frame
+    * restricted to the exact-dedup survivors BEFORE banding (cheaper than
+    * pairing the full corpus, and identical: Hamming distance is
+    * per-pair), dropping the larger id of every near pair; packing =
+    * [[LlmPipeline.packShards]] on the survivors.
+    *
+    * Scale: one map-only stats pass + one content-key window for stages
+    * 0–3 (flags as columns, census = ONE conditional-sum rollup); the
+    * near-pair join is banded (never all-pairs); packing is the
+    * bucket-partitioned window of shard_pack. The two `.collect()`s are
+    * 1-row aggregate rows (the bounded class).
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCk = Window.partitionBy(col("content_key"))
+    val staged0 = CurationOps.gopherDocStats(Tables.documents(spark, dir))
+      .withColumn("pass1", CurationOps.gopherAdmit)
+      .withColumn("cid", min(when(col("pass1"), col("doc_id"))).over(wCk))
+      .withColumn("pass2", col("pass1") && col("doc_id") === col("cid"))
+    val s2ids = staged0.where(col("pass2")).select(col("doc_id").as("id"))
+    val drops = SimHash.nearPairs(
+        LlmPipeline.simhashFingerprints(spark, dir).join(s2ids, "id"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dropped", lit(1))
+    val staged = staged0.join(drops, Seq("doc_id"), "left")
+      .withColumn("pass3", col("pass2") && col("dropped").isNull)
+    def d(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L)), lit(0L))
+    def t(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, col("n_tok"))), lit(0L))
+    val cen = staged.agg(
+      count(lit(1)).as("d0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+      d(col("pass1")).as("d1"), t(col("pass1")).as("t1"),
+      d(col("pass2")).as("d2"), t(col("pass2")).as("t2"),
+      d(col("pass3")).as("d3"), t(col("pass3")).as("t3"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val pk = LlmPipeline.packShards(
+      staged.where(col("pass3"))
+        .select(col("doc_id"), col("n_tok").as("n_tokens")))
+    val shards = pk
+      .agg(countDistinct(struct(col("bucket"), col("shard"))).as("s"),
+        count(lit(1)).as("nd"), coalesce(sum(col("n_tokens")), lit(0L)).as("nt"))
+      .as[(Long, Long, Long)].head()
+    Seq(
+      (0L, "ingest", cen._1, cen._2, 0L),
+      (1L, "admitted", cen._3, cen._4, 0L),
+      (2L, "exact_dedup", cen._5, cen._6, 0L),
+      (3L, "near_dedup", cen._7, cen._8, 0L),
+      (4L, "packed", shards._2, shards._3, shards._1))
+      .toDF("stage", "stage_name", "n_docs", "n_tokens", "n_shards")
+  }
+
+  private val curationFunnelSql = {
+    val simFull = SimHash.nearPairsSql("documents", "doc_id", "text")
+    def cenRow(stage: Int, name: String, from: String, tok: String) =
+      s"""SELECT ${stage}::BIGINT AS stage, '$name' AS stage_name,
+         |  count(*)::BIGINT AS n_docs,
+         |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS n_tokens,
+         |  0::BIGINT AS n_shards
+         |FROM $from""".stripMargin
+    s"""WITH d AS MATERIALIZED (
+       |  ${CurationOps.gopherDocStatsSql("documents")}
+       |), f AS MATERIALIZED (
+       |  SELECT *, ${CurationOps.gopherAdmitSql} AS pass1 FROM d
+       |), c AS (
+       |  SELECT *, min(CASE WHEN pass1 THEN doc_id END)
+       |    OVER (PARTITION BY content_key) AS cid
+       |  FROM f
+       |), s2 AS MATERIALIZED (
+       |  SELECT * FROM c WHERE pass1 AND doc_id = cid
+       |), sp AS (
+       |  SELECT doc_a, doc_b FROM ($simFull)
+       |), drops AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id FROM sp p
+       |  JOIN s2 a ON a.doc_id = p.doc_a
+       |  JOIN s2 b ON b.doc_id = p.doc_b
+       |), s3 AS MATERIALIZED (
+       |  SELECT s2.* FROM s2 LEFT JOIN drops dr ON s2.doc_id = dr.doc_id
+       |  WHERE dr.doc_id IS NULL
+       |), pk AS MATERIALIZED (
+       |  ${LlmPipeline.packShardsSql("(SELECT doc_id, n_tok AS n_tokens FROM s3)")}
+       |)
+       |${cenRow(0, "ingest", "d", "n_tok")}
+       |UNION ALL
+       |${cenRow(1, "admitted", "f WHERE pass1", "n_tok")}
+       |UNION ALL
+       |${cenRow(2, "exact_dedup", "s2", "n_tok")}
+       |UNION ALL
+       |${cenRow(3, "near_dedup", "s3", "n_tok")}
+       |UNION ALL
+       |SELECT 4::BIGINT AS stage, 'packed' AS stage_name,
+       |  count(*)::BIGINT AS n_docs,
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+       |  (SELECT count(*) FROM (SELECT DISTINCT bucket, shard FROM pk))::BIGINT
+       |    AS n_shards
+       |FROM pk""".stripMargin
+  }
+
+  // ---- multi-round active-learning loop -----------------------------------
+
+  private val AlSeedBudget = 10L
+  private val AlRounds = 3
+  private val AlBatch = 8
+  private val AlK = 3
+  private val AlDim = 64
+
+  /** Pool-based active-learning acquisition loop over the embedding
+    * corpus: start from a FIXED-budget seed of labeled vectors
+    * ([[VectorOps.auditSample]] — the same bounded-batch contract as
+    * label_noise_audit), then for [[AlRounds]] rounds score every
+    * unlabeled pool vector by its [[AlK]]-NN vote margin against the
+    * CURRENT labeled set (the label_noise_audit vote machinery with the
+    * roles flipped: the labeled set is the tiny broadcast side, the pool
+    * stays distributed), acquire the [[AlBatch]] lowest-margin (most
+    * uncertain) vectors with their true labels, and fold them into the
+    * labeled set for the next round.
+    *
+    * Readout per round: labeled-set size entering the round, acquisition
+    * count, how many acquisitions the current labeled set would have
+    * mislabeled (`acq_vote_err` — the "was the acquisition informative"
+    * signal), and the summed vote margin (uncertainty mass) — all exact
+    * integers.
+    *
+    * Scale: per round ONE |pool|×|labeled| broadcast cross-score
+    * (labeled ≤ seed + rounds·batch rows — bounded, never
+    * corpus-sized), a per-pool-vector top-[[AlK]] window, and a
+    * distributed `TakeOrdered` for the batch cut (orderBy+limit — no
+    * global sort materialized). Driver-side state is the labeled ROSTER
+    * (bounded as above) and the ≤[[AlBatch]]-row acquisition — the
+    * bradley_terry bounded-collect class. The DuckDB twin unrolls the
+    * identical [[AlRounds]] rounds as a CTE chain.
+    */
+  def activeLearningLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+    val sU = expr("CAST(round(1000000e0 * (CAST(dot_q(qv, l_qv) AS DOUBLE)" +
+      " / (sqrt(CAST(dot_q(qv, qv) AS DOUBLE))" +
+      " * sqrt(CAST(dot_q(l_qv, l_qv) AS DOUBLE))))) AS BIGINT)")
+    var labeled: Seq[(Long, Int, Seq[Long])] =
+      VectorOps.auditSample(emb, "vec_id", AlSeedBudget)
+        .select(col("vec_id"), col("label"), col("qv"))
+        .as[(Long, Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val stats = (1 to AlRounds).map { r =>
+      val nLabeled = labeled.size.toLong
+      val lDf = labeled.toDF("l_id", "l_label", "l_qv")
+      val pool = emb.join(broadcast(lDf.select(col("l_id").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      val scored = pool.crossJoin(broadcast(lDf))
+        .select(col("vec_id"), col("label"), col("l_id"), col("l_label"),
+          sU.as("s_u"))
+      val wN = Window.partitionBy(col("vec_id"))
+        .orderBy(col("s_u").desc, col("l_id"))
+      val votes = scored.withColumn("rk", row_number().over(wN))
+        .where(col("rk") <= AlK)
+        .groupBy(col("vec_id"), col("label"), col("l_label"))
+        .agg(count(lit(1)).as("v"))
+      val wV = Window.partitionBy(col("vec_id"))
+        .orderBy(col("v").desc, col("l_label"))
+      val ranked = votes.withColumn("vr", row_number().over(wV))
+      val top1 = ranked.where(col("vr") === 1)
+        .select(col("vec_id"), col("label"),
+          col("l_label").as("maj_label"), col("v").as("v1"))
+      val top2 = ranked.where(col("vr") === 2)
+        .select(col("vec_id"), col("v").as("v2"))
+      val acquired = top1.join(top2, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("maj_label"),
+          (col("v1") - coalesce(col("v2"), lit(0L))).as("margin"))
+        .orderBy(col("margin").asc, col("vec_id").asc)
+        .limit(AlBatch)
+        .as[(Long, Int, Int, Long)].collect().toSeq // ≤ AlBatch rows
+      val ids = acquired.map(_._1)
+      labeled = labeled ++ emb.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("label"), col("qv"))
+        .as[(Long, Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+      (r.toLong, nLabeled, acquired.size.toLong,
+        acquired.count(a => a._3 != a._2).toLong,
+        acquired.map(_._4).sum)
+    }
+    stats.toDF("round", "n_labeled", "n_acquired", "acq_vote_err",
+      "sum_margin")
+  }
+
+  private val activeLearningLoopSql = {
+    val cos = VectorOps.cosineQSql("p.qv", "l.qv", AlDim)
+    val sU = s"CAST(round(1000000e0 * ($cos)) AS BIGINT)"
+    def roundCtes(r: Int): String = {
+      val prev = s"l${r - 1}"
+      s"""p$r AS (
+         |  SELECT e.* FROM e LEFT JOIN $prev lb ON e.vec_id = lb.vec_id
+         |  WHERE lb.vec_id IS NULL
+         |), sc$r AS (
+         |  SELECT p.vec_id, p.label, l.vec_id AS l_id, l.label AS l_label,
+         |    $sU AS s_u
+         |  FROM p$r p CROSS JOIN $prev l
+         |), v$r AS (
+         |  SELECT vec_id, label, l_label, count(*)::BIGINT AS v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s_u DESC, l_id) AS rk
+         |    FROM sc$r)
+         |  WHERE rk <= $AlK
+         |  GROUP BY vec_id, label, l_label
+         |), t$r AS MATERIALIZED (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY v DESC, l_label) AS vr
+         |  FROM v$r
+         |), a$r AS MATERIALIZED (
+         |  SELECT o.vec_id, o.label, o.l_label AS maj_label,
+         |    o.v - coalesce(w.v, 0) AS margin
+         |  FROM (SELECT * FROM t$r WHERE vr = 1) o
+         |  LEFT JOIN (SELECT * FROM t$r WHERE vr = 2) w ON o.vec_id = w.vec_id
+         |  ORDER BY margin, o.vec_id LIMIT $AlBatch
+         |), l$r AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT e.vec_id, e.label, e.qv FROM e
+         |  JOIN a$r a ON e.vec_id = a.vec_id
+         |)""".stripMargin
+    }
+    val rounds = (1 to AlRounds).map(roundCtes).mkString(", ")
+    val stats = (1 to AlRounds).map { r =>
+      s"""SELECT ${r}::BIGINT AS round,
+         |  (SELECT count(*) FROM l${r - 1})::BIGINT AS n_labeled,
+         |  (SELECT count(*) FROM a$r)::BIGINT AS n_acquired,
+         |  CAST((SELECT coalesce(sum(CASE WHEN maj_label <> label
+         |    THEN 1 ELSE 0 END), 0) FROM a$r) AS BIGINT) AS acq_vote_err,
+         |  CAST((SELECT coalesce(sum(margin), 0) FROM a$r) AS BIGINT)
+         |    AS sum_margin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS qv
+       |  FROM embeddings
+       |), l0 AS MATERIALIZED (
+       |  SELECT vec_id, label, qv FROM e
+       |  WHERE vec_id % ${VectorOps.auditSampleModSql("embeddings", AlSeedBudget)} = 0
+       |), $rounds
+       |$stats""".stripMargin
+  }
+
+  // ---- staged retrieval pipeline ------------------------------------------
+
+  private val RpK1 = 20 // sparse shortlist size
+  private val RpK2 = 8  // dense rerank keep
+  private val RpK3 = 5  // final diversified k
+  private val RpLambdaPct = 70
+  private val RpDim = 64
+
+  /** Staged retrieval serving pipeline — the narrow-as-you-go shape every
+    * production retrieval stack runs, chained end-to-end:
+    *
+    *   1. SPARSE recall: BM25 top-[[RpK1]] shortlist per query over the
+    *      MEMOIZED [[LlmPipeline.bm25Index]], with the exact bm25_topk
+    *      query set ([[LlmPipeline.bm25Queries]]);
+    *   2. DENSE precision: rerank the shortlist by exact integer-micro
+    *      embedding cosine, keep top-[[RpK2]];
+    *   3. DIVERSITY: greedy MMR (λ = 0.7) down to [[RpK3]] picks per
+    *      query, pairwise sims computed only within each query's
+    *      [[RpK2]]-candidate set (≤ K2² pairs per query, never corpus
+    *      pairs).
+    *
+    * Cost narrows stage by stage: the corpus-sized work is stage 1's
+    * index probe (shared, memoized); stages 2–3 touch only
+    * |queries|·K1 rows. At 100 TB the dense leg swaps its candidate
+    * source to the ANN paths unchanged (the rrf_fuse argument — stages
+    * consume only (query_id, doc_id) + vectors). Readout: (query_id,
+    * pick_order, doc_id, rel_u, mmr_u) — mmr_u NULL on the relevance-only
+    * first pick, exact integers throughout, DuckDB twin replays all
+    * three stages plus the [[RpK3]]−1 greedy rounds as a CTE chain.
+    */
+  def retrievalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val shortlist = graft.operators.Bm25
+      .topK(docs, LlmPipeline.bm25Queries(docs), RpK1,
+        prebuilt = Some(LlmPipeline.bm25Index(spark, dir)))
+      .select(col("query_id"), col("doc_id"))
+    val ev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+    def cosU(a: String, b: String) =
+      expr(s"CAST(round(1000000e0 * (CAST(dot_q($a, $b) AS DOUBLE)" +
+        s" / (sqrt(CAST(dot_q($a, $a) AS DOUBLE))" +
+        s" * sqrt(CAST(dot_q($b, $b) AS DOUBLE))))) AS BIGINT)")
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_u").desc, col("doc_id"))
+    val rr = shortlist
+      .join(ev.select(col("vec_id").as("query_id"), col("qv").as("q_qv")),
+        "query_id")
+      .join(ev.select(col("vec_id").as("doc_id"), col("qv").as("c_qv")),
+        "doc_id")
+      .select(col("query_id"), col("doc_id"), col("c_qv"),
+        cosU("q_qv", "c_qv").as("rel_u"))
+      .withColumn("rk", row_number().over(wRel))
+      .where(col("rk") <= RpK2)
+      .select(col("query_id"), col("doc_id"), col("rel_u"), col("c_qv"))
+    // stage 3 runs INSIDE one grouped pass: each query's greedy state is
+    // its own ≤K2-candidate set, so the K3−1 rounds are per-group local
+    // compute (O(K2²·K3) integer ops) — one shuffle total, instead of
+    // K3−1 chained join/window jobs whose subtrees replay earlier rounds
+    import spark.implicits._
+    rr.as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        mmrGreedy(qid, it.toArray)
+      }
+      .toDF("query_id", "doc_id", "pick_order", "rel_u", "mmr_u")
+  }
+
+  /** Per-query greedy MMR over one reranked candidate group (≤ [[RpK2]]
+    * rows: doc_id, rel_u, qv). Deterministic integer math, bit-matched to
+    * the unrolled oracle: pair cosines in micro units rounded HALF_UP
+    * away from zero (`BigDecimal.valueOf` — the same decimal-string
+    * rounding Spark's `round` applies, equivalent to DuckDB's `round`
+    * since every N.5 is an exact double at this magnitude), and
+    * mmr = (λ·rel − (1−λ)·maxSim) with Scala `/` — truncation toward
+    * zero, the Spark `div` / DuckDB `//` contract.
+    */
+  private def mmrGreedy(qid: Long,
+                        group: Array[(Long, Long, Long, Seq[Long])])
+      : Iterator[(Long, Long, Long, Long, Option[Long])] = {
+    val cands = group.map(c => (c._2, c._3, c._4.toArray))
+      .sortBy(c => (-c._2, c._1)) // rel desc, doc_id asc — the p1 order
+    if (cands.isEmpty) return Iterator.empty
+    def cosU(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val x = 1000000e0 *
+        (dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val selected = scala.collection.mutable.ArrayBuffer(0)
+    val out = scala.collection.mutable.ArrayBuffer(
+      (qid, cands(0)._1, 1L, cands(0)._2, Option.empty[Long]))
+    var r = 2
+    while (r <= RpK3 && selected.size < cands.length) {
+      var bestIdx = -1
+      var bestMmr = 0L
+      var i = 0
+      while (i < cands.length) {
+        if (!selected.contains(i)) {
+          var msim = Long.MinValue
+          selected.foreach { s =>
+            val c = cosU(cands(i)._3, cands(s)._3)
+            if (c > msim) msim = c
+          }
+          val mmr =
+            (RpLambdaPct * cands(i)._2 - (100 - RpLambdaPct) * msim) / 100
+          if (bestIdx < 0 || mmr > bestMmr ||
+              (mmr == bestMmr && cands(i)._1 < cands(bestIdx)._1)) {
+            bestIdx = i
+            bestMmr = mmr
+          }
+        }
+        i += 1
+      }
+      selected += bestIdx
+      out += ((qid, cands(bestIdx)._1, r.toLong, cands(bestIdx)._2,
+        Some(bestMmr)))
+      r += 1
+    }
+    out.iterator
+  }
+
+  private val retrievalPipelineSql = {
+    val bm25 = graft.operators.Bm25.topKSql("documents",
+      LlmPipeline.Bm25QueryMod, RpK1)
+    def cosU(a: String, b: String) =
+      s"CAST(round(1000000e0 * (${VectorOps.cosineQSql(a, b, RpDim)})) AS BIGINT)"
+    val mu = 100 - RpLambdaPct
+    val rounds = (2 to RpK3).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT query_id, doc_id, rel_u, mmr_u FROM (
+         |    SELECT c.query_id, c.doc_id, c.rel_u,
+         |      CAST(($RpLambdaPct * c.rel_u - $mu * m.msim) // 100 AS BIGINT)
+         |        AS mmr_u,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ($RpLambdaPct * c.rel_u - $mu * m.msim) // 100 DESC,
+         |          c.doc_id) AS rk
+         |    FROM (SELECT rr.* FROM rr LEFT JOIN $prev
+         |            ON rr.query_id = $prev.query_id
+         |            AND rr.doc_id = $prev.doc_id
+         |          WHERE $prev.doc_id IS NULL) c
+         |    JOIN (SELECT s.query_id, s.a, max(s.s_u) AS msim
+         |          FROM sims s JOIN $prev
+         |            ON $prev.query_id = s.query_id AND $prev.doc_id = s.b
+         |          GROUP BY s.query_id, s.a) m
+         |      ON m.query_id = c.query_id AND m.a = c.doc_id)
+         |  WHERE rk = 1
+         |), s$r AS (
+         |  SELECT query_id, doc_id FROM $prev
+         |  UNION ALL SELECT query_id, doc_id FROM p$r
+         |)""".stripMargin
+    }.mkString(", ")
+    val branches = Seq(
+      s"""SELECT query_id, doc_id, 1::BIGINT AS pick_order, rel_u,
+         |  NULL::BIGINT AS mmr_u FROM p1""".stripMargin) ++
+      (2 to RpK3).map(r =>
+        s"SELECT query_id, doc_id, ${r}::BIGINT AS pick_order, rel_u, mmr_u" +
+          s" FROM p$r")
+    s"""WITH sl AS MATERIALIZED (
+       |  SELECT query_id, doc_id FROM ($bm25)
+       |), ev AS MATERIALIZED (
+       |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv
+       |  FROM embeddings
+       |), rr AS MATERIALIZED (
+       |  SELECT query_id, doc_id, rel_u FROM (
+       |    SELECT query_id, doc_id, rel_u,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel_u DESC, doc_id) AS rk
+       |    FROM (SELECT s.query_id, s.doc_id, ${cosU("q.qv", "c.qv")} AS rel_u
+       |          FROM sl s
+       |          JOIN ev q ON q.vec_id = s.query_id
+       |          JOIN ev c ON c.vec_id = s.doc_id))
+       |  WHERE rk <= $RpK2
+       |), sims AS MATERIALIZED (
+       |  SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |    ${cosU("xa.qv", "yb.qv")} AS s_u
+       |  FROM rr x
+       |  JOIN rr y ON x.query_id = y.query_id AND x.doc_id <> y.doc_id
+       |  JOIN ev xa ON xa.vec_id = x.doc_id
+       |  JOIN ev yb ON yb.vec_id = y.doc_id
+       |), p1 AS MATERIALIZED (
+       |  SELECT query_id, doc_id, rel_u FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel_u DESC, doc_id) AS rk FROM rr)
+       |  WHERE rk = 1
+       |), s1 AS (
+       |  SELECT query_id, doc_id FROM p1
+       |), $rounds
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
+    QueryDef("active_learning_loop", activeLearningLoop,
+      Some(activeLearningLoopSql)),
+    QueryDef("retrieval_pipeline", retrievalPipeline,
+      Some(retrievalPipelineSql)),
+  )
+}

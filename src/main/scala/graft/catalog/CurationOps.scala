@@ -612,6 +612,78 @@ object CurationOps extends QueryModule {
   private val EnStops =
     Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "on")
 
+  /** Per-doc Gopher-rule statistics — the shared map-only pass under both
+    * the per-source rollup [[gopherRules]] and the staged admission filter
+    * in [[Composites.curationFunnel]], so both consumers apply the SAME
+    * rule constants to the SAME integer censuses. Emits one row per doc:
+    * `(doc_id, source, n_tok, sum_len, symbols, n_alpha, n_stop,
+    * content_key)`; the content key (the [[LlmPipeline.dedupExact]]
+    * whitespace-normalized md5) rides along for funnel consumers and is
+    * pruned by Catalyst wherever unused.
+    */
+  private[catalog] def gopherDocStats(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("w")).cast("long").as("n_tok"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[#…]", "")))
+          .cast("long").as("symbols"),
+        size(filter(col("w"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(TextFns.tokens(lower(col("text"))),
+          t => EnStops.map(s => t === lit(s)).reduce(_ || _))).cast("long")
+          .as("n_stop"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("content_key"))
+  }
+
+  /** The five Gopher rule predicates over a [[gopherDocStats]] row. */
+  private[catalog] def gopherFailWords =
+    col("n_tok") < 10 || col("n_tok") > 100000L
+  private[catalog] def gopherFailLen =
+    col("sum_len") < lit(3L) * col("n_tok") ||
+      col("sum_len") > lit(10L) * col("n_tok")
+  private[catalog] def gopherFailSym = lit(10L) * col("symbols") > col("n_tok")
+  private[catalog] def gopherFailAlpha =
+    lit(5L) * col("n_alpha") < lit(4L) * col("n_tok")
+  private[catalog] def gopherFailStop = col("n_stop") < 2
+  private[catalog] def gopherAdmit =
+    !(gopherFailWords || gopherFailLen || gopherFailSym ||
+      gopherFailAlpha || gopherFailStop)
+
+  /** DuckDB twin of [[gopherDocStats]] (a complete SELECT over `table`). */
+  private[catalog] def gopherDocStatsSql(table: String): String = {
+    val w = TextFns.tokensSql("text")
+    val wl = TextFns.tokensSql("lower(text)")
+    val stops = EnStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, source,
+       |    len($w)::BIGINT AS n_tok,
+       |    coalesce(list_sum(list_transform($w, x -> len(x))), 0)::BIGINT
+       |      AS sum_len,
+       |    (len(text) - len(regexp_replace(text, '[#…]', '', 'g')))::BIGINT
+       |      AS symbols,
+       |    len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+       |      AS n_alpha,
+       |    len(list_filter($wl, x -> list_contains($stops, x)))::BIGINT
+       |      AS n_stop,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |      AS content_key
+       |  FROM $table""".stripMargin
+  }
+
+  /** DuckDB twin of [[gopherAdmit]] over [[gopherDocStatsSql]] columns. */
+  private[catalog] val gopherAdmitSql =
+    "NOT ((n_tok < 10 OR n_tok > 100000) " +
+      "OR (sum_len < 3 * n_tok OR sum_len > 10 * n_tok) " +
+      "OR (10 * symbols > n_tok) " +
+      "OR (5 * n_alpha < 4 * n_tok) " +
+      "OR (n_stop < 2))"
+
   /** Rule-based quality-filter census per source, the Gopher/C4 document
     * filter family (Rae et al. 2021 §A1.1) re-expressed as INTEGER
     * cross-multiplied predicates so no ratio ever leaves exact math:
@@ -625,27 +697,12 @@ object CurationOps extends QueryModule {
     * ≤|sources|-row rollup.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val d = Tables.documents(spark, dir)
-      .select(col("source"), col("text"), toks.as("w"))
-      .select(
-        col("source"),
-        size(col("w")).cast("long").as("n_tok"),
-        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[#…]", "")))
-          .cast("long").as("symbols"),
-        size(filter(col("w"), t => t.rlike("[A-Za-z]"))).cast("long")
-          .as("n_alpha"),
-        size(filter(TextFns.tokens(lower(col("text"))),
-          t => EnStops.map(s => t === lit(s)).reduce(_ || _))).cast("long")
-          .as("n_stop"))
-    val fWords = col("n_tok") < 10 || col("n_tok") > 100000L
-    val fLen = col("sum_len") < lit(3L) * col("n_tok") ||
-      col("sum_len") > lit(10L) * col("n_tok")
-    val fSym = lit(10L) * col("symbols") > col("n_tok")
-    val fAlpha = lit(5L) * col("n_alpha") < lit(4L) * col("n_tok")
-    val fStop = col("n_stop") < 2
+    val d = gopherDocStats(Tables.documents(spark, dir))
+    val fWords = gopherFailWords
+    val fLen = gopherFailLen
+    val fSym = gopherFailSym
+    val fAlpha = gopherFailAlpha
+    val fStop = gopherFailStop
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(fWords.cast("long")).as("fail_words"),
@@ -658,21 +715,8 @@ object CurationOps extends QueryModule {
   }
 
   private val gopherRulesSql = {
-    val w = TextFns.tokensSql("text")
-    val wl = TextFns.tokensSql("lower(text)")
-    val stops = EnStops.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH d AS (
-       |  SELECT source,
-       |    len($w)::BIGINT AS n_tok,
-       |    coalesce(list_sum(list_transform($w, x -> len(x))), 0)::BIGINT
-       |      AS sum_len,
-       |    (len(text) - len(regexp_replace(text, '[#…]', '', 'g')))::BIGINT
-       |      AS symbols,
-       |    len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
-       |      AS n_alpha,
-       |    len(list_filter($wl, x -> list_contains($stops, x)))::BIGINT
-       |      AS n_stop
-       |  FROM documents
+       |  ${gopherDocStatsSql("documents")}
        |), f AS (
        |  SELECT source,
        |    (n_tok < 10 OR n_tok > 100000) AS f_words,

@@ -83,11 +83,18 @@ object LlmPipeline extends QueryModule {
     * build lands in `shared_builds` attribution instead of reading as an
     * unexplained max band on this query.
     */
+  /** Memoized corpus-wide SimHash fingerprint frame `(id, fingerprint)` —
+    * shared by [[dedupSimhash]] and [[Composites.curationFunnel]] (which
+    * restricts it to its admission survivors before banding).
+    */
+  private[catalog] def simhashFingerprints(spark: SparkSession,
+                                           dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "simhash_fingerprints", dir) {
+      SimHash.fingerprints(Tables.documents(spark, dir), "doc_id", "text")
+    }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    SimHash.nearPairs(
-      graft.core.Shared.memo(spark, "simhash_fingerprints", dir) {
-        SimHash.fingerprints(Tables.documents(spark, dir), "doc_id", "text")
-      })
+    SimHash.nearPairs(simhashFingerprints(spark, dir))
 
   private val dedupSimhashSql = SimHash.nearPairsSql("documents", "doc_id", "text")
 
@@ -1411,8 +1418,10 @@ object LlmPipeline extends QueryModule {
   }
 
   // ---- token-budget shard packing -----------------------------------------
-  private val PackBuckets = 32
-  private val PackBudget = 2048L
+  // shared with the streaming twin ([[graft.streaming.StreamingOps
+  // .ingestPackStream]]) so batch and stream pack to the same geometry
+  private[graft] val PackBuckets = 32
+  private[graft] val PackBudget = 2048L
 
   /** Training-shard assignment: pack documents into ~`PackBudget`-token
     * shards, deterministically. Globally-greedy packing is a sequential
@@ -1425,15 +1434,23 @@ object LlmPipeline extends QueryModule {
     * [[domainMix]]: the assignment is a pure function of doc content keys,
     * reproducible across runs, engines, and partitionings.
     */
-  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    packShards(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens")))
+
+  /** The packing core of [[shardPack]] over any `(doc_id, n_tokens)`
+    * frame — factored so [[Composites.curationFunnel]] packs its SURVIVOR
+    * set through the identical bucket/window/budget logic.
+    */
+  private[catalog] def packShards(withTokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
-        h.as("h"))
+    withTokens
+      .select(col("doc_id"), col("n_tokens"), h.as("h"))
       .withColumn("bucket", (col("h") % PackBuckets).cast("int"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // shard = which budget window the doc's START falls in — integer
@@ -1442,22 +1459,29 @@ object LlmPipeline extends QueryModule {
         expr(s"(cum - n_tokens) div $PackBudget").as("shard"))
   }
 
+  /** DuckDB twin of [[packShards]] over a CTE/table named `table` with
+    * `(doc_id, n_tokens)` columns: emits `(doc_id, n_tokens, bucket,
+    * shard)` as a complete SELECT.
+    */
+  private[catalog] def packShardsSql(table: String): String = {
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR")
+    s"""SELECT doc_id, n_tokens, bucket,
+       |    ((cum - n_tokens) // $PackBudget)::BIGINT AS shard
+       |  FROM (
+       |    SELECT doc_id, n_tokens, bucket,
+       |      sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM (SELECT doc_id, n_tokens, (($h) % $PackBuckets)::INT AS bucket,
+       |            $h AS h
+       |          FROM $table))""".stripMargin
+  }
+
   private val shardPackSql = {
     val w = graft.functions.TextFns.tokensSql("text")
-    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR")
     s"""WITH t AS (
-       |  SELECT doc_id, len($w)::BIGINT AS n_tokens, $h AS h FROM documents
-       |), b AS (
-       |  SELECT doc_id, n_tokens, (h % $PackBuckets)::INT AS bucket, h FROM t
-       |), c AS (
-       |  SELECT doc_id, n_tokens, bucket,
-       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM b
+       |  SELECT doc_id, len($w)::BIGINT AS n_tokens FROM documents
        |)
-       |SELECT doc_id, n_tokens, bucket,
-       |  ((cum - n_tokens) // $PackBudget)::BIGINT AS shard
-       |FROM c""".stripMargin
+       |${packShardsSql("t")}""".stripMargin
   }
 
   // ---- frequency-ranked vocabulary encoding -------------------------------
@@ -1716,7 +1740,7 @@ object LlmPipeline extends QueryModule {
        |FROM km LEFT JOIN removed r ON r.vec_id = km.vec_id""".stripMargin
 
   // ---- BM25 ranked retrieval ----------------------------------------------
-  private val Bm25QueryMod = 61
+  private[catalog] val Bm25QueryMod = 61
   private val Bm25K = 5
 
   /** Keyword search over the corpus via [[graft.operators.Bm25]]: the query
@@ -1726,18 +1750,29 @@ object LlmPipeline extends QueryModule {
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val queries = docs.filter(col("doc_id") % Bm25QueryMod === 0)
+    graft.operators.Bm25.topK(docs, bm25Queries(docs), Bm25K,
+      prebuilt = Some(bm25Index(spark, dir)))
+  }
+
+  /** The bm25_topk query set — "distinct first-5 tokens of every
+    * doc_id % [[Bm25QueryMod]] == 0 doc" — shared with
+    * [[Composites.retrievalPipeline]] so the retrieval stages serve the
+    * SAME queries the standalone leg does.
+    */
+  private[catalog] def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % Bm25QueryMod === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(
           graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
-    // the inverted index is per-corpus state, not per-query work: build it
-    // once per process and serve every batch (and every bench attempt)
-    // from the shared materialized frame
-    val idx = graft.core.Shared.memo(spark, "bm25_index", dir) {
-      graft.operators.Bm25.index(docs)
+
+  /** Memoized BM25 inverted index — the inverted index is per-corpus
+    * state, not per-query work: build it once per process and serve every
+    * batch (and every bench attempt) from the shared materialized frame.
+    */
+  private[catalog] def bm25Index(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "bm25_index", dir) {
+      graft.operators.Bm25.index(Tables.documents(spark, dir))
     }
-    graft.operators.Bm25.topK(docs, queries, Bm25K, prebuilt = Some(idx))
-  }
 
   private val bm25TopKSql =
     graft.operators.Bm25.topKSql("documents", Bm25QueryMod, Bm25K)

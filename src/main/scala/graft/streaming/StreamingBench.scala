@@ -109,6 +109,19 @@ object StreamingBench {
             (col("value") % 100000).cast("string").as("word"))
           .as[StreamingOps.KmvEv]
         StreamingOps.distinctStream(src, k = 64).toDF()
+      }) ++
+    // the chained-stateful end-to-end (admit → watermarked dedup →
+    // keyed pack state): synthetic 12-token docs, ~1 in 40 a replayed
+    // duplicate (value % 200000 on 500K-row batches), so both state
+    // stores do real work; rows/sec is whole-pipeline ingest throughput
+    band2("ingest_pack_rows_per_sec", warm = true)(
+      measure(spark, batches = 6) { s =>
+        val src = rateSource(s, rowsPerBatch = 500000L)
+          .select(col("value").as("doc_id"),
+            format_string("w%d alpha beta gamma delta epsilon zeta eta" +
+              " theta iota kappa lambda", col("value") % 200000L).as("text"),
+            col("timestamp").as("ts"))
+        StreamingOps.ingestPackStream(src, "ts", "10 seconds").toDF()
       })
   }
 

@@ -406,6 +406,69 @@ object StreamingOps {
       }
   }
 
+  final case class PackEv(doc_id: Long, n_tokens: Long, bucket: Int,
+                          ts_us: Long)
+  final case class PackState(cum: Long)
+  final case class PackOut(doc_id: Long, n_tokens: Long, bucket: Int,
+                           shard: Long)
+
+  /** End-to-end streaming ingest pipeline — the streaming face of the
+    * batch [[graft.catalog.Composites.curationFunnel]], chained as ONE
+    * streaming plan under one checkpoint:
+    *
+    *   1. map-side stats + admission (the gopher word-count bound —
+    *      text-only rules keep the streaming stage map-only; the full
+    *      rule census is the batch funnel's job);
+    *   2. watermarked exact dedup on the content key ([[dedupStream]] —
+    *      first arrival wins, state bounded by the watermark horizon);
+    *   3. per-bucket stateful token-budget shard packing — the streaming
+    *      twin of [[graft.catalog.LlmPipeline.shardPack]] with the SAME
+    *      bucket fan-out and budget constants, but packing in ARRIVAL
+    *      order (the online greedy variant: a stream cannot sort by the
+    *      content hash it hasn't finished seeing; within a micro-batch
+    *      arrivals are ordered by (event time, doc_id) so a replay packs
+    *      identically). State per bucket is ONE long (the cumulative
+    *      token count) however long the stream runs.
+    *
+    * Chaining note: dedup → flatMapGroupsWithState is two stateful
+    * operators in one plan — supported in append mode on Spark 4 (the
+    * spec pins it, including state continuity across micro-batches).
+    */
+  def ingestPackStream(df: DataFrame, tsCol: String,
+                       watermark: String): Dataset[PackOut] = {
+    import df.sparkSession.implicits._
+    val buckets = graft.catalog.LlmPipeline.PackBuckets
+    val budget = graft.catalog.LlmPipeline.PackBudget
+    val stats = df
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col(tsCol).as("ts"))
+      .withColumn("n_tokens",
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .where(col("n_tokens") >= 10 && col("n_tokens") <= 100000L)
+      .withColumn("content_key",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    dedupStream(stats, "ts", Seq("content_key"), watermark)
+      .select(col("doc_id"), col("n_tokens"),
+        (graft.functions.PortableHash.h48(col("doc_id").cast("string"))
+          % buckets).cast("int").as("bucket"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[PackEv]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[PackEv], state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.doc_id)).map { e =>
+            // shard = budget window the doc STARTS in (the shardPack rule)
+            val shard = cum / budget
+            cum += e.n_tokens
+            PackOut(e.doc_id, e.n_tokens, bucket, shard)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming

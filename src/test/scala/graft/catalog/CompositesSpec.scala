@@ -1,0 +1,101 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class CompositesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curation_funnel: stages are monotone and consistent with the parts") {
+    val rows = Composites.curationFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // docs and tokens can only shrink through the gates
+    for (s <- 1 to 3) {
+      assert(rows(s.toLong)._2 <= rows(s - 1L)._2)
+      assert(rows(s.toLong)._3 <= rows(s - 1L)._3)
+    }
+    // stage 0 is the raw corpus
+    assert(rows(0L)._2 === Tables.documents(spark, dir).count())
+    // packing neither drops nor invents docs or tokens
+    assert(rows(4L)._2 === rows(3L)._2)
+    assert(rows(4L)._3 === rows(3L)._3)
+    // shard census present exactly at the packed stage
+    for (s <- 0 to 3) assert(rows(s.toLong)._4 === 0L)
+    assert(rows(4L)._4 >= 1L)
+    // stage 1 pass count equals the standalone gopher_rules pass census
+    val gopherPass = CurationOps.gopherRules(spark, dir)
+      .agg(sum(col("n_pass"))).collect()(0).getLong(0)
+    assert(rows(1L)._2 === gopherPass)
+  }
+
+  test("curation_funnel: exact-dedup stage equals distinct admitted content keys") {
+    val d = CurationOps.gopherDocStats(Tables.documents(spark, dir))
+      .where(CurationOps.gopherAdmit)
+    val distinctKeys = d.select(col("content_key")).distinct().count()
+    val rows = Composites.curationFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(2L) === distinctKeys)
+  }
+
+  test("active_learning_loop: roster grows by the batch each round") {
+    val rows = Composites.activeLearningLoop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        // next round's labeled set = previous labeled + previous acquisition
+        assert(b._2 === a._2 + a._3)
+      case _ => ()
+    }
+    rows.foreach { r =>
+      // a full batch is acquired while the pool is larger than the batch,
+      // errors are bounded by the acquisition count, and each k=3 NN vote
+      // margin lies in {0, 1, 3} (0 on a 1-1-1 label split)
+      assert(r._3 >= 1L && r._3 <= 8L)
+      assert(r._4 >= 0L && r._4 <= r._3)
+      assert(r._5 >= 0L && r._5 <= 3L * r._3)
+    }
+  }
+
+  test("retrieval_pipeline: picks are distinct, ordered and relevance-anchored") {
+    val rows = Composites.retrievalPipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, ps) =>
+      // per query: contiguous pick orders from 1, no doc picked twice
+      assert(ps.map(_._3).sorted.toSeq === (1L to ps.length.toLong))
+      assert(ps.map(_._2).distinct.length === ps.length)
+      // the first pick is pure relevance: max rel_u (doc-id tie-break),
+      // and carries no MMR score; later picks do
+      val p1 = ps.find(_._3 == 1L).get
+      assert(p1._4 === ps.map(_._4).max)
+      assert(p1._5.isEmpty)
+      ps.filter(_._3 > 1L).foreach { p =>
+        assert(p._5.nonEmpty)
+        // mmr = (70·rel − 30·maxSim) div 100 with cosines in [−1, 1] micro
+        assert(p._5.get <= (70L * p._4 + 30L * 1000000L) / 100L)
+        assert(p._5.get >= (70L * p._4 - 30L * 1000000L) / 100L - 1L)
+      }
+      // cosine in micro units can never exceed 1.0
+      assert(ps.forall(_._4 <= 1000000L))
+    }
+  }
+
+  test("active_learning_loop: seed matches the audit-sample budget contract") {
+    import graft.operators.VectorOps
+    val emb = Tables.embeddings(spark, dir)
+    val seedN = VectorOps.auditSample(emb, "vec_id", 10L).count()
+    val first = Composites.activeLearningLoop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(first(1L) === seedN)
+  }
+}

@@ -558,4 +558,58 @@ class StreamingOpsSpec extends SparkSpec with BeforeAndAfterAll {
         s"the closed [0,10) window must hold only the on-time row: ${w0.toSeq}")
     } finally q.stop()
   }
+
+  test("ingestPackStream chains admit → dedup → pack under one checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    def bucketOf(id: Long): Int =
+      (graft.functions.Md5Hash48.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+        % 32).toInt
+    // three ids sharing ONE bucket (the shard-advance probe) and two ids
+    // sharing a DIFFERENT bucket (the duplicate pair — same bucket either
+    // way, so whichever copy survives dedup packs identically)
+    val Seq(d1, d2, d3) =
+      (1L to 2000L).filter(bucketOf(_) == bucketOf(1L)).take(3).toSeq
+    val Seq(x1, x2) = (1L to 2000L)
+      .filter(id => bucketOf(id) != bucketOf(1L) &&
+        bucketOf(id) == bucketOf((1L to 2000L)
+          .find(bucketOf(_) != bucketOf(1L)).get)).take(2).toSeq
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("doc_id", "text", "ts")
+    val sink = s"ingest_pack_${System.nanoTime()}"
+    val q = StreamingOps.ingestPackStream(df, "ts", "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpoint("ingest"))
+      .start()
+    try {
+      val dupText = words("dup", 20)
+      // batch 1: two 1200-token docs in the probe bucket; a duplicate text
+      // pair; a 3-token doc that must fail admission
+      in.addData((d1, words("a", 1200), ts(1)), (d2, words("b", 1200), ts(2)),
+        (x1, dupText, ts(3)), (x2, dupText, ts(4)), (999999L, "too short doc", ts(5)))
+      q.processAllAvailable()
+      val out1 = spark.table(sink)
+        .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+      assert(!out1.contains(999999L), "inadmissible doc must be dropped")
+      assert(out1.keySet.count(Set(x1, x2)) === 1,
+        s"exactly one of the duplicate pair survives: ${out1.keySet}")
+      assert(out1(d1)._2 === 0L && out1(d2)._2 === 0L,
+        "first 2400 tokens of the bucket fit in shard 0")
+      // batch 2: a replay of the duplicate text (must be suppressed by the
+      // CARRIED dedup state) and a third probe-bucket doc whose cumulative
+      // start (2400) crosses the 2048-token budget → shard 1, proving the
+      // packing state also carried across the micro-batch boundary
+      in.addData((777777L, dupText, ts(10)), (d3, words("c", 100), ts(11)))
+      q.processAllAvailable()
+      val out2 = spark.table(sink)
+        .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+      assert(!out2.contains(777777L), "cross-batch duplicate must be dropped")
+      assert(out2(d3)._1 === out2(d1)._1, "probe docs share a bucket")
+      assert(out2(d3)._2 === 1L,
+        s"carried cum=2400 puts the third doc in shard 1: ${out2(d3)}")
+      assert(out2.size === out1.size + 1)
+    } finally q.stop()
+  }
 }
