@@ -160,10 +160,14 @@ object Bench {
     // curation_funnel: alphabetically ahead of dedup_simhash, so it is
     // now the first consumer of the simhash_fingerprints memo — same
     // first-consumer treatment as cluster_medoids above
+    // active_learning_loop: its 3 rounds each codegen a fresh
+    // literal-bearing plan on the first attempt (r11 closing band
+    // 2.17/4.47); the plans are cached for later attempts, so a warmup
+    // moves the compile out of the timed max
     val warmFirst = Set("pentomino", "bfs_hops", "graph_diameter",
       "bm25_topk", "graph_assortativity", "ann_pq",
       "cluster_medoids", "approx_distinct_kmv", "jdbc_roundtrip",
-      "curation_funnel")
+      "curation_funnel", "active_learning_loop")
     // per-query shared-frame builds (label list): a memoized consumer's
     // first attempt pays the build, so its max/min spread is explained
     // here rather than read as variance

@@ -273,6 +273,96 @@ object Composites extends QueryModule {
        |$stats""".stripMargin
   }
 
+  // ---- token-budget mixture pipeline --------------------------------------
+
+  /** Budget → allocation → selection → packing, end to end: the mixture
+    * side of a corpus build as one chain. [[MixtureOps.waterfillBudget]]
+    * (consumed AS-IS — the composite calls the standalone component)
+    * allocates half the corpus's token mass across sources at the water
+    * level; each source then KEEPS its hash-ranked doc prefix up to its
+    * allocation (rank by (h48(doc_id), doc_id) within source — the
+    * stratified_sample determinism contract: the kept set is a pure
+    * function of content keys, reproducible across runs and engines);
+    * the kept docs go through [[LlmPipeline.packShards]]. Readout per
+    * source: supply, alloc, picked docs/tokens, and how many distinct
+    * shards the source's docs landed in.
+    *
+    * Scale: the allocation is sources-bounded (broadcast); selection is
+    * one per-source running-sum window (a giant source serializes its
+    * own partition — the deployment variant sub-buckets each source with
+    * per-bucket sub-allocations, exactly the shard_pack trade); packing
+    * and census are the shard_pack shapes. picked_tokens ≤ alloc ≤
+    * supply by construction — the spec pins it.
+    */
+  def tokenBudgetPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val alloc = MixtureOps.waterfillBudget(spark, dir)
+      .select(col("source"), col("supply"), col("alloc"))
+    val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        h.as("h"))
+      .withColumn("cum", sum(col("n_tokens")).over(wSrc))
+      .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
+      .where(col("cum") <= col("alloc"))
+    val pk = LlmPipeline.packShards(
+      picked.select(col("doc_id"), col("n_tokens")))
+    val cen = pk.join(picked.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_picked"),
+        sum(col("n_tokens")).as("picked_tokens"),
+        countDistinct(struct(col("bucket"), col("shard")))
+          .as("n_shards_touched"))
+    alloc.join(cen, Seq("source"), "left")
+      .select(col("source"), col("supply"), col("alloc"),
+        coalesce(col("n_picked"), lit(0L)).as("n_picked"),
+        coalesce(col("picked_tokens"), lit(0L)).as("picked_tokens"),
+        coalesce(col("n_shards_touched"), lit(0L)).as("n_shards_touched"))
+  }
+
+  private val tokenBudgetPipelineSql = {
+    val wtok = graft.functions.TextFns.tokensSql("text")
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR")
+    s"""WITH al AS MATERIALIZED (
+       |  SELECT source, supply, alloc
+       |  FROM (${MixtureOps.waterfillBudgetSql})
+       |), d AS (
+       |  SELECT doc_id, source, len($wtok)::BIGINT AS n_tokens, $h AS h
+       |  FROM documents
+       |), cm AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |), p AS MATERIALIZED (
+       |  SELECT cm.doc_id, cm.source, cm.n_tokens
+       |  FROM cm JOIN al ON cm.source = al.source
+       |  WHERE cm.cum <= al.alloc
+       |), pk AS (
+       |  ${LlmPipeline.packShardsSql("(SELECT doc_id, n_tokens FROM p)")}
+       |), j AS MATERIALIZED (
+       |  SELECT pk.doc_id, pk.n_tokens, pk.bucket, pk.shard, p.source
+       |  FROM pk JOIN p ON pk.doc_id = p.doc_id
+       |), cen AS (
+       |  SELECT source, count(*)::BIGINT AS n_picked,
+       |    CAST(sum(n_tokens) AS BIGINT) AS picked_tokens
+       |  FROM j GROUP BY source
+       |), shc AS (
+       |  SELECT source, count(*)::BIGINT AS n_shards_touched
+       |  FROM (SELECT DISTINCT source, bucket, shard FROM j) GROUP BY source
+       |)
+       |SELECT al.source, al.supply, al.alloc,
+       |  CAST(coalesce(cen.n_picked, 0) AS BIGINT) AS n_picked,
+       |  CAST(coalesce(cen.picked_tokens, 0) AS BIGINT) AS picked_tokens,
+       |  CAST(coalesce(shc.n_shards_touched, 0) AS BIGINT) AS n_shards_touched
+       |FROM al
+       |LEFT JOIN cen ON al.source = cen.source
+       |LEFT JOIN shc ON al.source = shc.source""".stripMargin
+  }
+
   // ---- staged retrieval pipeline ------------------------------------------
 
   private val RpK1 = 20 // sparse shortlist size
@@ -474,5 +564,7 @@ object Composites extends QueryModule {
       Some(activeLearningLoopSql)),
     QueryDef("retrieval_pipeline", retrievalPipeline,
       Some(retrievalPipelineSql)),
+    QueryDef("token_budget_pipeline", tokenBudgetPipeline,
+      Some(tokenBudgetPipelineSql)),
   )
 }

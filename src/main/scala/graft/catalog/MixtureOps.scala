@@ -345,7 +345,7 @@ object MixtureOps extends QueryModule {
         col("level"), col("budget"))
   }
 
-  private val waterfillBudgetSql = {
+  private[catalog] val waterfillBudgetSql = {
     val wtok = graft.functions.TextFns.tokensSql("text")
     s"""WITH sup AS (
        |  SELECT source, CAST(sum(len($wtok)) AS BIGINT) AS supply

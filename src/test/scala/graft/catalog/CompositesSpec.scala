@@ -90,6 +90,32 @@ class CompositesSpec extends SparkSpec {
     }
   }
 
+  test("token_budget_pipeline: allocation and packing conserve") {
+    val rows = Composites.tokenBudgetPipeline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, supply, alloc, nPicked, pickedTok, nShards) =>
+      // picked tokens never exceed the allocation, which never exceeds
+      // the source's own supply
+      assert(pickedTok <= alloc && alloc <= supply)
+      // a source that picked docs touches at least one shard, at most one
+      // per doc
+      if (nPicked > 0) assert(nShards >= 1L && nShards <= nPicked)
+      else assert(nShards === 0L)
+    }
+    // the water level treats sources equally: every source either keeps
+    // everything (alloc == supply) or sits at the common level
+    val capped = rows.filter(r => r._3 < r._2).map(_._3)
+    assert(capped.distinct.length <= 1)
+    // global conservation: Σalloc ≤ budget = Σsupply div 2
+    assert(rows.map(_._3).sum <= rows.map(_._2).sum / 2)
+    // selection matches the standalone waterfill allocations row for row
+    val wf = MixtureOps.waterfillBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r => assert(wf(r._1) === r._3) }
+  }
+
   test("active_learning_loop: seed matches the audit-sample budget contract") {
     import graft.operators.VectorOps
     val emb = Tables.embeddings(spark, dir)
