@@ -273,6 +273,80 @@ object Composites extends QueryModule {
        |$stats""".stripMargin
   }
 
+  // ---- split-hygiene pipeline ---------------------------------------------
+
+  private val ShFolds = 5L
+
+  /** Train/eval split hygiene, end to end: decontaminate → deterministic
+    * k-fold split → cross-fold leakage census. The eval set is the
+    * decontaminate convention (`doc_id % 97 == 0`); train docs sharing
+    * any word 8-gram hash with it are REMOVED (the exact
+    * [[LlmPipeline.decontamHits]] frame the standalone census counts —
+    * fold −1 in the readout); clean docs land in fold
+    * `h48(doc_id) % [[ShFolds]]` (map-only, content-stable, the
+    * stratified_kfold portability contract without the label
+    * stratification documents don't have); then the leakage audit: a
+    * dedup_exact content key present in ≥ 2 folds means the same text
+    * trains in one fold and validates in another — per fold, the count
+    * of docs carrying such a key.
+    *
+    * Scale: the decontamination pass is scan + broadcast probe (the
+    * decontaminate shape); the fold assignment is map-only; the leakage
+    * census is one content-key aggregate + one key-equi-join — nothing
+    * pairwise. Output: one row per fold (−1 = removed), docs / tokens /
+    * leaky-doc counts, all exact integers.
+    */
+  def splitHygienePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hits = LlmPipeline.decontamHits(docs).withColumn("hit", lit(1))
+    val base = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("content_key"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("fold",
+        when(col("hit").isNotNull, lit(-1L))
+          .otherwise(graft.functions.PortableHash.h48(
+            col("doc_id").cast("string")) % ShFolds))
+    val leakyKeys = base.where(col("fold") >= 0)
+      .groupBy(col("content_key"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .where(col("nf") >= 2)
+      .select(col("content_key"), lit(1).as("leaky"))
+    base.join(leakyKeys, Seq("content_key"), "left")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("leaky").isNotNull && col("fold") >= 0, 1L)
+          .otherwise(0L)).as("n_leaky_docs"))
+  }
+
+  private val splitHygienePipelineSql = {
+    val wtok = graft.functions.TextFns.tokensSql("text")
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR")
+    s"""WITH ${LlmPipeline.decontamHitsCtes}, base AS MATERIALIZED (
+       |  SELECT doc_id, len($wtok)::BIGINT AS n_tokens,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |      AS content_key,
+       |    CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN -1::BIGINT
+       |         ELSE ($h) % $ShFolds END AS fold
+       |  FROM documents WHERE doc_id % 97 <> 0
+       |), kf AS (
+       |  SELECT content_key FROM (
+       |    SELECT content_key, count(DISTINCT fold) AS nf
+       |    FROM base WHERE fold >= 0 GROUP BY content_key)
+       |  WHERE nf >= 2
+       |)
+       |SELECT fold, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN fold >= 0 AND content_key IN
+       |    (SELECT content_key FROM kf) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_leaky_docs
+       |FROM base GROUP BY fold""".stripMargin
+  }
+
   // ---- token-budget mixture pipeline --------------------------------------
 
   /** Budget → allocation → selection → packing, end to end: the mixture
@@ -566,5 +640,7 @@ object Composites extends QueryModule {
       Some(retrievalPipelineSql)),
     QueryDef("token_budget_pipeline", tokenBudgetPipeline,
       Some(tokenBudgetPipelineSql)),
+    QueryDef("split_hygiene_pipeline", splitHygienePipeline,
+      Some(splitHygienePipelineSql)),
   )
 }

@@ -1252,31 +1252,40 @@ object LlmPipeline extends QueryModule {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontamFrame(Tables.documents(spark, dir))
 
-  /** Frame-level core of [[decontaminate]] for spec-sized corpora. */
-  def decontamFrame(documents: DataFrame): DataFrame = {
+  /** The distinct contaminated-train-doc ids of [[decontamFrame]] —
+    * factored so [[Composites.splitHygienePipeline]] removes the SAME
+    * docs the standalone census counts.
+    */
+  private[catalog] def decontamHits(documents: DataFrame): DataFrame = {
     val shingled = MinHashLsh
       .explodeShingles(documents, "doc_id", "text", DecontamN)
       .select(col("id").as("doc_id"),
         graft.functions.PortableHash.h48(col("shingle")).as("hs"))
     val bench = shingled.filter(col("doc_id") % 97 === 0)
       .select(col("hs")).distinct()
-    val hits = shingled.filter(col("doc_id") % 97 =!= 0)
+    shingled.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("hs"))
       .select(col("doc_id")).distinct()
-      .withColumn("hit", lit(1L))
+  }
+
+  /** Frame-level core of [[decontaminate]] for spec-sized corpora. */
+  def decontamFrame(documents: DataFrame): DataFrame =
     documents.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("source"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(decontamHits(documents).withColumn("hit", lit(1L)),
+        Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
-  }
 
-  private val decontaminateSql = {
+  /** The `t/s/e/b/hits` CTE block of [[decontaminateSql]] (no leading
+    * WITH) — shared with the split-hygiene composite's oracle.
+    */
+  private[catalog] val decontamHitsCtes = {
     val w = graft.functions.TextFns.tokensSql("text")
     val sh = graft.functions.TextFns.shinglesSql("w", DecontamN)
     val h = graft.functions.PortableHash.h48Sql("sg")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, $w AS w FROM documents
        |), s AS (
        |  SELECT doc_id, $sh AS sh FROM t
@@ -1288,12 +1297,15 @@ object LlmPipeline extends QueryModule {
        |), hits AS (
        |  SELECT DISTINCT e.doc_id FROM e JOIN b ON e.hs = b.hs
        |  WHERE e.doc_id % 97 <> 0
-       |)
+       |)""".stripMargin
+  }
+
+  private val decontaminateSql =
+    s"""WITH $decontamHitsCtes
        |SELECT source, count(*) AS n_docs,
        |  sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END)::BIGINT
        |    AS n_contaminated
        |FROM documents WHERE doc_id % 97 <> 0 GROUP BY source""".stripMargin
-  }
 
   // ---- incremental ingestion dedup ----------------------------------------
   private val IngestN = 8

@@ -116,6 +116,27 @@ class CompositesSpec extends SparkSpec {
     rows.foreach { r => assert(wf(r._1) === r._3) }
   }
 
+  test("split_hygiene_pipeline: partition closes and removal matches decontaminate") {
+    val rows = Composites.splitHygienePipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // folds partition the train slice: every row is −1 or 0..4, no dups
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall(r => r._1 >= -1L && r._1 < 5L))
+    val nTrain = Tables.documents(spark, dir)
+      .where(col("doc_id") % 97 =!= 0).count()
+    assert(rows.map(_._2).sum === nTrain)
+    // the removed row equals the standalone decontaminate census total
+    val removed = rows.find(_._1 == -1L).map(_._2).getOrElse(0L)
+    val decon = LlmPipeline.decontaminate(spark, dir)
+      .agg(sum(col("n_contaminated"))).collect()(0).getLong(0)
+    assert(removed === decon)
+    // leaky docs only ever appear in real folds, bounded by the fold size
+    rows.foreach { r =>
+      if (r._1 == -1L) assert(r._4 === 0L)
+      else assert(r._4 >= 0L && r._4 <= r._2)
+    }
+  }
+
   test("active_learning_loop: seed matches the audit-sample budget contract") {
     import graft.operators.VectorOps
     val emb = Tables.embeddings(spark, dir)
