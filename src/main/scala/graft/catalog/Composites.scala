@@ -167,19 +167,25 @@ object Composites extends QueryModule {
     */
   def activeLearningLoop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // each side's integer squared norm is computed ONCE and carried
+    // (the VectorOps.cosineQN hoist): the pair loop then does one dot
+    // per (pool, labeled) pair instead of three — the exact sums are
+    // unchanged, so the float tail (sqrt·sqrt, divide, round) is
+    // bit-identical to the oracle's per-pair norm recompute
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", expr("dot_q(qv, qv)"))
     val sU = expr("CAST(round(1000000e0 * (CAST(dot_q(qv, l_qv) AS DOUBLE)" +
-      " / (sqrt(CAST(dot_q(qv, qv) AS DOUBLE))" +
-      " * sqrt(CAST(dot_q(l_qv, l_qv) AS DOUBLE))))) AS BIGINT)")
-    var labeled: Seq[(Long, Int, Seq[Long])] =
+      " / (sqrt(CAST(nq AS DOUBLE))" +
+      " * sqrt(CAST(l_nq AS DOUBLE))))) AS BIGINT)")
+    var labeled: Seq[(Long, Int, Seq[Long], Long)] =
       VectorOps.auditSample(emb, "vec_id", AlSeedBudget)
-        .select(col("vec_id"), col("label"), col("qv"))
-        .as[(Long, Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+        .select(col("vec_id"), col("label"), col("qv"), col("nq"))
+        .as[(Long, Int, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     val stats = (1 to AlRounds).map { r =>
       val nLabeled = labeled.size.toLong
-      val lDf = labeled.toDF("l_id", "l_label", "l_qv")
+      val lDf = labeled.toDF("l_id", "l_label", "l_qv", "l_nq")
       val pool = emb.join(broadcast(lDf.select(col("l_id").as("vec_id"))),
         Seq("vec_id"), "left_anti")
       val scored = pool.crossJoin(broadcast(lDf))
@@ -207,8 +213,8 @@ object Composites extends QueryModule {
         .as[(Long, Int, Int, Long)].collect().toSeq // ≤ AlBatch rows
       val ids = acquired.map(_._1)
       labeled = labeled ++ emb.where(col("vec_id").isin(ids: _*))
-        .select(col("vec_id"), col("label"), col("qv"))
-        .as[(Long, Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+        .select(col("vec_id"), col("label"), col("qv"), col("nq"))
+        .as[(Long, Int, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
       (r.toLong, nLabeled, acquired.size.toLong,
         acquired.count(a => a._3 != a._2).toLong,
         acquired.map(_._4).sum)

@@ -530,6 +530,8 @@ object LlmPipeline extends QueryModule {
     VectorOps.srpTopKSql("embeddings", "vec_id", "embedding",
       AnnRows, AnnBands, Dim, LshK, QueryMod)
 
+  private val AnnAuditBudget = 10L
+
   /** ANN recall audit — the vector-side member of the audit family
     * ([[lshRecallAudit]], [[simhashRecallAudit]]): recall@k of the SRP-LSH
     * top-k against the exact brute-force top-k over the SAME query batch,
@@ -539,11 +541,25 @@ object LlmPipeline extends QueryModule {
     * cosine, id tie-break), so the hit set is exact; the audit itself is
     * one equi-join on (query_id, cand_id) over k·|queries| rows plus
     * three 1-row broadcasts.
+    *
+    * The query batch is a FIXED [[VectorOps.auditSample]] budget, not the
+    * serving paths' `% QueryMod` workload: an audit's brute-force leg is
+    * queries×corpus, and a `% constant` batch grows with the corpus —
+    * measured exponent 1.29 on the real 10× step (round 11) before the
+    * budget cap, the same trap hard_negatives/label_noise_audit hit in
+    * round 10. (At the gate SF the budget's derived modulus equals the
+    * old QueryMod, so the audited number is unchanged there.)
     */
   def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopK(spark, dir).where(col("rank") <= LshK)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = VectorOps.auditSample(emb, "vec_id", AnnAuditBudget)
+    val exact = VectorOps
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", LshK)
       .select(col("query_id"), col("cand_id"))
-    val lsh = annLsh(spark, dir).select(col("query_id"), col("cand_id"))
+    val lsh = VectorOps
+      .srpTopK(emb, queries, "vec_id", "embedding", AnnRows, AnnBands, Dim,
+        LshK)
+      .select(col("query_id"), col("cand_id"))
     val hits = lsh.join(exact, Seq("query_id", "cand_id"))
     exact.agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_exact"))
@@ -552,12 +568,28 @@ object LlmPipeline extends QueryModule {
         expr("(1000 * n_hits) div n_exact").cast("long").as("recall_permille"))
   }
 
-  private val annRecallAuditSql =
+  private val annRecallAuditSql = {
+    val mod = VectorOps.auditSampleModSql("embeddings", AnnAuditBudget)
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", Dim)
+    val exactSql =
+      s"""WITH v AS (
+         |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id % ($mod) = 0
+         |), scored AS (
+         |  SELECT q.query_id, v.vec_id AS cand_id, round($cos, 6) AS score
+         |  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
+         |)
+         |SELECT query_id, cand_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+         |FROM scored
+         |QUALIFY rank <= $LshK""".stripMargin
     s"""WITH ex AS (
-       |  SELECT query_id, cand_id FROM ($annTopKSql) WHERE rank <= $LshK
+       |  SELECT query_id, cand_id FROM ($exactSql)
        |), ls AS (
        |  SELECT query_id, cand_id FROM (${VectorOps.srpTopKSql("embeddings",
-            "vec_id", "embedding", AnnRows, AnnBands, Dim, LshK, QueryMod)})
+            "vec_id", "embedding", AnnRows, AnnBands, Dim, LshK, mod)})
        |), h AS (
        |  SELECT count(*) AS n_hits FROM ls JOIN ex
        |    ON ls.query_id = ex.query_id AND ls.cand_id = ex.cand_id
@@ -569,6 +601,7 @@ object LlmPipeline extends QueryModule {
        |  CAST((1000 * n_hits) // (SELECT count(*) FROM ex) AS BIGINT)
        |    AS recall_permille
        |FROM h""".stripMargin
+  }
 
   // ---- dimensionality-truncation audit -------------------------------------
   private val TruncDim = 16

@@ -570,10 +570,16 @@ object VectorOps {
   /** DuckDB twin of [[srpTopK]] (queries = rows with id % queryMod = 0). */
   def srpTopKSql(table: String, id: String, vec: String, r: Int, bands: Int,
                  dim: Int, k: Int, queryMod: Int): String =
+    srpTopKSql(table, id, vec, r, bands, dim, k, queryMod.toString)
+
+  /** [[srpTopKSql]] with the modulus as a SQL expression — the
+    * [[auditSampleModSql]] fixed-budget form for audit consumers. */
+  def srpTopKSql(table: String, id: String, vec: String, r: Int, bands: Int,
+                 dim: Int, k: Int, queryModSql: String): String =
     s"""WITH ${srpBandSqlCtes(table, id, vec, r, bands, dim)}, cand AS (
        |  SELECT DISTINCT q.id AS query_id, x.id AS cand_id
        |  FROM bk x JOIN bk q ON x.band = q.band AND x.key = q.key
-       |  WHERE q.id % $queryMod = 0 AND x.id <> q.id
+       |  WHERE q.id % ($queryModSql) = 0 AND x.id <> q.id
        |), scored AS (
        |  SELECT c.query_id, c.cand_id,
        |    round(${cosineQSql("vq.qv", "vc.qv", dim)}, 6) AS score
