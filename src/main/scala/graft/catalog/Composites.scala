@@ -638,6 +638,158 @@ object Composites extends QueryModule {
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ---- eval-protocol pipeline -----------------------------------------------
+
+  private val EpQuota = 20L
+  private val EpSeed = 29
+
+  /** Benchmark-eval protocol, end to end: compromised-item screen →
+    * per-source quota selection → deterministic metric → Poisson-bootstrap
+    * CI. The eval pool is the decontaminate convention (`doc_id % 97 == 0`,
+    * standing in for an external benchmark table); an eval item sharing any
+    * word 8-gram hash with TRAINING data is COMPROMISED (its score is
+    * memorization, not capability — [[LlmPipeline.decontamHits]] with the
+    * roles flipped: there the contaminated train doc is removed, here the
+    * contaminated eval item is); clean items are selected per source by the
+    * factored [[LlmPipeline.quotaSample]] (the stratified_sample gate —
+    * constants shared, cannot drift); the "model" is the deterministic
+    * hashed-bag-of-words classifier of quality_classify
+    * ([[TextAnalysis.classifierScore]], score > 0 ⇔ predicts `en`), graded
+    * against the `lang` label; and the headline accuracy ships with a 90%
+    * Poisson-bootstrap CI — [[EvalMetrics.bootstrapCi]]'s replicate scheme
+    * (same [[EvalMetrics.BootstrapB]] = 32 replicates, same literal
+    * inverse-CDF weight table, same seeded h48(b:key) draw) over the
+    * selected items' correctness bits.
+    *
+    * Scale: the screen is the decontaminate shape (the corpus side scans
+    * once and probes a broadcast of the eval pool's shingle hashes — an
+    * eval set is tiny by convention); selection is the quota-gate (never a
+    * global sort); everything after operates on ≤ |sources|·quota rows, so
+    * the bootstrap fan-out, replicate fold, and CI rank-pick are
+    * bounded-size no matter the corpus. Output: ONE row — pool census,
+    * compromised count, selection size, point accuracy (micro), CI bounds.
+    * All exact integers; both engines draw identical replicate weights, so
+    * even the CI bounds hash-attest.
+    */
+  def evalProtocolPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = graft.operators.MinHashLsh
+      .explodeShingles(docs, "doc_id", "text", LlmPipeline.DecontamN)
+      .select(col("id"),
+        graft.functions.PortableHash.h48(col("shingle")).as("hs"))
+    val compromised = sh.filter(col("id") % 97 =!= 0)
+      .join(broadcast(sh.filter(col("id") % 97 === 0)
+        .select(col("id").as("doc_id"), col("hs")).distinct()), "hs")
+      .select(col("doc_id")).distinct()
+    val pool = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val clean = pool.join(compromised, Seq("doc_id"), "left_anti")
+    val sel = LlmPipeline
+      .quotaSample(clean.select(col("source"), col("doc_id")), EpQuota, EpSeed)
+      .join(clean, Seq("doc_id", "source"))
+    val graded = sel.select(col("doc_id"),
+      when((TextAnalysis.classifierScore > 0) === (col("lang") === "en"), 1L)
+        .otherwise(0L).as("correct"))
+    val rep = graded
+      .select(col("doc_id"), col("correct"),
+        explode(sequence(lit(0), lit(EvalMetrics.BootstrapB - 1))).as("b"))
+      .withColumn("u", graft.functions.PortableHash.h48(concat_ws(":",
+        col("b").cast("string"), col("doc_id").cast("string"))) % 1000000L)
+      .withColumn("w", expr(EvalMetrics.poissonCase("u")))
+    val accs = rep.groupBy(col("b"))
+      .agg(sum(col("w")).as("nw"), sum(col("w") * col("correct")).as("cw"))
+      .select(col("b"),
+        expr("CASE WHEN nw = 0 THEN 0L ELSE (1000000 * cw) div nw END")
+          .as("acc_b"))
+    val loRank = math.ceil(0.05 * EvalMetrics.BootstrapB).toLong
+    val hiRank = math.ceil(0.95 * EvalMetrics.BootstrapB).toLong
+    val ci = accs
+      .withColumn("r", row_number().over(Window.orderBy(col("acc_b"), col("b"))))
+      .agg(max(when(col("r") === loRank, col("acc_b"))).as("ci_lo_micro"),
+        max(when(col("r") === hiRank, col("acc_b"))).as("ci_hi_micro"),
+        count(lit(1)).as("n_replicates"))
+    val pt = graded.agg(count(lit(1)).as("n_selected"),
+        sum(col("correct")).as("n_correct"))
+      .withColumn("acc_micro", expr(
+        "CASE WHEN n_selected = 0 THEN 0L" +
+          " ELSE (1000000 * n_correct) div n_selected END"))
+    pool.agg(count(lit(1)).as("n_eval_pool"))
+      .crossJoin(broadcast(compromised
+        .agg(count(lit(1)).as("n_compromised"))))
+      .crossJoin(broadcast(pt))
+      .crossJoin(broadcast(ci))
+      .select(col("n_eval_pool"), col("n_compromised"), col("n_selected"),
+        col("n_correct"), col("acc_micro"), col("ci_lo_micro"),
+        col("ci_hi_micro"), col("n_replicates"))
+  }
+
+  private val evalProtocolPipelineSql = {
+    val wtok = graft.functions.TextFns.tokensSql("text")
+    val shl = graft.functions.TextFns.shinglesSql("w", LlmPipeline.DecontamN)
+    val hsh = graft.functions.PortableHash.h48Sql("sg")
+    val hbd = graft.functions.PortableHash.h48Sql(
+      "CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    val loRank = math.ceil(0.05 * EvalMetrics.BootstrapB).toLong
+    val hiRank = math.ceil(0.95 * EvalMetrics.BootstrapB).toLong
+    s"""WITH t AS (
+       |  SELECT doc_id, $wtok AS w FROM documents
+       |), e AS (
+       |  SELECT doc_id, $hsh AS hs
+       |  FROM (SELECT doc_id, unnest(sh) AS sg FROM
+       |    (SELECT doc_id, $shl AS sh FROM t))
+       |), comp AS MATERIALIZED (
+       |  SELECT DISTINCT ev.doc_id
+       |  FROM (SELECT DISTINCT doc_id, hs FROM e WHERE doc_id % 97 = 0) ev
+       |  JOIN e tr ON ev.hs = tr.hs AND tr.doc_id % 97 <> 0
+       |), pool AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, text FROM documents
+       |  WHERE doc_id % 97 = 0
+       |), clean AS MATERIALIZED (
+       |  SELECT * FROM pool
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+       |), sel AS (
+       |  ${LlmPipeline.quotaSampleSql("clean", EpQuota, EpSeed)}
+       |), graded AS MATERIALIZED (
+       |  SELECT c.doc_id,
+       |    CASE WHEN ((${TextAnalysis.classifierScoreSql}) > 0)
+       |              = (lang = 'en') THEN 1 ELSE 0 END AS correct
+       |  FROM sel s JOIN clean c ON s.doc_id = c.doc_id
+       |), rep AS (
+       |  SELECT doc_id, correct, b, $hbd % 1000000 AS u
+       |  FROM graded CROSS JOIN range(0, ${EvalMetrics.BootstrapB}) AS tb(b)
+       |), wt AS (
+       |  SELECT b, correct, ${EvalMetrics.poissonCaseSql("u")} AS w FROM rep
+       |), accs AS (
+       |  SELECT b, CAST(CASE WHEN sum(w) = 0 THEN 0
+       |    ELSE (1000000 * sum(w::HUGEINT * correct)) // sum(w) END
+       |    AS BIGINT) AS acc_b
+       |  FROM wt GROUP BY b
+       |), r AS (
+       |  SELECT b, acc_b, row_number() OVER (ORDER BY acc_b, b) AS r
+       |  FROM accs
+       |), ci AS (
+       |  SELECT
+       |    max(CASE WHEN r = $loRank THEN acc_b END) AS ci_lo_micro,
+       |    max(CASE WHEN r = $hiRank THEN acc_b END) AS ci_hi_micro,
+       |    count(*) AS n_replicates
+       |  FROM r
+       |), pt AS (
+       |  SELECT count(*)::BIGINT AS n_selected,
+       |    CAST(coalesce(sum(correct), 0) AS BIGINT) AS n_correct,
+       |    CAST(CASE WHEN count(*) = 0 THEN 0
+       |      ELSE (1000000 * coalesce(sum(correct), 0)) // count(*) END
+       |      AS BIGINT) AS acc_micro
+       |  FROM graded
+       |)
+       |SELECT (SELECT count(*) FROM pool)::BIGINT AS n_eval_pool,
+       |  (SELECT count(*) FROM comp)::BIGINT AS n_compromised,
+       |  pt.n_selected, pt.n_correct, pt.acc_micro,
+       |  CAST(ci.ci_lo_micro AS BIGINT) AS ci_lo_micro,
+       |  CAST(ci.ci_hi_micro AS BIGINT) AS ci_hi_micro,
+       |  CAST(ci.n_replicates AS BIGINT) AS n_replicates
+       |FROM pt CROSS JOIN ci""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
@@ -648,5 +800,7 @@ object Composites extends QueryModule {
       Some(tokenBudgetPipelineSql)),
     QueryDef("split_hygiene_pipeline", splitHygienePipeline,
       Some(splitHygienePipelineSql)),
+    QueryDef("eval_protocol_pipeline", evalProtocolPipeline,
+      Some(evalProtocolPipelineSql)),
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.VectorOps
 
 /** Model- and signal-evaluation readouts — the metrics a curation team
   * runs before trusting a quality gate with 100 TB of corpus: exact ROC
@@ -521,7 +522,7 @@ object EvalMetrics extends QueryModule {
 
   // ---- NDCG of the BM25 ranking -------------------------------------------
   private val NdcgK = 10
-  private val NdcgQueryMod = 61
+  private val NdcgBudget = 8L
 
   /** Integer discount table d_i = floor(10⁶ / log2(i + 1)) for ranks
     * 1..k. Computed ONCE here and interpolated as literals into both the
@@ -544,13 +545,19 @@ object EvalMetrics extends QueryModule {
     * SHARED memoized BM25 index (`bm25_index` — built once per process);
     * relevance grading probes that index with a BROADCAST of the
     * |queries|·k ranked pairs, so the corpus-sized side never reshuffles;
-    * everything after the probe operates on ≤ |queries|·k rows. Ideal
+    * everything after the probe operates on ≤ |queries|·k rows. The query
+    * batch is a FIXED ~[[NdcgBudget]]-query audit sample
+    * ([[graft.operators.VectorOps.auditSample]]), NOT a `% constant`
+    * workload: this is an audit readout, and a constant-mod batch grows
+    * with the corpus (first measured exponent 1.00 — the whole 71 s sf1
+    * cost was the growing probe side, the same trap ann_recall_audit and
+    * mrr_eval were cured of). Ideal
     * ordering ties are harmless: equal gains contribute the same Σ
     * gain·disc whatever their relative order.
     */
   def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val queries = docs.filter(col("doc_id") % NdcgQueryMod === 0)
+    val queries = VectorOps.auditSample(docs, "doc_id", NdcgBudget)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(
           graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
@@ -587,7 +594,8 @@ object EvalMetrics extends QueryModule {
   }
 
   private val ndcgEvalSql = {
-    val rankedSql = graft.operators.Bm25.topKSql("documents", NdcgQueryMod, NdcgK)
+    val ndcgModSql = VectorOps.auditSampleModSql("documents", NdcgBudget)
+    val rankedSql = graft.operators.Bm25.topKSql("documents", ndcgModSql, NdcgK)
     val discCase = (rk: String) =>
       s"CASE $rk ${NdcgDiscount.zipWithIndex.map { case (d, i) =>
         s"WHEN ${i + 1} THEN ${d}::BIGINT" }.mkString(" ")} END"
@@ -596,7 +604,7 @@ object EvalMetrics extends QueryModule {
        |$rankedSql
        |), qt AS (
        |  SELECT doc_id AS query_id, unnest(list_distinct(($toks)[1:5])) AS term
-       |  FROM documents WHERE doc_id % $NdcgQueryMod = 0
+       |  FROM documents WHERE doc_id % ($ndcgModSql) = 0
        |), dt AS (
        |  SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents
        |), rel AS (
@@ -710,7 +718,7 @@ object EvalMetrics extends QueryModule {
       |FROM a""".stripMargin
 
   // ---- Poisson-bootstrap confidence interval ------------------------------
-  private val BootstrapB = 32
+  private[catalog] val BootstrapB = 32
 
   /** Poisson(1) inverse-CDF thresholds scaled to 10⁶ — cum_k =
     * floor(10⁶·P(X ≤ k)) for k = 0..8 (mass beyond 9 is < 10⁻⁶, below
@@ -728,11 +736,11 @@ object EvalMetrics extends QueryModule {
     }
   }
 
-  private def poissonCase(u: String): String =
+  private[catalog] def poissonCase(u: String): String =
     s"CASE ${PoissonCdfMicro.zipWithIndex.map { case (c, k) =>
       s"WHEN $u < $c THEN ${k}L" }.mkString(" ")} ELSE 9L END"
 
-  private def poissonCaseSql(u: String): String =
+  private[catalog] def poissonCaseSql(u: String): String =
     s"CASE ${PoissonCdfMicro.zipWithIndex.map { case (c, k) =>
       s"WHEN $u < $c THEN $k" }.mkString(" ")} ELSE 9 END"
 

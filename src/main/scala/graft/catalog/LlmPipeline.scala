@@ -1255,7 +1255,7 @@ object LlmPipeline extends QueryModule {
   }
 
   // ---- train-test decontamination -----------------------------------------
-  private val DecontamN = 8
+  private[catalog] val DecontamN = 8
 
   /** Benchmark decontamination: flag training docs that share any word
     * 8-gram with an evaluation set — the canonical pre-training hygiene
@@ -1429,38 +1429,51 @@ object LlmPipeline extends QueryModule {
     * The oracle mirrors the gate exactly, so the check stays bit-exact
     * even in the astronomically-unlikely under-gate case.
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    quotaSample(Tables.documents(spark, dir).select(col("source"),
+      col("doc_id")), StrataQuota, StrataSeed)
+
+  /** Per-stratum quota pick shared by [[stratifiedSample]] and
+    * [[Composites.evalProtocolPipeline]] (factored so the gate constant
+    * and tie-break cannot drift between consumers): keep the `quota` docs
+    * with the smallest seeded h48 per source, behind the broadcast
+    * 4·quota/n gate — a 100 TB stratum is never globally sorted for k
+    * winners; only the ~4·quota expected survivors enter the rank window.
+    */
+  private[catalog] def quotaSample(docs: DataFrame, quota: Long,
+                                   seed: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"), StrataSeed)
-    val docs = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), h.as("h"))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val tau = least(lit(1.0), lit(4.0 * StrataQuota) / col("n")) * H48Range
+    val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"), seed)
+    val t = docs.select(col("source"), col("doc_id"), h.as("h"))
+    val counts = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tau = least(lit(1.0), lit(4.0 * quota) / col("n")) * H48Range
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    docs.join(broadcast(counts), Seq("source"))
+    t.join(broadcast(counts), Seq("source"))
       .filter(col("h").cast("double") < tau)
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= StrataQuota)
+      .filter(col("rk") <= quota)
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
-  private val stratifiedSampleSql = {
-    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR", StrataSeed)
-    s"""WITH t AS (
-       |  SELECT source, doc_id, $h AS h FROM documents
-       |), c AS (
-       |  SELECT source, count(*) AS n FROM t GROUP BY source
-       |), g AS (
-       |  SELECT t.source, t.doc_id, t.h
-       |  FROM t JOIN c ON t.source = c.source
-       |  WHERE t.h::DOUBLE < least(1.0, ${4.0 * StrataQuota} / c.n) * $H48Range
-       |), r AS (
-       |  SELECT doc_id, source,
-       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
-       |  FROM g
-       |)
-       |SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= $StrataQuota""".stripMargin
+  /** DuckDB twin of [[quotaSample]]. `from` must expose (source, doc_id)
+    * — a table or CTE name.
+    */
+  private[catalog] def quotaSampleSql(from: String, quota: Long,
+                                      seed: Int): String = {
+    val h = graft.functions.PortableHash.h48Sql("doc_id::VARCHAR", seed)
+    s"""SELECT doc_id, source, rk::BIGINT AS rk FROM (
+       |  SELECT t.doc_id, t.source,
+       |    row_number() OVER (PARTITION BY t.source
+       |      ORDER BY t.h, t.doc_id) AS rk
+       |  FROM (SELECT source, doc_id, $h AS h FROM $from) t
+       |  JOIN (SELECT source, count(*) AS n FROM $from GROUP BY source) c
+       |    ON t.source = c.source
+       |  WHERE t.h::DOUBLE < least(1.0, ${4.0 * quota} / c.n) * $H48Range
+       |) WHERE rk <= $quota""".stripMargin
   }
+
+  private val stratifiedSampleSql =
+    quotaSampleSql("documents", StrataQuota, StrataSeed)
 
   // ---- token-budget shard packing -----------------------------------------
   // shared with the streaming twin ([[graft.streaming.StreamingOps

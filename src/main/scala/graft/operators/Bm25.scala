@@ -100,7 +100,15 @@ object Bm25 {
   /** DuckDB twin of [[topK]] with the query set "distinct first-5 tokens of
     * every doc with doc_id % queryMod == 0".
     */
-  def topKSql(table: String, queryMod: Int, k: Int): String = {
+  def topKSql(table: String, queryMod: Int, k: Int): String =
+    topKSql(table, queryMod.toString, k)
+
+  /** As above with the modulus as a SQL expression — the audit consumers
+    * (ndcg_eval) derive it from the corpus count so the query batch stays a
+    * FIXED budget at any scale ([[graft.operators.VectorOps.auditSample]]);
+    * the serving paths keep literal workload-shaped moduli.
+    */
+  def topKSql(table: String, queryModSql: String, k: Int): String = {
     val w = TextFns.tokensSql("text")
     s"""WITH t AS (
        |  SELECT doc_id, $w AS w FROM $table
@@ -114,7 +122,7 @@ object Bm25 {
        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
        |), q AS (
        |  SELECT doc_id AS query_id, unnest(list_distinct(w[1:5])) AS term
-       |  FROM t WHERE doc_id % $queryMod = 0
+       |  FROM t WHERE doc_id % ($queryModSql) = 0
        |), scored AS (
        |  SELECT q.query_id, tf.doc_id,
        |    sum(floor((s.n - df.df + 0.5) / (df.df + 0.5)

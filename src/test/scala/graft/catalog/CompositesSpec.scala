@@ -145,4 +145,68 @@ class CompositesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(first(1L) === seedN)
   }
+
+  test("eval_protocol_pipeline: census, metric and CI match a driver replay") {
+    import graft.functions.PortableHash
+    import graft.operators.MinHashLsh
+    val row = Composites.evalProtocolPipeline(spark, dir).head()
+    val docs = Tables.documents(spark, dir)
+    val pool = docs.filter(col("doc_id") % 97 === 0)
+    assert(row.getLong(0) === pool.count())
+    // compromised set, re-derived with a different join shape (distinct
+    // train hash set inner-joined, no broadcast hint)
+    val sh = MinHashLsh.explodeShingles(docs, "doc_id", "text", 8)
+      .select(col("id"), PortableHash.h48(col("shingle")).as("hs"))
+    val comp = sh.filter(col("id") % 97 === 0)
+      .join(sh.filter(col("id") % 97 =!= 0).select(col("hs")).distinct(), "hs")
+      .select(col("id")).distinct()
+    assert(row.getLong(1) === comp.count())
+    // at this SF every source's clean count is under the quota, so the
+    // selection is exactly the clean pool — assert the precondition first
+    val clean = pool.join(comp.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    val perSource = clean.groupBy(col("source")).count().collect()
+    assert(perSource.forall(_.getLong(1) <= 20L), "precondition: quota binds")
+    // correctness bits via the catalog's own deterministic classifier
+    val graded = clean.select(col("doc_id"),
+        when((TextAnalysis.classifierScore > 0) === (col("lang") === "en"), 1L)
+          .otherwise(0L).as("correct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(row.getLong(2) === graded.size.toLong)
+    val nCorrect = graded.values.sum
+    assert(row.getLong(3) === nCorrect)
+    assert(row.getLong(4) ===
+      (if (graded.isEmpty) 0L else 1000000L * nCorrect / graded.size))
+    // full driver-side bootstrap replay: md5-based h48, the Poisson
+    // inverse-CDF table, per-replicate weighted accuracy, rank-picks
+    def h48(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val pcdf = {
+      var p = math.exp(-1.0); var cum = 0.0
+      (0 to 8).map { k =>
+        if (k > 0) p = p / k
+        cum += p
+        math.floor(cum * 1e6).toLong
+      }
+    }
+    def wOf(u: Long): Long = {
+      val i = pcdf.indexWhere(u < _)
+      if (i < 0) 9L else i.toLong
+    }
+    val accs = (0 until 32).map { b =>
+      var nw = 0L; var cw = 0L
+      graded.foreach { case (id, c) =>
+        val w = wOf(h48(s"$b:$id") % 1000000L)
+        nw += w; cw += w * c
+      }
+      (b, if (nw == 0) 0L else 1000000L * cw / nw)
+    }
+    val sorted = accs.sortBy(t => (t._2, t._1))
+    assert(row.getLong(5) === sorted(1)._2, "ci_lo = rank-2 replicate")
+    assert(row.getLong(6) === sorted(30)._2, "ci_hi = rank-31 replicate")
+    assert(row.getLong(7) === 32L)
+  }
 }

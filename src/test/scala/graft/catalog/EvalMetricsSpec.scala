@@ -127,8 +127,11 @@ class EvalMetricsSpec extends SparkSpec {
       .select(col("doc_id"),
         array_distinct(graft.functions.TextFns.tokens(col("text"))))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // the audit batch modulus: greatest(n div budget, 1) with budget = 8
+    // (the auditSample contract ndcg_eval uses)
+    val ndcgMod = math.max(docTerms.size.toLong / 8L, 1L)
     val qTerms = docTerms.collect {
-      case (id, ts) if id % 61 == 0 =>
+      case (id, ts) if id % ndcgMod == 0 =>
         id -> graft.core.Tables.documents(spark, dir)
           .filter(col("doc_id") === id)
           .select(array_distinct(slice(graft.functions.TextFns.tokens(col("text")), 1, 5)))
@@ -143,7 +146,7 @@ class EvalMetricsSpec extends SparkSpec {
     // same operator to get (query_id, doc_id, rank) rows
     val ranked10 = {
       val docs = graft.core.Tables.documents(spark, dir)
-      val queries = docs.filter(col("doc_id") % 61 === 0)
+      val queries = docs.filter(col("doc_id") % ndcgMod === 0)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(slice(
             graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
