@@ -44,6 +44,21 @@ object Mst {
     * @return the forest's edge frame (`u`, `v`, `w`) — n_nodes − n_comps
     *         rows by the forest property.
     */
+  /** Contraction graphs at or under this many picked edges are collapsed
+    * with driver-side union-find instead of the distributed alternating-star
+    * loop. The picked-edge count is ALREADY on the driver (it is the loop
+    * condition), so the gate costs nothing, and the collect is bounded by
+    * the threshold — the documented bounded-`.collect()` class. Rationale:
+    * a Borůvka round's contraction is itself an iterative CC job (3–5 star
+    * rounds × 2 actions each); running that against a component graph of a
+    * few thousand rows is pure driver-roundtrip overhead — measured 12.8 s
+    * for the whole forest at sf0.01 vs 8.5 s at 10× the data, the signature
+    * of per-job fixed cost dominating. At real scale the FIRST rounds'
+    * component graphs exceed the threshold and take the distributed path;
+    * the tail rounds (components halve every round) always end up here.
+    */
+  val DriverCcThreshold = 1L << 16
+
   def forest(edges: DataFrame, maxRounds: Int = 16,
              trace: Option[String] = None): DataFrame = {
     // CONTRACTED working edge set: `cu`/`cv` are the endpoints' CURRENT
@@ -85,10 +100,43 @@ object Mst {
         // picked cross-component edges in label space), then relabel the
         // working edge set and drop newly-intra edges. Labels untouched
         // by this round's merges keep themselves via the left join.
-        val cg = sel.select(col("cu").as("src"), col("cv").as("dst"))
-        val nodes = cg.select(col("src").as("id"))
-          .union(cg.select(col("dst").as("id"))).distinct()
-        val rel = ConnectedComponents.run(nodes, cg)
+        val rel =
+          if (selected <= DriverCcThreshold) {
+            // bounded collect (≤ DriverCcThreshold rows of two longs):
+            // min-root union-find gives the same labels as the distributed
+            // CC (component = min reachable label), and the relabel map
+            // comes back as a broadcast local relation — the whole
+            // contraction is ONE job instead of an iterative star loop
+            val pairs = sel.select(col("cu"), col("cv")).collect()
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val n = parent(c); parent(c) = r; c = n
+              }
+              r
+            }
+            pairs.foreach { p =>
+              val (ra, rb) = (find(p.getLong(0)), find(p.getLong(1)))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+            val spark = sel.sparkSession
+            import spark.implicits._
+            // broadcast hint is correct ONLY here: this map is
+            // ≤ 2·DriverCcThreshold rows; the distributed path's map is
+            // component-count-sized and must shuffle-join
+            broadcast(pairs.iterator
+              .flatMap(p => Iterator(p.getLong(0), p.getLong(1)))
+              .toSeq.distinct.map(l => (l, find(l)))
+              .toDF("id", "component"))
+          } else {
+            val cg = sel.select(col("cu").as("src"), col("cv").as("dst"))
+            val nodes = cg.select(col("src").as("id"))
+              .union(cg.select(col("dst").as("id"))).distinct()
+            ConnectedComponents.run(nodes, cg)
+          }
         ew = Materialize(ew
           .join(rel.select(col("id").as("cu"), col("component").as("ncu")),
             Seq("cu"), "left")
