@@ -790,6 +790,113 @@ object Composites extends QueryModule {
        |FROM pt CROSS JOIN ci""".stripMargin
   }
 
+  // ---- ANN index refresh ----------------------------------------------------
+
+  private val ArDeltaMod = 11
+  private val ArBudget = 10L
+
+  /** ANN index refresh, end to end: corpus snapshot → delta arrival →
+    * assign-without-retrain → serve the merged index → recall audit. The
+    * delta (`vec_id % ArDeltaMod == 0`, ~9% of vectors, standing in for a
+    * day's new embeddings) is folded into the IVF index by ASSIGNING it to
+    * the centroids trained on the base snapshot — never retraining the
+    * codebook — which is the only index-maintenance shape that works at
+    * 100 TB (a rebuild re-clusters the whole corpus for a 1% delta; an
+    * assign is one broadcast argmax over just the new rows). The audit
+    * then serves a fixed [[VectorOps.auditSample]] query batch from the
+    * MERGED index ([[LlmPipeline]]'s ann_ivf geometry: same
+    * [[LlmPipeline.IvfCentroidMod]]/[[LlmPipeline.IvfNProbe]]/
+    * [[LlmPipeline.LshK]] constants) and scores recall against the exact
+    * brute-force top-k over base ∪ delta — the number that decides when
+    * drift has degraded the stale codebook enough to pay for retraining.
+    *
+    * Scale: centroid training set and codebook are broadcast-sized by the
+    * centroidMod rule; assignment is map-side (no shuffle of the scored
+    * frame — the ivfTopK argmax shape); the audit legs are
+    * budget-bounded. Single-row readout, all exact integers.
+    */
+  def annIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val baseCent = emb.where(col("vec_id") % ArDeltaMod =!= 0)
+    val queries = VectorOps.auditSample(emb, "vec_id", ArBudget)
+    val ivf = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        LlmPipeline.IvfCentroidMod, LlmPipeline.IvfNProbe, LlmPipeline.LshK,
+        centroids = Some(baseCent
+          .where(col("vec_id") % LlmPipeline.IvfCentroidMod === 1)))
+      .select(col("query_id"), col("cand_id"))
+    val exact = VectorOps
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", LlmPipeline.LshK)
+      .select(col("query_id"), col("cand_id"))
+    val hits = ivf.join(exact, Seq("query_id", "cand_id"))
+    emb.agg(sum(when(col("vec_id") % ArDeltaMod =!= 0, 1L).otherwise(0L))
+          .as("n_base"),
+        sum(when(col("vec_id") % ArDeltaMod === 0, 1L).otherwise(0L))
+          .as("n_delta"),
+        sum(when(col("vec_id") % ArDeltaMod =!= 0 &&
+          col("vec_id") % LlmPipeline.IvfCentroidMod === 1, 1L)
+          .otherwise(0L)).as("nlist"))
+      .crossJoin(broadcast(exact
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_base"), col("n_delta"), col("nlist"), col("n_queries"),
+        col("n_exact"), col("n_hits"),
+        expr("(1000 * n_hits) div n_exact").cast("long")
+          .as("recall_permille"))
+  }
+
+  private val annIndexRefreshSql = {
+    val mod = VectorOps.auditSampleModSql("embeddings", ArBudget)
+    val cos = VectorOps.cosineQSql("q.qq", "v.qv", LlmPipeline.Dim)
+    val centWhere =
+      s"id % $ArDeltaMod <> 0 AND id % ${LlmPipeline.IvfCentroidMod} = 1"
+    val ivfSql = VectorOps.ivfTopKSql("embeddings", "vec_id", "embedding",
+      centWhere, LlmPipeline.IvfNProbe, LlmPipeline.LshK, LlmPipeline.Dim,
+      mod)
+    val exactSql =
+      s"""WITH v AS (
+         |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS qv
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, qv AS qq FROM v
+         |  WHERE vec_id % ($mod) = 0
+         |), scored AS (
+         |  SELECT q.query_id, v.vec_id AS cand_id, round($cos, 6) AS score
+         |  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
+         |)
+         |SELECT query_id, cand_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+         |FROM scored
+         |QUALIFY rank <= ${LlmPipeline.LshK}""".stripMargin
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM ($exactSql)
+       |), iv AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM ($ivfSql)
+       |), h AS (
+       |  SELECT count(*) AS n_hits FROM iv JOIN ex
+       |    ON iv.query_id = ex.query_id AND iv.cand_id = ex.cand_id
+       |), cen AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN vec_id % $ArDeltaMod <> 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN vec_id % $ArDeltaMod = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_delta,
+       |    CAST(sum(CASE WHEN vec_id % $ArDeltaMod <> 0
+       |      AND vec_id % ${LlmPipeline.IvfCentroidMod} = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nlist
+       |  FROM embeddings
+       |)
+       |SELECT cen.n_base, cen.n_delta, cen.nlist,
+       |  CAST((SELECT count(DISTINCT query_id) FROM ex) AS BIGINT)
+       |    AS n_queries,
+       |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       |  CAST(h.n_hits AS BIGINT) AS n_hits,
+       |  CAST((1000 * h.n_hits) // (SELECT count(*) FROM ex) AS BIGINT)
+       |    AS recall_permille
+       |FROM cen CROSS JOIN h""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
@@ -802,5 +909,7 @@ object Composites extends QueryModule {
       Some(splitHygienePipelineSql)),
     QueryDef("eval_protocol_pipeline", evalProtocolPipeline,
       Some(evalProtocolPipelineSql)),
+    QueryDef("ann_index_refresh", annIndexRefresh,
+      Some(annIndexRefreshSql)),
   )
 }

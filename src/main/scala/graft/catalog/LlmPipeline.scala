@@ -352,7 +352,7 @@ object LlmPipeline extends QueryModule {
 
   // ---- embedding-cosine near-dup (banded SRP engine path) -----------------
   private val CosineThreshold = 0.4
-  private val Dim = 64
+  private[catalog] val Dim = 64
   private val SrpRows = 6   // bits per band → 2^6 buckets; grows with log2(n)
   private val SrpBands = 16 // S-curve midpoint (1/16)^(1/6) ≈ cosine 0.4
 
@@ -512,7 +512,7 @@ object LlmPipeline extends QueryModule {
       |FROM per GROUP BY 1""".stripMargin
 
   // ---- ANN: multi-table SRP LSH (scale path) ------------------------------
-  private val LshK = 3
+  private[catalog] val LshK = 3
   private val AnnRows = 4   // this corpus's true neighbors sit at cosine
   private val AnnBands = 24 // 0.27–0.45 → shallow bands, many tables for recall
 
@@ -725,8 +725,8 @@ object LlmPipeline extends QueryModule {
        |FROM pc JOIN dc USING (t_milli)""".stripMargin
 
   // ---- ANN: IVF inverted lists (cluster-routed scale path) ----------------
-  private val IvfCentroidMod = 25 // nlist = n/25 → 20 lists at sf0.01
-  private val IvfNProbe = 5
+  private[catalog] val IvfCentroidMod = 25 // nlist = n/25 → 20 lists at sf0.01
+  private[catalog] val IvfNProbe = 5
 
   /** [[VectorOps.ivfTopK]]: deterministic seed codebook, inverted lists by
     * nearest centroid, nprobe-list probing + exact rescore. VectorOpsSpec

@@ -59,8 +59,12 @@ object Mst {
     */
   val DriverCcThreshold = 1L << 16
 
+  /** @param driverCcThreshold override of [[DriverCcThreshold]] — specs
+    *        pass 0 to force every contraction down the distributed path.
+    */
   def forest(edges: DataFrame, maxRounds: Int = 16,
-             trace: Option[String] = None): DataFrame = {
+             trace: Option[String] = None,
+             driverCcThreshold: Long = DriverCcThreshold): DataFrame = {
     // CONTRACTED working edge set: `cu`/`cv` are the endpoints' CURRENT
     // component labels, `u`/`v`/`w` the original edge (which carries the
     // tie-broken total order and is what the forest emits). The invariant
@@ -101,7 +105,7 @@ object Mst {
         // working edge set and drop newly-intra edges. Labels untouched
         // by this round's merges keep themselves via the left join.
         val rel =
-          if (selected <= DriverCcThreshold) {
+          if (selected <= driverCcThreshold) {
             // bounded collect (≤ DriverCcThreshold rows of two longs):
             // min-root union-find gives the same labels as the distributed
             // CC (component = min reachable label), and the relabel map

@@ -283,12 +283,20 @@ object VectorOps {
     * it degrades toward nprobe/nlist — measured in VectorOpsSpec, where
     * probing every list is asserted EQUAL to the exact brute force.
     */
+  /** @param centroids optional prebuilt codebook source (rows with `idCol`,
+    *        `vecCol`) — the production shape where the codebook was trained
+    *        offline (or on an earlier corpus snapshot) and new arrivals are
+    *        assigned WITHOUT retraining; defaults to the in-corpus
+    *        deterministic seed sample.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, centroidMod: Int, nprobe: Int, k: Int): DataFrame = {
+              vecCol: String, centroidMod: Int, nprobe: Int, k: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("nv", normQ(col("qv")))
-    val cent = corpus.where(col(idCol) % centroidMod === 1)
+    val cent = centroids
+      .getOrElse(corpus.where(col(idCol) % centroidMod === 1))
       .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("nc", normQ(col("cv")))
     // nearest centroid per corpus vector; ties → smaller cent_id (portable)
@@ -319,10 +327,20 @@ object VectorOps {
   /** DuckDB twin of [[ivfTopK]] (queries = rows with id % queryMod = 0). */
   def ivfTopKSql(table: String, id: String, vec: String, centroidMod: Int,
                  nprobe: Int, k: Int, dim: Int, queryMod: Int): String =
+    ivfTopKSql(table, id, vec, s"id % $centroidMod = 1", nprobe, k, dim,
+      queryMod.toString)
+
+  /** As above with the codebook predicate and query modulus as SQL — the
+    * index-refresh composite trains centroids on the base slice only and
+    * audits with a derived fixed-budget modulus.
+    */
+  def ivfTopKSql(table: String, id: String, vec: String,
+                 centWhereSql: String, nprobe: Int, k: Int, dim: Int,
+                 queryModSql: String): String =
     s"""WITH v AS (
        |  SELECT $id AS id, ${quantizeSql(vec)} AS qv FROM $table
        |), c AS (
-       |  SELECT id AS cent_id, qv AS cv FROM v WHERE id % $centroidMod = 1
+       |  SELECT id AS cent_id, qv AS cv FROM v WHERE $centWhereSql
        |), assign AS (
        |  SELECT cand_id, cent_id FROM (
        |    SELECT v.id AS cand_id, c.cent_id,
@@ -335,7 +353,7 @@ object VectorOps {
        |    SELECT q.id AS query_id, c.cent_id,
        |      row_number() OVER (PARTITION BY q.id
        |        ORDER BY ${cosineQSql("q.qv", "c.cv", dim)} DESC, c.cent_id) AS rn
-       |    FROM v q CROSS JOIN c WHERE q.id % $queryMod = 0)
+       |    FROM v q CROSS JOIN c WHERE q.id % ($queryModSql) = 0)
        |  WHERE rn <= $nprobe
        |), scored AS (
        |  SELECT p.query_id, a.cand_id,

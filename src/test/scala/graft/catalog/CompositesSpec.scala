@@ -146,6 +146,25 @@ class CompositesSpec extends SparkSpec {
     assert(first(1L) === seedN)
   }
 
+  test("ann_index_refresh: algebra closes; prebuilt codebook = default path") {
+    import graft.operators.VectorOps
+    val r = Composites.annIndexRefresh(spark, dir).head()
+    val emb = Tables.embeddings(spark, dir)
+    assert(r.getLong(0) + r.getLong(1) === emb.count(), "base+delta = corpus")
+    assert(r.getLong(1) > 0L && r.getLong(2) > 0L)
+    assert(r.getLong(5) <= r.getLong(4), "hits <= exact")
+    assert(r.getLong(6) === 1000L * r.getLong(5) / r.getLong(4))
+    // the new prebuilt-centroid parameter: passing the default seed set
+    // explicitly must reproduce the default path rank-for-rank
+    val q = VectorOps.auditSample(emb, "vec_id", 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(3))).toSet
+    val dflt = rows(VectorOps.ivfTopK(emb, q, "vec_id", "embedding", 25, 5, 3))
+    val pre = rows(VectorOps.ivfTopK(emb, q, "vec_id", "embedding", 25, 5, 3,
+      centroids = Some(emb.where(col("vec_id") % 25 === 1))))
+    assert(pre === dflt)
+  }
+
   test("eval_protocol_pipeline: census, metric and CI match a driver replay") {
     import graft.functions.PortableHash
     import graft.operators.MinHashLsh

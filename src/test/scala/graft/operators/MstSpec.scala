@@ -39,6 +39,24 @@ class MstSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 3L), (2L, 3L, 4L), (10L, 11L, 1L)))
   }
 
+  test("distributed contraction path produces the identical forest") {
+    // threshold 0 forces every round's contraction through the
+    // alternating-star CC loop (the >2^16 branch) — both paths must emit
+    // the same unique tie-broken forest
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (4L, 5L, 5L),
+      (1L, 3L, 4L), (2L, 4L, 7L), (10L, 11L, 1L), (11L, 12L, 9L))
+    val viaDriver = Mst.forest(edges.toDF("u", "v", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDistributed =
+      Mst.forest(edges.toDF("u", "v", "w"), driverCcThreshold = 0L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDistributed === viaDriver)
+    assert(viaDriver === Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L),
+      (4L, 5L, 5L), (10L, 11L, 1L), (11L, 12L, 9L)))
+  }
+
   test("mst_forest: component count matches an independent CC run") {
     val dir = "/root/testdata/sf0.001"
     val r = graft.catalog.Algorithms.mstForest(spark, dir).collect().head
