@@ -897,6 +897,110 @@ object Composites extends QueryModule {
        |FROM cen CROSS JOIN h""".stripMargin
   }
 
+  // ---- media-curation pipeline ----------------------------------------------
+
+  private val McMeanLo = 100000L
+  private val McMeanHi = 150000L
+  private val McMinPixels = 20L
+
+  /** Multimodal curation, end to end: media generation → REAL container
+    * decode → quality gate on decoded features → byte-budget shard
+    * packing, with a per-stage census — the image-side twin of
+    * [[curationFunnel]] (there the gate reads text stats, here it reads
+    * pixels). Media is the image_decode convention (one binary P6 PPM per
+    * document, [[graft.operators.Multimodal.encodePpm]] — same size
+    * constants, so the decode stage IS the standalone component's pass);
+    * the gate drops images that are too small (< [[McMinPixels]] pixels)
+    * or whose mean pixel value in milli falls outside
+    * [[[McMeanLo]], [[McMeanHi]]] (the over/under-exposure screen — at
+    * these raster sizes the deterministic pattern's wrap makes both
+    * cuts bite); survivors pack into [[LlmPipeline.packShards]] shards
+    * with payload BYTES as the budget unit (the token budget's storage
+    * twin — same bucket/budget constants).
+    *
+    * Scale: generation/decode are map-only partition passes (codec init
+    * once per partition — the mapPartitions shape a real decoder needs);
+    * the census is one conditional-sum rollup; packing is the
+    * bucket-partitioned window. The two `.collect()`s are 1-row
+    * aggregates. Oracle replays decode features from the closed
+    * generative form (payload bytes = 35 + 3·w·h at these single-digit
+    * dimensions) — a parser bug, a byte-length drift, or a gate-constant
+    * drift all fail the compare.
+    */
+  def mediaCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        (id, graft.operators.Multimodal.encodePpm(id, w, h))
+      })
+    val bytes = media.toDF("doc_id", "payload")
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+    val staged = graft.operators.Multimodal.decodeImages(media).toDF()
+      .join(bytes, "doc_id")
+      .withColumn("px", col("width") * col("height"))
+      .withColumn("mean_milli",
+        expr("(1000 * (sum_r + sum_g + sum_b)) div (3 * px)"))
+      .withColumn("admit", col("px") >= McMinPixels &&
+        col("mean_milli") >= McMeanLo && col("mean_milli") <= McMeanHi)
+    val cen = staged.agg(count(lit(1)).as("n0"),
+        coalesce(sum(col("n_bytes")), lit(0L)).as("b0"),
+        coalesce(sum(when(col("admit"), 1L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("admit"), col("n_bytes"))), lit(0L)).as("b1"))
+      .as[(Long, Long, Long, Long)].head()
+    val pk = LlmPipeline.packShards(staged.where(col("admit"))
+      .select(col("doc_id"), col("n_bytes").as("n_tokens")))
+    val shards = pk
+      .agg(countDistinct(struct(col("bucket"), col("shard"))).as("s"),
+        count(lit(1)).as("nd"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("nb"))
+      .as[(Long, Long, Long)].head()
+    Seq(
+      (0L, "media", cen._1, cen._2, 0L),
+      (1L, "admitted", cen._3, cen._4, 0L),
+      (2L, "packed", shards._2, shards._3, shards._1))
+      .toDF("stage", "stage_name", "n_media", "n_bytes", "n_shards")
+  }
+
+  private val mediaCurationPipelineSql = {
+    def cenRow(stage: Int, name: String, from: String) =
+      s"""SELECT ${stage}::BIGINT AS stage, '$name' AS stage_name,
+         |  count(*)::BIGINT AS n_media,
+         |  CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS n_bytes,
+         |  0::BIGINT AS n_shards
+         |FROM $from""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, w * h AS px, 35 + 3 * w * h AS n_bytes,
+       |    list_sum(list_transform(range(3 * w * h),
+       |      p -> (doc_id + p) % 251))::BIGINT AS sum_all
+       |  FROM g
+       |), s AS MATERIALIZED (
+       |  SELECT doc_id, px, n_bytes, mean_milli,
+       |    (px >= $McMinPixels AND mean_milli >= $McMeanLo
+       |      AND mean_milli <= $McMeanHi) AS admit
+       |  FROM (SELECT *, (1000 * sum_all) // (3 * px) AS mean_milli FROM f)
+       |), adm AS MATERIALIZED (
+       |  SELECT doc_id, n_bytes FROM s WHERE admit
+       |), pk AS MATERIALIZED (
+       |  ${LlmPipeline.packShardsSql(
+             "(SELECT doc_id, n_bytes AS n_tokens FROM adm)")}
+       |)
+       |${cenRow(0, "media", "s")}
+       |UNION ALL
+       |${cenRow(1, "admitted", "adm")}
+       |UNION ALL
+       |SELECT 2::BIGINT AS stage, 'packed' AS stage_name,
+       |  count(*)::BIGINT AS n_media,
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_bytes,
+       |  (SELECT count(*) FROM (SELECT DISTINCT bucket, shard FROM pk))::BIGINT
+       |    AS n_shards
+       |FROM pk""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
@@ -911,5 +1015,7 @@ object Composites extends QueryModule {
       Some(evalProtocolPipelineSql)),
     QueryDef("ann_index_refresh", annIndexRefresh,
       Some(annIndexRefreshSql)),
+    QueryDef("media_curation_pipeline", mediaCurationPipeline,
+      Some(mediaCurationPipelineSql)),
   )
 }

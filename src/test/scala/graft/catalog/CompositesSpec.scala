@@ -146,6 +146,33 @@ class CompositesSpec extends SparkSpec {
     assert(first(1L) === seedN)
   }
 
+  test("media_curation_pipeline: census matches the generative-form replay") {
+    val rows = Composites.mediaCurationPipeline(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    // driver replay from the closed generative form (no Multimodal code)
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val replay = ids.map { id =>
+      val w = 4 + id % 5; val h = 3 + id % 4; val len = 3 * w * h
+      val sum = (0L until len).map(i => (id + i) % 251).sum
+      val meanMilli = 1000 * sum / len
+      val admit = w * h >= 20 && meanMilli >= 100000L && meanMilli <= 150000L
+      (35 + len, admit)
+    }
+    assert(rows(0L)._1 === ids.length.toLong)
+    assert(rows(0L)._2 === replay.map(_._1).sum)
+    assert(rows(1L)._1 === replay.count(_._2).toLong)
+    assert(rows(1L)._2 === replay.filter(_._2).map(_._1).sum)
+    // both gate arms actually bite at this SF
+    assert(rows(1L)._1 > 0L && rows(1L)._1 < rows(0L)._1)
+    // packing conserves and produces shards
+    assert(rows(2L)._1 === rows(1L)._1)
+    assert(rows(2L)._2 === rows(1L)._2)
+    assert(rows(2L)._3 >= 1L)
+  }
+
   test("ann_index_refresh: algebra closes; prebuilt codebook = default path") {
     import graft.operators.VectorOps
     val r = Composites.annIndexRefresh(spark, dir).head()
