@@ -1001,6 +1001,102 @@ object Composites extends QueryModule {
        |FROM pk""".stripMargin
   }
 
+  // ---- tokenizer-training pipeline --------------------------------------------
+
+  /** Tokenizer training, end to end: learn BPE merges on the TRAIN split →
+    * encode the WHOLE corpus with the learned rules → per-source fertility
+    * census. The transfer question a tokenizer build actually answers: do
+    * merges learned on half the corpus (`doc_id % 2 == 0`) tokenize every
+    * source efficiently, or does some source pay a fertility penalty?
+    *
+    * Stage reuse: training is [[graft.operators.BpeMerges.learn]] with
+    * [[TextAnalysis.BpeRounds]] rounds and bpe_merges' exact word hygiene
+    * (lowercase whitespace tokens, `[a-z0-9]+` only); the learned rules
+    * come back as ≤ BpeRounds driver rows (the model-as-driver-state
+    * shape — bounded by construction) and are applied as literal chained
+    * replaces ([[graft.operators.BpeMerges.applyMerges]] — map-only over
+    * the word-TYPE table, never the token stream). The oracle learns its
+    * own rules through the factored [[TextAnalysis.bpeRoundCtesSql]]
+    * device — identical counts/tiebreaks/greedy-replace — then applies
+    * its b_1..b_n CTEs the same way, so rules AND application attest.
+    * FAILS LOUDLY (require) if the train split exhausts before BpeRounds
+    * merges — the oracle's fixed-round unroll would silently diverge on
+    * a degenerate corpus otherwise.
+    *
+    * Scale: one corpus pass per word-freq aggregate (train + per-source);
+    * everything else is vocabulary-bounded. Readout per source: word
+    * types, running words, encoded symbols, fertility (symbols per 1000
+    * words).
+    */
+  def tokenizerTrainPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def words(df: DataFrame) = df
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+    val trainFreq = words(docs.where(col("doc_id") % 2 === 0))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val learned = graft.operators.BpeMerges
+      .learn(trainFreq, TextAnalysis.BpeRounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    require(learned.length == TextAnalysis.BpeRounds,
+      s"train split exhausted after ${learned.length} merges " +
+        s"(< ${TextAnalysis.BpeRounds}); oracle unroll would diverge")
+    val perSource = words(docs)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("n_sym", graft.operators.BpeMerges.symbolCount(
+        graft.operators.BpeMerges.applyMerges(col("word"), learned))
+        .cast("long"))
+    perSource.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_word_types"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_sym")).as("n_symbols"))
+      .withColumn("fertility_milli",
+        expr("(1000 * n_symbols) div n_words"))
+  }
+
+  private val tokenizerTrainPipelineSql = {
+    val applyCtes = (1 to TextAnalysis.BpeRounds).map { r =>
+      s"""a$r AS (
+         |  SELECT a.source, a.word, a.freq,
+         |    replace(a.s, '[' || b.lft || '][' || b.rgt || ']',
+         |            '[' || b.lft || b.rgt || ']') AS s
+         |  FROM a${r - 1} a CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tw AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |        FROM documents WHERE doc_id % 2 = 0)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY word
+       |), w0 AS (
+       |  SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS s, freq FROM tw
+       |),
+       |${TextAnalysis.bpeRoundCtesSql(TextAnalysis.BpeRounds)},
+       |aw AS (
+       |  SELECT source, word, count(*) AS freq
+       |  FROM (SELECT source,
+       |          unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY source, word
+       |), a0 AS (
+       |  SELECT source, word, freq,
+       |    regexp_replace(word, '(.)', '[\\1]', 'g') AS s
+       |  FROM aw
+       |),
+       |$applyCtes
+       |SELECT source, count(*)::BIGINT AS n_word_types,
+       |  CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(freq * len(string_split(trim(s, '[]'), ']['))) AS BIGINT)
+       |    AS n_symbols,
+       |  CAST((1000 * sum(freq * len(string_split(trim(s, '[]'), ']['))))
+       |       // sum(freq) AS BIGINT) AS fertility_milli
+       |FROM a${TextAnalysis.BpeRounds}
+       |GROUP BY source""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
@@ -1017,5 +1113,7 @@ object Composites extends QueryModule {
       Some(annIndexRefreshSql)),
     QueryDef("media_curation_pipeline", mediaCurationPipeline,
       Some(mediaCurationPipelineSql)),
+    QueryDef("tokenizer_train_pipeline", tokenizerTrainPipeline,
+      Some(tokenizerTrainPipelineSql)),
   )
 }

@@ -170,7 +170,32 @@ object TextAnalysis extends QueryModule {
       |ORDER BY drift_score DESC, word LIMIT 20""".stripMargin
 
   // ---- BPE merge learning -------------------------------------------------
-  private val BpeRounds = 6
+  private[catalog] val BpeRounds = 6
+
+  /** The per-round CTE block of [[bpeMergesSql]] (`p_r`/`c_r`/`b_r`/`w_r`
+    * for r = 1..rounds, chained off a `w0` bracket-string CTE) — factored
+    * so [[Composites.tokenizerTrainPipeline]]'s oracle learns its rules
+    * through the EXACT same device (counts, tiebreak, greedy replace).
+    */
+  private[catalog] def bpeRoundCtesSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT unnest(list_transform(range(1, len(l)),
+         |                i -> [l[i], l[i + 1]])) AS p, freq
+         |  FROM (SELECT string_split(trim(s, '[]'), '][') AS l, freq
+         |        FROM w${r - 1})
+         |),
+         |c$r AS (
+         |  SELECT p[1] AS lft, p[2] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$r GROUP BY 1, 2
+         |),
+         |b$r AS (SELECT lft, rgt, cnt FROM c$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(w.s, '[' || b.lft || '][' || b.rgt || ']',
+         |                 '[' || b.lft || b.rgt || ']') AS s, w.freq
+         |  FROM w${r - 1} w CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
 
   /** Tokenizer training: the first [[BpeRounds]] BPE merge rules over the
     * corpus ([[graft.operators.BpeMerges]]). Classic BPE learns on WORD
@@ -191,24 +216,7 @@ object TextAnalysis extends QueryModule {
   }
 
   private val bpeMergesSql = {
-    val rounds = (1 to BpeRounds).map { r =>
-      s"""p$r AS (
-         |  SELECT unnest(list_transform(range(1, len(l)),
-         |                i -> [l[i], l[i + 1]])) AS p, freq
-         |  FROM (SELECT string_split(trim(s, '[]'), '][') AS l, freq
-         |        FROM w${r - 1})
-         |),
-         |c$r AS (
-         |  SELECT p[1] AS lft, p[2] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM p$r GROUP BY 1, 2
-         |),
-         |b$r AS (SELECT lft, rgt, cnt FROM c$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
-         |w$r AS (
-         |  SELECT replace(w.s, '[' || b.lft || '][' || b.rgt || ']',
-         |                 '[' || b.lft || b.rgt || ']') AS s, w.freq
-         |  FROM w${r - 1} w CROSS JOIN b$r b
-         |)""".stripMargin
-    }.mkString(",\n")
+    val rounds = bpeRoundCtesSql(BpeRounds)
     val out = (1 to BpeRounds)
       .map(r => s"SELECT $r AS merge_round, lft, rgt, cnt AS pair_count FROM b$r")
       .mkString("\nUNION ALL\n")

@@ -52,6 +52,20 @@ object BpeMerges {
       (a, b) => struct(a.as("lft"), b.as("rgt")))
   }
 
+  /** Apply learned merge rules IN ORDER to a word column: bracket-encode,
+    * then one greedy leftmost non-overlapping replace per rule — the same
+    * device [[learn]] trains with, so encoding a corpus with the learned
+    * rules is a pure map-only expression (rules are driver-side literals,
+    * the model-as-constants shape).
+    */
+  def applyMerges(word: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(regexp_replace(word, "(.)", "[$1]")) {
+      case (s, (l, r)) => replace(s, lit(s"[$l][$r]"), lit(s"[$l$r]"))
+    }
+
+  /** Symbol count of a bracket-string (tokens the encoding produces). */
+  def symbolCount(s: Column): Column = size(symbols(s))
+
   /** Learn `rounds` merge rules from a (word, freq) word-type table.
     * Deterministic tiebreak: count DESC, then (left, right) ascending.
     * Returns (merge_round, lft, rgt, pair_count) — fewer than `rounds`

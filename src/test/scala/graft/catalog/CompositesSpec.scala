@@ -146,6 +146,43 @@ class CompositesSpec extends SparkSpec {
     assert(first(1L) === seedN)
   }
 
+  test("tokenizer_train_pipeline: fertility matches a pure-Scala BPE replay") {
+    val got = Composites.tokenizerTrainPipeline(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent replay: learn rules with the operator (already pinned by
+    // BpeMergesSpec), then re-apply them with plain Scala string folding
+    val docs = Tables.documents(spark, dir)
+    val trainFreq = docs.where(col("doc_id") % 2 === 0)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val rules = graft.operators.BpeMerges.learn(trainFreq, 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.length === 6)
+    def enc(w: String): Int = {
+      val bracket = w.map(c => s"[$c]").mkString
+      val merged = rules.foldLeft(bracket) { case (s, (l, r)) =>
+        s.replace(s"[$l][$r]", s"[$l$r]")
+      }
+      merged.count(_ == '[')
+    }
+    val words = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = words.groupBy(_._1)
+    assert(got.keySet === bySource.keySet)
+    bySource.foreach { case (src, ws) =>
+      val nTypes = ws.length.toLong
+      val nWords = ws.map(_._3).sum
+      val nSym = ws.map(w => w._3 * enc(w._2)).sum
+      assert(got(src) === ((nTypes, nWords, nSym, 1000L * nSym / nWords)),
+        s"source $src")
+    }
+  }
+
   test("media_curation_pipeline: census matches the generative-form replay") {
     val rows = Composites.mediaCurationPipeline(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
