@@ -1097,6 +1097,80 @@ object Composites extends QueryModule {
        |GROUP BY source""".stripMargin
   }
 
+  // ---- privacy-release pipeline -----------------------------------------------
+
+  private val PrSeed = 43
+
+  /** Privacy release, end to end: PII scrub → per-source redaction census
+    * → noise-perturbed count release. The scrub stage is pii_scrub's exact
+    * injection + redaction ([[TextAnalysis.piiAug]]/[[TextAnalysis.piiClean]]
+    * — factored, so patterns cannot drift from the component that proves
+    * byte-identical output); the census rolls up per source (docs,
+    * redactions by all three kinds, scrubbed byte footprint); and the
+    * PII-document count — the sensitive statistic — leaves only through
+    * the dp_noisy_counts release device (bounded additive noise +
+    * non-negativity clamp, same [[CurationOps.NoiseBound]], own release
+    * seed) with its `NONE_DETERMINISTIC_NOISE` marker travelling in-band
+    * (the noise is a seeded hash so the oracle can attest the release;
+    * real deployments swap in a sampled Laplace draw — one line).
+    *
+    * Scale: one map-only regex scan (codegen'd), one partial-aggregated
+    * rollup, a ≤|sources|-row perturbation. Nothing else touches data.
+    */
+  def privacyReleasePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.piiAug.as("t"))
+      .select(col("source"),
+        (size(regexp_extract_all(col("t"), lit(TextAnalysis.EmailRe), lit(0))) +
+          size(regexp_extract_all(col("t"), lit(TextAnalysis.PhoneRe), lit(0))) +
+          size(regexp_extract_all(col("t"), lit(TextAnalysis.IpRe), lit(0))))
+          .cast("long").as("n_pii"),
+        length(TextAnalysis.piiClean(col("t"))).cast("long").as("clean_len"))
+    scrubbed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pii")).as("n_redactions"),
+        sum(col("clean_len")).as("clean_bytes"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("pii_docs"))
+      .select(col("source"), col("n_docs"), col("n_redactions"),
+        col("clean_bytes"),
+        greatest(col("pii_docs") +
+          pmod(graft.functions.PortableHash.h48(col("source"), PrSeed),
+            lit(2 * CurationOps.NoiseBound + 1)) - CurationOps.NoiseBound,
+          lit(0L)).as("noisy_pii_docs"),
+        lit(CurationOps.NoiseBound).as("noise_bound"),
+        lit("NONE_DETERMINISTIC_NOISE").as("privacy"))
+  }
+
+  private val privacyReleasePipelineSql = {
+    val h = graft.functions.PortableHash.h48Sql("source", PrSeed)
+    val b = CurationOps.NoiseBound
+    s"""WITH aug AS (
+       |  SELECT doc_id, source, ${TextAnalysis.piiAugSql} AS t
+       |  FROM documents
+       |), sc AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+       |    + len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}'))::BIGINT
+       |    + len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+       |      AS n_pii,
+       |    len(${TextAnalysis.piiCleanSql("t")})::BIGINT AS clean_len
+       |  FROM aug
+       |), cen AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    CAST(sum(n_pii) AS BIGINT) AS n_redactions,
+       |    CAST(sum(clean_len) AS BIGINT) AS clean_bytes,
+       |    CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pii_docs
+       |  FROM sc GROUP BY source
+       |)
+       |SELECT source, n_docs, n_redactions, clean_bytes,
+       |  greatest(pii_docs + ($h % ${2 * b + 1}) - $b, 0)::BIGINT
+       |    AS noisy_pii_docs,
+       |  $b::BIGINT AS noise_bound,
+       |  'NONE_DETERMINISTIC_NOISE' AS privacy
+       |FROM cen""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
@@ -1115,5 +1189,7 @@ object Composites extends QueryModule {
       Some(mediaCurationPipelineSql)),
     QueryDef("tokenizer_train_pipeline", tokenizerTrainPipeline,
       Some(tokenizerTrainPipelineSql)),
+    QueryDef("privacy_release_pipeline", privacyReleasePipeline,
+      Some(privacyReleasePipelineSql)),
   )
 }

@@ -291,7 +291,7 @@ object CurationOps extends QueryModule {
 
   // ---- noisy count release -------------------------------------------------
 
-  private val NoiseBound = 5L
+  private[catalog] val NoiseBound = 5L
   private val NoiseSeed = 42
 
   /** Differential-privacy-SHAPED histogram release: per-event-type counts

@@ -661,9 +661,48 @@ object TextAnalysis extends QueryModule {
   }
 
   // ---- PII redaction ------------------------------------------------------
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
-  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[catalog] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[catalog] val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private[catalog] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The deterministic PII-injection expression over (doc_id, text) and its
+    * scrub — factored so [[Composites.privacyReleasePipeline]] plants and
+    * redacts the SAME synthetic PII the standalone pii_scrub proves
+    * byte-identical; SQL twins below.
+    */
+  private[catalog] def piiAug: org.apache.spark.sql.Column = concat(col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com now"))).otherwise(""),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" today"))).otherwise(""),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" host "), (col("doc_id") % 256).cast("string"),
+        lit(".0.2."), (col("doc_id") % 100).cast("string"),
+        lit(" up"))).otherwise(""))
+
+  private[catalog] def piiClean(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+
+  // single-line on purpose: these embed into callers' stripMargin blocks,
+  // where an inner line starting with spaces + `||` would be truncated
+  private[catalog] val piiAugSql =
+    "text" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com now' ELSE '' END" +
+      " || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN ' host ' || (doc_id % 256)::VARCHAR || '.0.2.' || (doc_id % 100)::VARCHAR || ' up' ELSE '' END"
+
+  private[catalog] def piiCleanSql(t: String) =
+    s"regexp_replace(regexp_replace(regexp_replace($t, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+      "'\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'), " +
+      "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')"
 
   /** PII scrubbing: count and redact emails / phone numbers / IPv4
     * addresses. The synthetic corpus contains no natural PII, so a
@@ -676,25 +715,9 @@ object TextAnalysis extends QueryModule {
     * Map-only single scan at any scale — codegen'd regex over each row.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val aug = concat(col("text"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com now"))).otherwise(""),
-      when(col("doc_id") % 11 === 0,
-        concat(lit(" call 415-555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-          lit(" today"))).otherwise(""),
-      when(col("doc_id") % 13 === 0,
-        concat(lit(" host "), (col("doc_id") % 256).cast("string"),
-          lit(".0.2."), (col("doc_id") % 100).cast("string"),
-          lit(" up"))).otherwise(""))
-    val clean = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("t"), EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]"),
-      IpRe, "[IP]")
+    val clean = piiClean(col("t"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"), piiAug.as("t"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
         size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),

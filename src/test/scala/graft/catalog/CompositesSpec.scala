@@ -146,6 +146,43 @@ class CompositesSpec extends SparkSpec {
     assert(first(1L) === seedN)
   }
 
+  test("privacy_release_pipeline: census and noisy release match a replay") {
+    val got = Composites.privacyReleasePipeline(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phone = "\\d{3}-\\d{3}-\\d{4}".r
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    def h48(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val replay = docs.map { case (id, src, text) =>
+      val aug = text +
+        (if (id % 7 == 0) s" contact user$id@mail.example.com now" else "") +
+        (if (id % 11 == 0) f" call 415-555-${id % 10000}%04d today" else "") +
+        (if (id % 13 == 0) s" host ${id % 256}.0.2.${id % 100} up" else "")
+      val nPii = email.findAllIn(aug).size + phone.findAllIn(aug).size +
+        ip.findAllIn(aug).size
+      val clean = ip.replaceAllIn(
+        phone.replaceAllIn(
+          email.replaceAllIn(aug, "[EMAIL]"), "[PHONE]"), "[IP]")
+      (src, nPii, clean.length.toLong)
+    }.groupBy(_._1)
+    assert(got.keySet === replay.keySet)
+    replay.foreach { case (src, rows) =>
+      val piiDocs = rows.count(_._2 > 0).toLong
+      val noisy = math.max(piiDocs + h48(s"43:$src") % 11 - 5, 0L)
+      assert(got(src) === ((rows.length.toLong, rows.map(_._2.toLong).sum,
+        rows.map(_._3).sum, noisy, 5L, "NONE_DETERMINISTIC_NOISE")),
+        s"source $src")
+    }
+  }
+
   test("tokenizer_train_pipeline: fertility matches a pure-Scala BPE replay") {
     val got = Composites.tokenizerTrainPipeline(spark, dir).collect()
       .map(r => r.getString(0) ->
