@@ -57,6 +57,24 @@ class MstSpec extends SparkSpec {
       (4L, 5L, 5L), (10L, 11L, 1L), (11L, 12L, 9L)))
   }
 
+  test("hitting the round bound with edges remaining fails loudly") {
+    // two cheap pairs joined by an expensive bridge: round 1 merges the
+    // pairs, only round 2 can pick the bridge — maxRounds = 1 must throw
+    // rather than silently return a non-spanning forest
+    val edges = Seq(
+      (1L, 2L, 1L), (3L, 4L, 2L), (2L, 3L, 10L))
+      .toDF("u", "v", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Mst.forest(edges, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and the same bound is fine when one round suffices
+    val one = Mst.forest(Seq((1L, 2L, 7L)).toDF("u", "v", "w"), maxRounds = 1)
+      .collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((1L, 2L, 7L)))
+  }
+
   test("mst_forest: component count matches an independent CC run") {
     val dir = "/root/testdata/sf0.001"
     val r = graft.catalog.Algorithms.mstForest(spark, dir).collect().head
