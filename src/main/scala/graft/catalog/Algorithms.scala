@@ -427,23 +427,34 @@ object Algorithms extends QueryModule {
     * cross join the oracle runs — and a final exact `levenshtein = 1`
     * check makes the semantics independent of the candidate recipe. At
     * 100 TB the variant index is |corpus|·avg_len rows joined on short
-    * string keys; the quadratic spec is only ever run by the oracle.
+    * keys; the quadratic spec is only ever run by the oracle.
+    *
+    * The join key is `xxhash64(variant)`, not the variant string: the
+    * exact `levenshtein` verification makes hash collisions harmless
+    * (they only ADD candidates, every ED-1 pair is still reached through
+    * its true shared variant), so the variant string never leaves the map
+    * side and the candidate shuffles carry (name, pos, 8-byte key)
+    * instead of (name, pos, ~name-length string) — and because the hash
+    * only shapes the CANDIDATE set, Spark's native codegen hash is fine
+    * here (the PortableHash rule binds result-affecting hashes only).
     */
   def typoJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.customer(spark, dir)
       .select(col("c_name").as("name")).distinct()
     val variants = names.select(col("name"), explode(expr(
         "transform(sequence(0, length(name)-1), " +
-          "i -> struct(i AS pos, concat(substring(name, 1, i), " +
-          "substring(name, i+2)) AS variant))")).as("d"))
-      .select(col("name"), col("d.pos").as("pos"), col("d.variant").as("variant"))
+          "i -> struct(i AS pos, xxhash64(concat(substring(name, 1, i), " +
+          "substring(name, i+2))) AS hv))")).as("d"))
+      .select(col("name"), col("d.pos").as("pos"), col("d.hv").as("hv"))
     val subCand = variants.as("a").join(variants.as("b"),
         col("a.pos") === col("b.pos") &&
-          col("a.variant") === col("b.variant") &&
+          col("a.hv") === col("b.hv") &&
           col("a.name") < col("b.name"))
       .select(col("a.name").as("w1"), col("b.name").as("w2"))
     val delCand = variants.as("v")
-      .join(names.as("n"), col("v.variant") === col("n.name"))
+      .join(names.select(col("name"), xxhash64(col("name")).as("hv")).as("n"),
+        col("v.hv") === col("n.hv"))
+      .where(col("v.name") =!= col("n.name"))
       .select(least(col("v.name"), col("n.name")).as("w1"),
         greatest(col("v.name"), col("n.name")).as("w2"))
     subCand.union(delCand).distinct()
