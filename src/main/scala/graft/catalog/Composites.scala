@@ -841,7 +841,8 @@ object Composites extends QueryModule {
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select(col("n_base"), col("n_delta"), col("nlist"), col("n_queries"),
         col("n_exact"), col("n_hits"),
-        expr("(1000 * n_hits) div n_exact").cast("long")
+        expr("CASE WHEN n_exact = 0 THEN 0L " +
+          "ELSE (1000 * n_hits) div n_exact END").cast("long")
           .as("recall_permille"))
   }
 
@@ -892,7 +893,8 @@ object Composites extends QueryModule {
        |    AS n_queries,
        |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
        |  CAST(h.n_hits AS BIGINT) AS n_hits,
-       |  CAST((1000 * h.n_hits) // (SELECT count(*) FROM ex) AS BIGINT)
+       |  CAST(CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
+       |    ELSE (1000 * h.n_hits) // (SELECT count(*) FROM ex) END AS BIGINT)
        |    AS recall_permille
        |FROM cen CROSS JOIN h""".stripMargin
   }
@@ -1019,9 +1021,12 @@ object Composites extends QueryModule {
     * own rules through the factored [[TextAnalysis.bpeRoundCtesSql]]
     * device — identical counts/tiebreaks/greedy-replace — then applies
     * its b_1..b_n CTEs the same way, so rules AND application attest.
-    * FAILS LOUDLY (require) if the train split exhausts before BpeRounds
-    * merges — the oracle's fixed-round unroll would silently diverge on
-    * a degenerate corpus otherwise.
+    * FAILS LOUDLY on BOTH sides if the train split exhausts before
+    * BpeRounds merges: the Spark path via require, the oracle via a
+    * DuckDB error() guard on the last round's b-CTE (b_k empty implies
+    * every later b empty, so checking the last round suffices) — an
+    * oracle-only run can no longer silently return zero rows on a
+    * degenerate corpus.
     *
     * Scale: one corpus pass per word-freq aggregate (train + per-source);
     * everything else is vocabulary-bounded. Readout per source: word
@@ -1094,6 +1099,9 @@ object Composites extends QueryModule {
        |  CAST((1000 * sum(freq * len(string_split(trim(s, '[]'), ']['))))
        |       // sum(freq) AS BIGINT) AS fertility_milli
        |FROM a${TextAnalysis.BpeRounds}
+       |WHERE 1 = (SELECT CASE WHEN count(*) = 1 THEN 1
+       |  ELSE CAST(error('train split exhausted before ${TextAnalysis.BpeRounds} merges') AS INT) END
+       |  FROM b${TextAnalysis.BpeRounds})
        |GROUP BY source""".stripMargin
   }
 

@@ -33,17 +33,6 @@ import graft.core.{Materialize, PlanTrace}
   */
 object Mst {
 
-  /** @param edges three columns `u`, `v`, `w` (BIGINT): one row per
-    *              undirected edge, u ≠ v, no duplicates.
-    * @param maxRounds backstop on Borůvka rounds (components at least
-    *              halve per round, so 16 covers 65 536 components — at
-    *              larger scale pass log₂|V|; the fixpoint exit fires
-    *              first on every real graph). If the bound is hit while
-    *              cross-component edges remain, the run FAILS LOUDLY
-    *              rather than silently returning a non-spanning forest.
-    * @return the forest's edge frame (`u`, `v`, `w`) — n_nodes − n_comps
-    *         rows by the forest property.
-    */
   /** Contraction graphs at or under this many picked edges are collapsed
     * with driver-side union-find instead of the distributed alternating-star
     * loop. The picked-edge count is ALREADY on the driver (it is the loop
@@ -59,8 +48,19 @@ object Mst {
     */
   val DriverCcThreshold = 1L << 16
 
-  /** @param driverCcThreshold override of [[DriverCcThreshold]] — specs
-    *        pass 0 to force every contraction down the distributed path.
+  /** @param edges three columns `u`, `v`, `w` (BIGINT): one row per
+    *              undirected edge, u ≠ v, no duplicates.
+    * @param maxRounds backstop on Borůvka rounds (components at least
+    *              halve per round, so 16 covers 65 536 components — at
+    *              larger scale pass log₂|V|; the fixpoint exit fires
+    *              first on every real graph). If the bound is hit while
+    *              cross-component edges remain, the run FAILS LOUDLY
+    *              rather than silently returning a non-spanning forest.
+    * @param driverCcThreshold override of [[DriverCcThreshold]] — specs
+    *              pass 0 to force every contraction down the distributed
+    *              path.
+    * @return the forest's edge frame (`u`, `v`, `w`) — n_nodes − n_comps
+    *         rows by the forest property.
     */
   def forest(edges: DataFrame, maxRounds: Int = 16,
              trace: Option[String] = None,
