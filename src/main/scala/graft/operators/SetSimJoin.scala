@@ -80,19 +80,68 @@ object SetSimJoin {
     * inter ≥ ⌈t·size_a⌉ — for t = 0.5 this is the pure integer gate
     * 2·inter ≥ size_a (0.5·n is exact in binary, so `ceil` is
     * boundary-exact).
+    *
+    * Shuffle width: all candidate and verification joins run on 8-byte
+    * `xxhash64(shingle)` keys behind a runtime injectivity gate (see the
+    * inline comment) — string keys only on the detected-collision
+    * fallback path.
     */
-  def containmentPairs(exploded: DataFrame, threshold: Double): DataFrame = {
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
-    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
-    val ordered = exploded.join(docFreq, "shingle").join(sizes, "id")
+  /** @param forceStringKeys spec hook (the Mst threshold-0 precedent):
+    *        true pins the detected-collision fallback path, which real
+    *        corpora essentially never take, so it cannot bitrot.
+    */
+  def containmentPairs(exploded: DataFrame, threshold: Double,
+                       forceStringKeys: Boolean = false): DataFrame = {
+    // vocabulary (document frequency per shingle) — ONE corpus-pass
+    // aggregate, materialized because it feeds four subplans (the hash
+    // gate, and the prefix/b-side trees that each re-derived it before):
+    // the frame is vocabulary-sized, so unlike the exploded frame (whose
+    // persist was measured a loss, see jaccardPairs) the cache build is
+    // cheap and it removes a full re-tokenize+groupBy per consumer
+    val vocab = graft.core.Materialize(exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("h", xxhash64(col("shingle"))))
+    // 8-byte-key gate: every downstream shuffle (the prefix candidate
+    // join, the candidate distinct, both verification joins) carries
+    // xxhash64(shingle) instead of the shingle string IFF the hash is
+    // injective on THIS corpus's vocabulary — checked at runtime with one
+    // vocabulary-sized aggregate over the already-materialized vocab.
+    // Injective hash ⟹ the keys are a pure relabeling and the result is
+    // bit-identical to the string-keyed join; a collision (expected
+    // ≈ V²/2⁶⁵ at vocabulary size V) falls back to the string path, so
+    // exactness NEVER depends on hash luck — the typo_join hashed-key
+    // trick upgraded from "collisions are harmless" to "collisions are
+    // detected". PortableHash is not needed: under the gate the hash
+    // never affects the result. The (df, key) prefix order changes with
+    // the relabeling, but ANY consistent total order is lossless for the
+    // pigeonhole/positional filters, and the verified output is
+    // order-invariant.
+    val hashOk = !forceStringKeys &&
+      vocab.groupBy("h").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).isEmpty
+    val (ex, freq) =
+      if (hashOk)
+        (exploded.select(col("id"), xxhash64(col("shingle")).as("k")),
+          vocab.select(col("h").as("k"), col("df")))
+      else
+        (exploded.select(col("id"), col("shingle").as("k")),
+          vocab.select(col("shingle").as("k"), col("df")))
+    // per-doc shingle-key arrays: feeds BOTH the size column everywhere a
+    // size is needed and the array_intersect verification below —
+    // doc-count-sized (8 bytes per distinct shingle), materialized once
+    val docArr = graft.core.Materialize(
+      ex.groupBy("id").agg(collect_list(col("k")).as("arr"),
+        count(lit(1)).as("n")))
+    val sizes = docArr.select(col("id"), col("n"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("k"))
+    val ordered = ex.join(freq, "k").join(sizes, "id")
       .withColumn("pos", row_number().over(w))
     val prefix = ordered
       .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id").as("a_id"), col("shingle"),
+      .select(col("id").as("a_id"), col("k"),
         col("n").as("na"), col("pos").as("pa"))
     val bSide = ordered
-      .select(col("id").as("b_id"), col("shingle"),
+      .select(col("id").as("b_id"), col("k"),
         col("n").as("nb"), col("pos").as("pb"))
     // positional filter (the PPJoin device, one-sided): shared shingles
     // appear in the SAME relative order in both docs' (df, shingle)-sorted
@@ -109,19 +158,29 @@ object SetSimJoin {
     val posBound =
       lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
         ceil(lit(threshold) * col("na"))
-    val cand = prefix.join(bSide, "shingle")
+    val cand = prefix.join(bSide, "k")
       .where(col("a_id") =!= col("b_id") &&
         col("nb") >= ceil(lit(threshold) * col("na")) &&
         posBound)
       .select("a_id", "b_id").distinct()
-    val inter = cand
-      .join(exploded.select(col("id").as("a_id"), col("shingle")), "a_id")
-      .join(exploded.select(col("id").as("b_id"), col("shingle")),
-        Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter.join(sizes.select(col("id").as("a_id"), col("n").as("size_a")), "a_id")
+    // verification: exact per-pair intersection via array_intersect on the
+    // two docs' shingle-key arrays — each candidate shuffles ONCE per side
+    // (carrying one compact array) and the overlap is counted row-local,
+    // instead of fanning every candidate out by |S(A)| exploded rows and
+    // re-aggregating (the old shape's dominant stage: at sf0.1, 660 K
+    // candidates × ~40 shingles ≈ 28 M verification rows through a
+    // groupBy). array_intersect is exact here because shingles are
+    // distinct per doc (explodeShingles dedups) and keys are injective
+    // under the gate above.
+    cand
+      .join(docArr.select(col("id").as("a_id"), col("arr").as("sa"),
+        col("n").as("size_a")), "a_id")
+      .join(docArr.select(col("id").as("b_id"), col("arr").as("sb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .where(col("inter") >= ceil(lit(threshold) * col("size_a")))
-      .withColumn("containment",
-        round(col("inter").cast("double") / col("size_a"), 6))
+      .select(col("a_id"), col("b_id"), col("inter"), col("size_a"),
+        round(col("inter").cast("double") / col("size_a"), 6)
+          .as("containment"))
   }
 }

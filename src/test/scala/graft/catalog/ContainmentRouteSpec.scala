@@ -33,6 +33,19 @@ class ContainmentRouteSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus contains near-duplicates; pairs expected")
   }
 
+  test("containment_pairs: string-key fallback path is identical") {
+    // forces the detected-collision fallback (string join keys) and pins
+    // it to the hashed-key path's output — the injectivity gate means the
+    // two paths must be a pure key relabeling of each other
+    val exploded = graft.operators.MinHashLsh.explodeShingles(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text", 3)
+    def rows(forceString: Boolean) = graft.operators.SetSimJoin
+      .containmentPairs(exploded, 0.5, forceStringKeys = forceString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(rows(forceString = true) === rows(forceString = false))
+  }
+
   test("rendezvous_route: dropping shard 0 relocates exactly its tenants") {
     val rows = LlmPipeline.rendezvousRoute(spark, dir).collect()
     assert(rows.length === 500)
