@@ -541,8 +541,9 @@ object EvalMetrics extends QueryModule {
     * (rel = |query terms ∩ doc's distinct terms|, 0..5), gain = 2^rel − 1,
     * discounts from [[NdcgDiscount]]; DCG and the per-query ideal
     * (gain-sorted) DCG are exact integer sums, NDCG one truncating
-    * division. Scale shape: ranking and index come straight from the
-    * SHARED memoized BM25 index (`bm25_index` — built once per process);
+    * division. Scale shape: ranking and index come from the STORED BM25
+    * index ([[graft.sources.Bm25Store]] — the prepare step pays the
+    * corpus pass; serving is a term-pruned read);
     * relevance grading probes that index with a BROADCAST of the
     * |queries|·k ranked pairs, so the corpus-sized side never reshuffles;
     * everything after the probe operates on ≤ |queries|·k rows. The query
@@ -561,17 +562,20 @@ object EvalMetrics extends QueryModule {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(
           graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
-    val idx = graft.core.Shared.memo(spark, "bm25_index", dir) {
-      graft.operators.Bm25.index(docs)
-    }
-    val ranked = graft.operators.Bm25
-      .topK(docs, queries, NdcgK, prebuilt = Some(idx))
+    // served from the STORED index ([[graft.sources.Bm25Store]]): the
+    // fixed-budget audit batch is exactly the shape the term-pruned read
+    // is for — ≤ NdcgBudget·5 distinct terms reach the row-group-pruned
+    // postings scan at ANY corpus scale
+    val ranked = graft.sources.Bm25Store
+      .serve(spark, dir, queries, NdcgK)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    // grade relevance: probe the inverted index with the (small) ranked
-    // pairs × query terms — index side stays put, probe side broadcasts
+    // grade relevance: probe the (term-pruned) stored postings with the
+    // (small) ranked pairs × query terms — the pairs' terms are all query
+    // terms, so the pruned frame covers every possible match
     val pairs = ranked.join(queries, "query_id")
       .select(col("query_id"), col("doc_id"), col("rank"), col("term"))
-    val rel = idx.select(col("doc_id"), col("term"))
+    val rel = graft.sources.Bm25Store.prunedPostings(spark, dir, queries)
+      .select(col("doc_id"), col("term"))
       .join(broadcast(pairs), Seq("doc_id", "term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("rel"))

@@ -1804,12 +1804,42 @@ object LlmPipeline extends QueryModule {
   /** Keyword search over the corpus via [[graft.operators.Bm25]]: the query
     * set is "distinct first-5 tokens of every doc_id % 61 == 0 doc" (a
     * deterministic stand-in for user queries), scored BM25 against the
-    * whole corpus, top-5 per query.
+    * whole corpus, top-5 per query — served from the STORED index
+    * ([[graft.sources.Bm25Store]], the round-12 prepare/serve split:
+    * `bm25_index_build` pays the corpus pass, this query only reads).
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    graft.operators.Bm25.topK(docs, bm25Queries(docs), Bm25K,
-      prebuilt = Some(bm25Index(spark, dir)))
+    graft.sources.Bm25Store.serve(spark, dir, bm25Queries(docs), Bm25K)
+  }
+
+  /** The prepare step: build (or fingerprint-validate) the stored BM25
+    * inverted index, then report its census from the STORED postings —
+    * the readout attests the artifact itself, not a recomputation.
+    */
+  def bm25IndexBuild(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Bm25Store.postings(spark, dir)
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("n_tokens"),
+        max(col("tf")).as("max_tf"))
+
+  private val bm25IndexBuildSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $w AS w FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS term FROM t)
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT count(*)::BIGINT AS n_postings,
+       |  count(DISTINCT term)::BIGINT AS n_terms,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(max(tf) AS BIGINT) AS max_tf
+       |FROM tf""".stripMargin
   }
 
   /** The bm25_topk query set — "distinct first-5 tokens of every
@@ -1822,15 +1852,6 @@ object LlmPipeline extends QueryModule {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(
           graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
-
-  /** Memoized BM25 inverted index — the inverted index is per-corpus
-    * state, not per-query work: build it once per process and serve every
-    * batch (and every bench attempt) from the shared materialized frame.
-    */
-  private[catalog] def bm25Index(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Shared.memo(spark, "bm25_index", dir) {
-      graft.operators.Bm25.index(Tables.documents(spark, dir))
-    }
 
   private val bm25TopKSql =
     graft.operators.Bm25.topKSql("documents", Bm25QueryMod, Bm25K)
@@ -1859,11 +1880,7 @@ object LlmPipeline extends QueryModule {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(
           graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
-    val idx = graft.core.Shared.memo(spark, "bm25_index", dir) {
-      graft.operators.Bm25.index(docs)
-    }
-    val sparse = graft.operators.Bm25
-      .topK(docs, queries, FuseK, prebuilt = Some(idx))
+    val sparse = graft.sources.Bm25Store.serve(spark, dir, queries, FuseK)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("r_sparse"))
     val emb = Tables.embeddings(spark, dir)
@@ -2756,6 +2773,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    QueryDef("bm25_index_build", bm25IndexBuild, Some(bm25IndexBuildSql)),
     QueryDef("kmeans_cluster", kmeansCluster, Some(kmeansClusterSql)),
     QueryDef("vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("ppr_seeded", pprSeeded, Some(pprSeededSql)),

@@ -35,6 +35,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // push wide literal In filters (up to Bm25Store.MaxPruneTerms) into
+      // the parquet reader as exact value sets rather than degrading to a
+      // min/max range: the stored-index serving path depends on In
+      // row-group pruning over the term-sorted postings artifact
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")

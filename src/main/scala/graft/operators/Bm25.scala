@@ -67,14 +67,39 @@ object Bm25 {
     // union — no extra cross join (PlanSpec pins this plan to a single
     // nested loop: the 1-row stats broadcast into scoring), and the only
     // full-text pass is the one that built tf.
-    val stats = tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .select(col("dl"), lit(0L).as("one"))
-      .unionByName(docs.select(lit(0L).as("dl"), lit(1L).as("one")))
-      .agg(sum(col("one")).as("n0"), sum(col("dl")).as("sumdl"))
+    val stats = rawStats(tf, docs)
       .select(col("n0").cast("double").as("n"),
         (col("sumdl").cast("double") / col("n0")).as("avgdl"))
     // query-term df table is tiny: |distinct query terms| rows
     val qdf = df.join(broadcast(queries.select(col("term")).distinct()), "term")
+    score(tf, qdf, stats, queries, k)
+  }
+
+  /** Top-k served from a STORED index ([[graft.sources.Bm25Store]]):
+    * `prunedTf` is the stored postings already restricted to the query
+    * terms (so its df aggregate IS the query-term df table), and `stats1`
+    * the stored 1-row corpus stats — no corpus pass anywhere. Scoring is
+    * [[score]], shared with [[topK]], so the two paths cannot drift.
+    */
+  def topKStored(prunedTf: DataFrame, stats1: DataFrame, queries: DataFrame,
+                 k: Int): DataFrame = {
+    val qdf = prunedTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    score(prunedTf, qdf, stats1, queries, k)
+  }
+
+  /** Corpus stats for storage: 1 row (n0 = total docs including
+    * token-free ones, sumdl = Σ tokenized doc lengths). The union shape
+    * matches [[topK]]'s inline stats so the stored-index path is
+    * bit-identical.
+    */
+  def rawStats(idx: DataFrame, docs: DataFrame): DataFrame =
+    idx.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .select(col("dl"), lit(0L).as("one"))
+      .unionByName(docs.select(lit(0L).as("dl"), lit(1L).as("one")))
+      .agg(sum(col("one")).as("n0"), sum(col("dl")).as("sumdl"))
+
+  private def score(tf: DataFrame, qdf: DataFrame, stats: DataFrame,
+                    queries: DataFrame, k: Int): DataFrame =
     tf.join(broadcast(queries), "term")
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(stats))
@@ -85,7 +110,6 @@ object Bm25 {
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_q").desc, col("doc_id"))))
       .filter(col("rank") <= k)
-  }
 
   /** Per-(term, doc) BM25 contribution. Association order is load-bearing:
     * the DuckDB oracle spells the identical tree, so keep
