@@ -38,6 +38,36 @@ import graft.core.GraftSession
   */
 object Bench {
 
+  /** Frozen headline tier (pinned round 12): the §2.9 example drivers,
+    * the six gridmix shapes, and the heaviest catalog rows of the
+    * round-11/12 benches. `headline_total` sums ONLY these, so
+    * round-over-round comparison of the headline number is at constant
+    * membership — the full catalog's `total` keeps growing with every
+    * added query and dilutes drift detection across 300+ sub-second
+    * rows. Membership is FROZEN: future queries land in the full tier
+    * only (SURVEY §13 records the pin).
+    */
+  private val HeadlineTier: Set[String] = Set(
+    // §2.9 example drivers
+    "wordcount", "grep", "aggregate_wordcount", "aggregate_wordhist",
+    "sort_total_order", "secondary_sort", "mrjob_secondary_sort",
+    "join_inner", "join_outer", "join_outer_dup", "join_override",
+    "join_custom", "multifile_wordcount", "pi_estimate",
+    "random_text_writer", "dbcount_pageview", "teragen_check",
+    "teravalidate", "sudoku", "pentomino", "monster_query",
+    // gridmix shapes not already above
+    "keyfield_sort", "field_selection",
+    // the heavy tail: top rows of the round-11 close and round-12 benches
+    "containment_pairs", "typo_join", "graph_diameter", "bootstrap_ci",
+    "textrank_keywords", "mst_forest", "active_learning_loop",
+    "token_budget_pipeline", "pipeline_e2e", "curation_funnel",
+    "ndcg_eval", "ann_recall_audit", "tokenizer_train_pipeline",
+    "eval_protocol_pipeline", "hilbert_cluster", "ann_pq",
+    "compact_files", "q21_waiting_supplier", "rrf_fuse", "bm25_topk",
+    "retrieval_pipeline", "bfs_hops", "dedup_simhash", "lsh_recall_audit",
+    "ngram_jaccard",
+  )
+
   /** Gridmix2 scenario → the headline query carrying that job shape. */
   private val GridmixScenarios = Seq(
     "streamSort" -> "sort_total_order", // text-stream sort (the terasort shape)
@@ -118,6 +148,31 @@ object Bench {
     // steady-state execution, not first-query classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Fixed-work calibration kernel (round-11 verdict task 2): a constant
+    // CPU-bound reduce (2³¹ xxhash64 evaluations over a literal range)
+    // plus a constant small shuffle (2²⁴ rows → 1 024 groups). The work is
+    // data-free and identical every round, so `calibration_sec` tracks the
+    // ENVIRONMENT (CPU contention, container throttling, GC headroom),
+    // never the catalog — round-over-round comparison divides per-query
+    // deltas by the calibration ratio to separate drift like round 11's
+    // environment-wide +25–30% from real regressions. Min of 3 after one
+    // untimed warm attempt, mirroring the per-query protocol.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 31, 1, cpus)
+        .selectExpr("xxhash64(id) AS h")
+        // bit_xor, not sum: 2³¹ hash values overflow a long under ANSI
+        .selectExpr("bit_xor(h) AS s")
+        .write.format("noop").mode("overwrite").save()
+      spark.range(0, 1L << 24, 1, cpus)
+        .selectExpr("id % 1024 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec =
+      try { calOnce(); Seq.fill(3)(calOnce()).min }
+      catch { case _: Throwable => -1.0 }
     // the pentomino backtracking kernel needs its own warmup: the generic
     // entry-query pass never touches it, and its cold/warm gap (29 s vs
     // 2.7 s, BENCH_r04 queries_max) dominated round-4 bench wall time.
@@ -195,6 +250,8 @@ object Bench {
     val qsMax = jsonMap(results.map(t => t.name -> secs(t.max)))
     val errors = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.filter(_.ok).map(_.min).sum
+    val headline = results.filter(r => r.ok && HeadlineTier(r.name))
+    val headlineTotal = headline.map(_.min).sum
 
     // Gridmix tiers: the six shapes re-run at the reference's small/medium
     // sizes; "large" reuses the main-suite numbers at sfDir (no re-run).
@@ -254,7 +311,7 @@ object Bench {
       q -> ls.map("\"" + _ + "\"").mkString("[", ",", "]")
     })
     val line =
-      s"""{"metric":"total","value":${secs(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"warm_first":$warmFirstJson,"shared_builds":$sharedBuildsJson,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${secs(total)},"unit":"sec","calibration_sec":${secs(calibrationSec)},"headline_total":${secs(headlineTotal)},"headline_n":${headline.size},"queries":$qs,"queries_max":$qsMax,"warm_first":$warmFirstJson,"shared_builds":$sharedBuildsJson,"gridmix":$gridmix,"streaming":$streamingJson,"errors":$errors,"sf":"$sfDir"}"""
     // Short summary: everything the driver must ingest, no per-query map,
     // always < ~300 bytes so a stdout tail capture cannot truncate it.
     val shortLine = jsonMap(Seq(
@@ -264,6 +321,8 @@ object Bench {
       "n_queries" -> results.size.toString,
       "n_errors" -> results.count(!_.ok).toString,
       "errors" -> errors,
+      "calibration_sec" -> secs(calibrationSec),
+      "headline_total" -> secs(headlineTotal),
       "gridmix_total" -> secs(gmTotal),
       "detail" -> "\"target/bench.json\"",
       "sf" -> ("\"" + sfDir + "\""),
