@@ -9,6 +9,27 @@ operator structure and emits one digest line per query; committing the
 digest file (PLANS_r{N}.digest) lets the next round separate "the plan
 changed" from "the environment drifted" with a one-line diff.
 
+Each line carries TWO hashes: `query fullhash shapehash`.
+
+- fullhash: the strict normalization (everything above).
+- shapehash: additionally normalizes the documented benign AQE
+  strategy-flap class — the runtime BroadcastHashJoin <->
+  BroadcastNestedLoopJoin choice on 1-row/bounded broadcast sides (both
+  join nodes and their BroadcastExchange modes collapse to one token).
+  Rounds 8-11 re-inspected the same ~8 queries every re-pin because this
+  choice flips with AQE's runtime stats while the plan is semantically
+  identical.
+
+--diff classifies: a row whose SHAPE hash moved prints CHANGED (a real
+plan change — inspect it); a row where only the FULL hash moved prints
+FLAP (the whitelisted broadcast-strategy class — no action needed). A
+diff against an old single-hash digest falls back to full-hash-only
+comparison (every difference prints CHANGED, as before).
+
+CartesianProduct is NEVER normalized away — a flap into a cartesian is a
+real change by definition, so the shape normalizer refuses to touch any
+plan containing one.
+
 Usage:
   python3 tools/plandigest.py target/plans PLANS_r04.digest   # write
   python3 tools/plandigest.py --diff OLD.digest NEW.digest    # compare
@@ -33,6 +54,14 @@ VOLATILE = [
     (re.compile(r"Statistics\([^)]*\)"), ""),
 ]
 
+# the benign AQE strategy-flap class: BHJ <-> BNLJ on a broadcast side.
+# Both the join node (with its keys/condition/build-side detail) and the
+# feeding exchange's broadcast mode collapse to one token each.
+SHAPE = [
+    (re.compile(r"Broadcast(Hash|NestedLoop)Join.*"), "BroadcastJoin"),
+    (re.compile(r"BroadcastExchange.*"), "BroadcastExchange"),
+]
+
 
 def normalize(text: str) -> str:
     # keep only the operator-tree section (before the per-node detail dump,
@@ -48,6 +77,18 @@ def normalize(text: str) -> str:
     return "\n".join(out)
 
 
+def shape_normalize(norm: str) -> str:
+    # a flap INTO a cartesian is a real change — never normalize those plans
+    if "CartesianProduct" in norm:
+        return norm
+    out = []
+    for line in norm.splitlines():
+        for pat, rep in SHAPE:
+            line = pat.sub(rep, line)
+        out.append(line)
+    return "\n".join(out)
+
+
 def digest_dir(plans_dir: str) -> dict:
     digests = {}
     for name in sorted(os.listdir(plans_dir)):
@@ -55,35 +96,56 @@ def digest_dir(plans_dir: str) -> dict:
             continue
         with open(os.path.join(plans_dir, name)) as f:
             norm = normalize(f.read())
-        digests[name[:-4]] = hashlib.md5(norm.encode()).hexdigest()[:16]
+        full = hashlib.md5(norm.encode()).hexdigest()[:16]
+        shape = hashlib.md5(shape_normalize(norm).encode()).hexdigest()[:16]
+        digests[name[:-4]] = (full, shape)
     return digests
 
 
 def load(path: str) -> dict:
+    out = {}
     with open(path) as f:
-        return dict(line.split() for line in f if line.strip())
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:          # pre-round-12 single-hash format
+                out[parts[0]] = (parts[1], None)
+            elif len(parts) == 3:
+                out[parts[0]] = (parts[1], parts[2])
+    return out
 
 
 def main() -> int:
     if len(sys.argv) == 4 and sys.argv[1] == "--diff":
         old, new = load(sys.argv[2]), load(sys.argv[3])
-        changed = sorted(q for q in old.keys() & new.keys() if old[q] != new[q])
+        both = old.keys() & new.keys()
+        changed, flaps = [], []
+        for q in sorted(both):
+            (of, os_), (nf, ns) = old[q], new[q]
+            if of == nf:
+                continue
+            if os_ is not None and ns is not None and os_ == ns:
+                flaps.append(q)
+            else:
+                changed.append(q)
         added = sorted(new.keys() - old.keys())
         removed = sorted(old.keys() - new.keys())
         for q in changed:
             print(f"CHANGED {q}")
+        for q in flaps:
+            print(f"FLAP    {q}  (benign broadcast-strategy class)")
         for q in added:
             print(f"ADDED   {q}")
         for q in removed:
             print(f"REMOVED {q}")
-        print(f"== {len(changed)} changed, {len(added)} added, "
-              f"{len(removed)} removed, {len(old.keys() & new.keys()) - len(changed)} stable ==")
+        print(f"== {len(changed)} changed, {len(flaps)} flaps, "
+              f"{len(added)} added, {len(removed)} removed, "
+              f"{len(both) - len(changed) - len(flaps)} stable ==")
         return 0
     if len(sys.argv) == 3:
         digests = digest_dir(sys.argv[1])
         with open(sys.argv[2], "w") as f:
-            for q, d in sorted(digests.items()):
-                f.write(f"{q} {d}\n")
+            for q, (full, shape) in sorted(digests.items()):
+                f.write(f"{q} {full} {shape}\n")
         print(f"wrote {len(digests)} digests to {sys.argv[2]}")
         return 0
     print(__doc__)
