@@ -85,15 +85,14 @@ object Composites extends QueryModule {
       .toDF("stage", "stage_name", "n_docs", "n_tokens", "n_shards")
   }
 
-  private val curationFunnelSql = {
+  /** The funnel's shared CTE chain (ingest stats → admission → exact
+    * dedup → near dedup → packing) — factored so the resumable funnel's
+    * oracle replays the IDENTICAL stage semantics (the two queries must
+    * agree row-for-row on their overlapping stages by construction).
+    */
+  private def funnelCtesSql: String = {
     val simFull = SimHash.nearPairsSql("documents", "doc_id", "text")
-    def cenRow(stage: Int, name: String, from: String, tok: String) =
-      s"""SELECT ${stage}::BIGINT AS stage, '$name' AS stage_name,
-         |  count(*)::BIGINT AS n_docs,
-         |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS n_tokens,
-         |  0::BIGINT AS n_shards
-         |FROM $from""".stripMargin
-    s"""WITH d AS MATERIALIZED (
+    s"""d AS MATERIALIZED (
        |  ${CurationOps.gopherDocStatsSql("documents")}
        |), f AS MATERIALIZED (
        |  SELECT *, ${CurationOps.gopherAdmitSql} AS pass1 FROM d
@@ -114,9 +113,134 @@ object Composites extends QueryModule {
        |  WHERE dr.doc_id IS NULL
        |), pk AS MATERIALIZED (
        |  ${LlmPipeline.packShardsSql("(SELECT doc_id, n_tok AS n_tokens FROM s3)")}
-       |)
+       |)""".stripMargin
+  }
+
+  private def funnelCenRowSql(stage: Int, name: String, from: String,
+                              tok: String) =
+    s"""SELECT ${stage}::BIGINT AS stage, '$name' AS stage_name,
+       |  count(*)::BIGINT AS n_docs,
+       |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS n_tokens,
+       |  0::BIGINT AS n_shards
+       |FROM $from""".stripMargin
+
+  private val curationFunnelSql = {
+    val cenRow = funnelCenRowSql _
+    s"""WITH $funnelCtesSql
        |${cenRow(0, "ingest", "d", "n_tok")}
        |UNION ALL
+       |${cenRow(1, "admitted", "f WHERE pass1", "n_tok")}
+       |UNION ALL
+       |${cenRow(2, "exact_dedup", "s2", "n_tok")}
+       |UNION ALL
+       |${cenRow(3, "near_dedup", "s3", "n_tok")}
+       |UNION ALL
+       |SELECT 4::BIGINT AS stage, 'packed' AS stage_name,
+       |  count(*)::BIGINT AS n_docs,
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+       |  (SELECT count(*) FROM (SELECT DISTINCT bucket, shard FROM pk))::BIGINT
+       |    AS n_shards
+       |FROM pk""".stripMargin
+  }
+
+  // ---- resumable funnel (stage-committed, kill-and-resume) ----------------
+
+  /** Bump when any stage's SEMANTICS change: the artifact root carries
+    * this version, so edited stage logic can never be served from a
+    * stale committed artifact built by the old logic.
+    */
+  private val RfVersion = 1
+
+  /** The curation funnel re-run as a RESUMABLE pipeline: the same
+    * admission → exact-dedup → near-dedup → packing chain, but each
+    * stage boundary is committed through
+    * [[graft.operators.StageCommit]] (the reference's
+    * FileOutputCommitter two-phase promote, elevated to pipeline level —
+    * write the stage artifact, THEN drop the `_COMMITTED` marker). A
+    * re-run serves committed stages from their stored frames and
+    * recomputes only uncommitted ones, so a crash at stage k loses only
+    * stage k's work; a half-written uncommitted artifact is trampled by
+    * the overwrite. The RESUMABILITY CONTRACT is that the readout is
+    * byte-identical whether the run was interrupted-and-resumed or ran
+    * straight through — which is exactly what lets one DuckDB oracle
+    * attest every execution history ([[ResumableFunnelSpec]] kills the
+    * pipeline mid-chain and pins resumed ≡ from-scratch, committed
+    * stages not rebuilt, junk uncommitted data ignored).
+    *
+    * Stage semantics are pinned to curation_funnel's (the spec also
+    * asserts the overlapping census rows agree with the standalone
+    * funnel row-for-row); the oracle replays [[funnelCtesSql]] — the
+    * SAME factored CTE chain curation_funnel's oracle uses.
+    *
+    * Scale: identical per-stage shuffle shape to curation_funnel, plus
+    * one parquet write+read per boundary — the MR-style durability trade
+    * (SURVEY §4), bought ONLY at the four explicit stage boundaries
+    * instead of at every operator the way the reference materializes
+    * every job. At 100 TB the artifacts land on the durable FS and a
+    * 10-hour funnel survives a driver loss at hour 9.
+    */
+  def resumableFunnel(spark: SparkSession, dir: String): DataFrame =
+    resumableFunnelAt(spark, dir,
+      graft.core.Scratch.dir(s"resumable_funnel_v$RfVersion", dir))
+
+  /** Spec hook: explicit stage root + crash injection (`crashAfter` =
+    * throw once that many stages have committed — the kill half of the
+    * kill-and-resume spec).
+    */
+  private[catalog] def resumableFunnelAt(spark: SparkSession, dir: String,
+      root: String, crashAfter: Int = Int.MaxValue): DataFrame = {
+    import graft.operators.StageCommit
+    def gate(n: Int): Unit =
+      if (n >= crashAfter)
+        throw new IllegalStateException(s"injected crash after stage $n")
+    val wCk = Window.partitionBy(col("content_key"))
+    val s1 = StageCommit.stage(spark, root, "admitted") {
+      CurationOps.gopherDocStats(Tables.documents(spark, dir))
+        .withColumn("pass1", CurationOps.gopherAdmit)
+        .where(col("pass1"))
+        .select(col("doc_id"), col("content_key"), col("n_tok"))
+    }
+    gate(1)
+    val s2 = StageCommit.stage(spark, root, "exact_dedup") {
+      s1.withColumn("cid", min(col("doc_id")).over(wCk))
+        .where(col("doc_id") === col("cid"))
+        .select(col("doc_id"), col("n_tok"))
+    }
+    gate(2)
+    val s3 = StageCommit.stage(spark, root, "near_dedup") {
+      val ids = s2.select(col("doc_id").as("id"))
+      val drops = SimHash.nearPairs(
+          LlmPipeline.simhashFingerprints(spark, dir).join(ids, "id"))
+        .select(col("doc_b").as("doc_id")).distinct()
+      s2.join(drops, Seq("doc_id"), "left_anti")
+    }
+    gate(3)
+    val s4 = StageCommit.stage(spark, root, "packed") {
+      LlmPipeline.packShards(
+        s3.select(col("doc_id"), col("n_tok").as("n_tokens")))
+    }
+    gate(4)
+    // census over the COMMITTED artifacts — the readout attests the
+    // stored bytes every downstream consumer would read, not an
+    // in-memory recomputation
+    def cen(stage: Long, name: String, f: DataFrame) =
+      f.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"), lit(0L).as("n_shards"))
+    cen(1, "admitted", s1)
+      .unionByName(cen(2, "exact_dedup", s2))
+      .unionByName(cen(3, "near_dedup", s3))
+      .unionByName(s4.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+          countDistinct(struct(col("bucket"), col("shard"))).as("n_shards"))
+        .select(lit(4L).as("stage"), lit("packed").as("stage_name"),
+          col("n_docs"), col("n_tokens"), col("n_shards")))
+  }
+
+  private val resumableFunnelSql = {
+    val cenRow = funnelCenRowSql _
+    s"""WITH $funnelCtesSql
        |${cenRow(1, "admitted", "f WHERE pass1", "n_tok")}
        |UNION ALL
        |${cenRow(2, "exact_dedup", "s2", "n_tok")}
@@ -455,8 +579,8 @@ object Composites extends QueryModule {
     * production retrieval stack runs, chained end-to-end:
     *
     *   1. SPARSE recall: BM25 top-[[RpK1]] shortlist per query over the
-    *      MEMOIZED [[LlmPipeline.bm25Index]], with the exact bm25_topk
-    *      query set ([[LlmPipeline.bm25Queries]]);
+    *      STORED index ([[graft.sources.Bm25Store]]), with the exact
+    *      bm25_topk query set ([[LlmPipeline.bm25Queries]]);
     *   2. DENSE precision: rerank the shortlist by exact integer-micro
     *      embedding cosine, keep top-[[RpK2]];
     *   3. DIVERSITY: greedy MMR (λ = 0.7) down to [[RpK3]] picks per
@@ -475,9 +599,8 @@ object Composites extends QueryModule {
     */
   def retrievalPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val shortlist = graft.operators.Bm25
-      .topK(docs, LlmPipeline.bm25Queries(docs), RpK1,
-        prebuilt = Some(LlmPipeline.bm25Index(spark, dir)))
+    val shortlist = graft.sources.Bm25Store
+      .serve(spark, dir, LlmPipeline.bm25Queries(docs), RpK1)
       .select(col("query_id"), col("doc_id"))
     val ev = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
@@ -1181,6 +1304,7 @@ object Composites extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
+    QueryDef("resumable_funnel", resumableFunnel, Some(resumableFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
       Some(activeLearningLoopSql)),
     QueryDef("retrieval_pipeline", retrievalPipeline,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pipeline-level stage commit — the reference's FileOutputCommitter
+  * two-phase idiom (reference
+  * src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java: tasks
+  * write to a temporary location, the committer promotes output only on
+  * job success, so a crashed job leaves no half-written "result" and a
+  * restart redoes only uncommitted work) elevated from one job's output
+  * to a multi-stage pipeline's stage boundaries.
+  *
+  * Each stage writes its frame to `<root>/<stage>/data` (parquet) and
+  * only THEN drops a `_COMMITTED` marker. A re-run:
+  *   - serves a committed stage from its stored frame (no recompute —
+  *     the resume path),
+  *   - rebuilds an uncommitted stage from scratch (`mode(Overwrite)`
+  *     tramples any half-written data — the crash-safety path).
+  *
+  * The marker is a separate file created AFTER the parquet write
+  * completes, so the commit point is atomic at filesystem granularity:
+  * there is no state in which a partial write can be mistaken for a
+  * result. This is exactly what makes chained MapReduce jobs restartable
+  * in the reference (each job boundary is an HDFS materialization +
+  * committer promotion), recovered here ONLY at explicit stage
+  * boundaries — intra-stage, Spark lineage/AQE keep their pipelined
+  * execution, which is the whole point of not materializing every
+  * operator the way MR did (SURVEY §4).
+  *
+  * At 100 TB the stage artifacts are parquet on the job's durable FS —
+  * stage commit is how a 10-hour curation funnel survives a driver loss
+  * at hour 9 with 9 hours of work intact.
+  */
+object StageCommit {
+
+  private def markerPath(root: String, stage: String) =
+    Paths.get(root, stage, "_COMMITTED")
+
+  def isCommitted(root: String, stage: String): Boolean =
+    Files.exists(markerPath(root, stage))
+
+  /** Run (or resume) one stage. Returns the stage's frame read back from
+    * the stored artifact in both cases, so downstream stages always
+    * consume the committed bytes — a resumed run and a fresh run see
+    * byte-identical inputs.
+    */
+  def stage(spark: SparkSession, root: String, name: String)
+           (build: => DataFrame): DataFrame = {
+    val dataDir = Paths.get(root, name, "data").toString
+    if (!isCommitted(root, name)) {
+      build.write.mode("overwrite").parquet(dataDir)
+      Files.createDirectories(markerPath(root, name).getParent)
+      Files.write(markerPath(root, name), Array.emptyByteArray)
+    }
+    spark.read.parquet(dataDir)
+  }
+
+  /** Drop every stage marker+artifact under `root` (test/reset hook). */
+  def reset(root: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(root))
+  }
+}
