@@ -180,8 +180,12 @@ object Composites extends QueryModule {
     * 10-hour funnel survives a driver loss at hour 9.
     */
   def resumableFunnel(spark: SparkSession, dir: String): DataFrame =
-    resumableFunnelAt(spark, dir,
-      graft.core.Scratch.dir(s"resumable_funnel_v$RfVersion", dir))
+    resumableFunnelAt(spark, dir, java.nio.file.Paths.get(
+      graft.core.Scratch.dir(s"resumable_funnel_v$RfVersion", dir),
+      // corpus fingerprint in the root: a regenerated corpus at the same
+      // path rebuilds under a new root instead of serving stale stages
+      graft.operators.StageCommit.corpusFingerprint(dir, "documents.parquet"))
+      .toString)
 
   /** Spec hook: explicit stage root + crash injection (`crashAfter` =
     * throw once that many stages have committed — the kill half of the

@@ -35,6 +35,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StageCommit {
 
+  /** Fingerprint of a source table's parquet listing (name, size, mtime):
+    * pipelines key their artifact root by this, so a regenerated corpus
+    * at the same path can never be served from a stale committed stage.
+    * (Shared with [[graft.sources.Bm25Store]]'s artifact keying.)
+    */
+  def corpusFingerprint(dir: String, table: String): String = {
+    val src = Paths.get(dir, table)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def add(p: java.nio.file.Path): Unit =
+      entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    if (Files.isDirectory(src)) {
+      val s = Files.list(src)
+      try s.forEach(p => if (Files.isRegularFile(p)) add(p))
+      finally s.close()
+    } else if (Files.exists(src)) add(src)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   private def markerPath(root: String, stage: String) =
     Paths.get(root, stage, "_COMMITTED")
 
