@@ -567,7 +567,7 @@ object EvalMetrics extends QueryModule {
     // is for — ≤ NdcgBudget·5 distinct terms reach the row-group-pruned
     // postings scan at ANY corpus scale
     val ranked = graft.sources.Bm25Store
-      .serve(spark, dir, queries, NdcgK)
+      .serve(spark, dir, queries, NdcgK, maxScore = false)
       .select(col("query_id"), col("doc_id"), col("rank"))
     // grade relevance: probe the (term-pruned) stored postings with the
     // (small) ranked pairs × query terms — the pairs' terms are all query

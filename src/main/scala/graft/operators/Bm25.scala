@@ -87,6 +87,112 @@ object Bm25 {
     score(prunedTf, qdf, stats1, queries, k)
   }
 
+  /** Seed-candidate budget per query for [[topKMaxScore]]'s θ bound —
+    * seeds are hash-sampled (no sort) from the rarest query term's
+    * postings when that list exceeds the budget.
+    */
+  val SeedCap = 1024L
+
+  /** EXACT MaxScore-pruned top-k (Turtle & Flood 1995, "Query evaluation:
+    * strategies and optimizations", re-expressed set-based for Spark) —
+    * the serving path for a stored index. The naive batch scorer joins
+    * every query term against its full postings list: a workload-shaped
+    * query batch is dominated by HOT terms (first-tokens of documents:
+    * articles, pronouns), so the (postings × queries) fan-out and the
+    * (query, doc) aggregate behind it grow with df — measured 94 M
+    * scoring rows for 767 queries at sf1, ~27 s, nearly all of it docs
+    * that cannot reach the top k. MaxScore prunes them LOSSLESSLY:
+    *
+    *   1. per query term, an exact upper bound U(t) = max over t's
+    *      postings of the integer-micro per-term contribution (the same
+    *      floor() unit the scorer sums, so Σ U over a doc's matched
+    *      terms bounds its score from above);
+    *   2. a θ lower bound per query: exact scores of a SEED subset —
+    *      the rarest query term's postings (hash-sampled to [[SeedCap]]
+    *      when hot; any subset yields a valid θ) — θ = k-th best seed
+    *      score, or no bound when fewer than k seeds;
+    *   3. non-essential terms: order a query's terms by U ascending;
+    *      the maximal prefix whose inclusive ΣU < θ cannot lift any doc
+    *      to θ on its own — a doc matching ONLY prefix terms has
+    *      score ≤ ΣU < θ ≤ k-th best overall (k-th best of a subset
+    *      never exceeds the superset's), so it is strictly below the
+    *      top k under ANY tie-break. Docs are scored only if they match
+    *      an essential (non-prefix) term or are seeds;
+    *   4. the survivors get the full exact score + window — identical
+    *      output to [[topK]] by the bound argument (a spec pins
+    *      equality; the DuckDB oracle stays the naive join).
+    *
+    * Hot terms have the SMALLEST U (idf ↓ in df), so they are exactly
+    * the terms the prefix absorbs once θ is set: their corpus-sized
+    * fan-out never materializes. Queries whose every term is rare keep
+    * θ = none → full scoring, which is cheap for them by construction.
+    */
+  def topKMaxScore(prunedTf: DataFrame, stats1: DataFrame,
+                   queries: DataFrame, k: Int): DataFrame = {
+    val qdf = prunedTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = floor(scoreTerm(col("n"), col("df"), col("tf"),
+      col("dl"), col("avgdl")) * lit(1000000.0))
+    // 1. exact per-term upper bound, in the scorer's integer micro unit
+    val u = prunedTf.join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats1))
+      .groupBy(col("term")).agg(max(contrib).as("u"))
+    // 2a. rarest term per query (df asc, term asc tie-break)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df"), col("term"))
+    val rarest = queries.join(broadcast(qdf), "term")
+      .withColumn("rk", row_number().over(wq)).where(col("rk") === 1)
+      .select(col("query_id"), col("term"), col("df"))
+    // 2b. seeds: that term's postings, hash-thinned toward SeedCap when
+    // the list is hot — a FILTER, not a sort; any subset gives a valid θ
+    val seeds = prunedTf.join(broadcast(rarest), "term")
+      .where(col("df") <= SeedCap ||
+        pmod(xxhash64(col("doc_id")),
+          expr(s"df div $SeedCap") + 1) === 0)
+      .select(col("query_id"), col("doc_id"))
+    // 2c. θ = exact k-th best seed score (absent → no bound)
+    val theta = scorePairs(seeds, queries, prunedTf, qdf, stats1)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score_q").desc, col("doc_id"))))
+      .where(col("rk") === k)
+      .select(col("query_id"), col("score_q").as("theta"))
+    // 3. essential terms: inclusive U-asc cumsum ≥ θ (or no θ)
+    val wcum = Window.partitionBy(col("query_id"))
+      .orderBy(col("u"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ess = queries.join(broadcast(u), "term")
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("cum", sum(col("u")).over(wcum))
+      .where(col("theta").isNull || col("cum") >= col("theta"))
+      .select(col("query_id"), col("term"))
+    // 4. candidates = essential-matched ∪ seeds, scored fully
+    val cands = prunedTf.join(broadcast(ess), "term")
+      .select(col("query_id"), col("doc_id"))
+      .union(seeds).distinct()
+    scorePairs(cands, queries, prunedTf, qdf, stats1)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact BM25 scores for an explicit (query_id, doc_id) candidate set:
+    * candidates pick up their query's terms, keep the postings that
+    * match, and aggregate the same floor()'d per-term unit [[score]]
+    * sums — restricted scoring, identical arithmetic.
+    */
+  private def scorePairs(cands: DataFrame, queries: DataFrame,
+                         tf: DataFrame, qdf: DataFrame,
+                         stats1: DataFrame): DataFrame = {
+    val contrib = floor(scoreTerm(col("n"), col("df"), col("tf"),
+      col("dl"), col("avgdl")) * lit(1000000.0))
+    cands.join(broadcast(queries), "query_id")
+      .join(tf, Seq("doc_id", "term"))
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats1))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score_q"))
+  }
+
   /** Corpus stats for storage: 1 row (n0 = total docs including
     * token-free ones, sumdl = Σ tokenized doc lengths). The union shape
     * matches [[topK]]'s inline stats so the stored-index path is

@@ -51,20 +51,8 @@ object Bm25Store {
 
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def fingerprint(dir: String): String = {
-    val src = Paths.get(dir, "documents.parquet")
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    def add(p: java.nio.file.Path): Unit =
-      entries += s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    if (Files.isDirectory(src)) {
-      val s = Files.list(src)
-      try s.forEach(p => if (Files.isRegularFile(p)) add(p))
-      finally s.close()
-    } else if (Files.exists(src)) add(src)
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-  }
+  private def fingerprint(dir: String): String =
+    graft.operators.StageCommit.corpusFingerprint(dir, "documents.parquet")
 
   /** Root of this corpus' artifact; builds it first if absent (the
     * prepare query calls this explicitly; serving consumers call it too,
@@ -123,9 +111,23 @@ object Bm25Store {
     else p.join(broadcast(qTerms), "term")
   }
 
-  /** BM25 top-k served entirely from the stored artifact. */
+  /** BM25 top-k served entirely from the stored artifact.
+    *
+    * `maxScore = true` (the workload-batch default) routes through the
+    * exact MaxScore pruner ([[graft.operators.Bm25.topKMaxScore]]): hot
+    * query terms' corpus-sized fan-out is bounded out once the seed θ is
+    * set — output identical to the naive scorer by the bound argument
+    * (spec-pinned). Pass `maxScore = false` for FIXED-BUDGET audit
+    * batches: their fan-out is already small, so the pruner's extra
+    * θ/seed/bound jobs are pure flat overhead (measured ~3 s on
+    * ndcg_eval's ≤40-query batch vs nothing to save). The caller knows
+    * which batch model it runs — that is the right place for the
+    * decision; both paths are exact.
+    */
   def serve(spark: SparkSession, dir: String, queries: DataFrame,
-            k: Int): DataFrame =
-    graft.operators.Bm25.topKStored(
-      prunedPostings(spark, dir, queries), stats(spark, dir), queries, k)
+            k: Int, maxScore: Boolean = true): DataFrame = {
+    val (tf, st) = (prunedPostings(spark, dir, queries), stats(spark, dir))
+    if (maxScore) graft.operators.Bm25.topKMaxScore(tf, st, queries, k)
+    else graft.operators.Bm25.topKStored(tf, st, queries, k)
+  }
 }

@@ -36,6 +36,28 @@ class Bm25Spec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(2L, 4L))
   }
 
+  test("topKMaxScore equals the naive scorer on the sf0.001 corpus") {
+    // the MaxScore pruning is lossless by the θ/U bound argument; this
+    // pins it empirically on real data across k values — full pipeline:
+    // stored-index pruned postings + stats vs the inline naive scorer
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.core.Tables.documents(spark, dir)
+    val queries = corpus.filter(col("doc_id") % 31 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(
+          graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
+    for (k <- Seq(1, 5, 10)) {
+      val naive = Bm25.topK(corpus, queries, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val pruned = graft.sources.Bm25Store.serve(spark, dir, queries, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(pruned === naive, s"MaxScore must be lossless at k=$k")
+    }
+  }
+
   test("term-frequency saturation: 6x repetition beats 1x but boundedly") {
     val got = run(Seq("cat"))
     val byDoc = got.toMap.map(_.swap) // doc -> rank? need scores instead
