@@ -25,21 +25,42 @@ object SetSimJoin {
 
   /** (doc_a, doc_b, jaccard) pairs with exact Jaccard ≥ threshold, from an
     * (id, shingle) exploded frame (distinct shingles per id).
+    *
+    * Same machinery as [[containmentPairs]] (see the comments there):
+    * 8-byte `xxhash64(shingle)` join keys behind the runtime injectivity
+    * gate (collision ⇒ string-key fallback, so the result never depends
+    * on hash luck), a materialized vocabulary-sized df frame, and
+    * per-pair verification via `array_intersect` over per-doc key arrays
+    * instead of the row-explode join — the candidate row carries two
+    * compact arrays and counts the overlap row-local.
     */
-  def jaccardPairs(exploded: DataFrame, threshold: Double): DataFrame = {
-    // the exploded frame feeds five subplans; measured: persisting it here
-    // LOSES time (columnar cache build + non-pipelined reads cost more
-    // than recomputing the narrow tokenize+explode), so recompute stands
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n"))
-    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
-    val prefix = exploded.join(docFreq, "shingle").join(sizes, "id")
+  def jaccardPairs(exploded: DataFrame, threshold: Double,
+                   forceStringKeys: Boolean = false): DataFrame = {
+    val vocab = graft.core.Materialize(exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("h", xxhash64(col("shingle"))))
+    val hashOk = !forceStringKeys &&
+      vocab.groupBy("h").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).isEmpty
+    val (ex, freq) =
+      if (hashOk)
+        (exploded.select(col("id"), xxhash64(col("shingle")).as("k")),
+          vocab.select(col("h").as("k"), col("df")))
+      else
+        (exploded.select(col("id"), col("shingle").as("k")),
+          vocab.select(col("shingle").as("k"), col("df")))
+    val docArr = graft.core.Materialize(
+      ex.groupBy("id").agg(collect_list(col("k")).as("arr"),
+        count(lit(1)).as("n")))
+    val sizes = docArr.select(col("id"), col("n"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("k"))
+    val prefix = ex.join(freq, "k").join(sizes, "id")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "shingle", "n", "pos")
-    val a = prefix.select(col("id").as("a"), col("shingle"),
+      .select("id", "k", "n", "pos")
+    val a = prefix.select(col("id").as("a"), col("k"),
       col("n").as("na"), col("pos").as("pa"))
-    val b = prefix.select(col("id").as("b"), col("shingle"),
+    val b = prefix.select(col("id").as("b"), col("k"),
       col("n").as("nb"), col("pos").as("pb"))
     // size filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t; positional filter
     // (PPJoin): J ≥ t needs overlap ≥ t(|A|+|B|)/(1+t), and a match at
@@ -49,14 +70,25 @@ object SetSimJoin {
     // order can't reorder shared elements between the two docs)
     val posBound = (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
       lit(1.0 + threshold) >= lit(threshold) * (col("na") + col("nb")) - lit(1e-9)
-    val cand = a.join(b, "shingle").where(col("a") < col("b") &&
+    val cand = a.join(b, "k").where(col("a") < col("b") &&
         col("nb") >= ceil(lit(threshold) * col("na")) &&
         col("na") >= ceil(lit(threshold) * col("nb")) &&
         posBound)
       .select("a", "b").distinct()
-    MinHashLsh.verifyJaccard(cand, exploded)
+    // verification: exact shared-count via array_intersect (shingles are
+    // distinct per doc, keys injective under the gate); the double
+    // division replicates verifyJaccard's association order exactly
+    cand
+      .join(docArr.select(col("id").as("a"), col("arr").as("sa"),
+        col("n").as("na")), "a")
+      .join(docArr.select(col("id").as("b"), col("arr").as("sb"),
+        col("n").as("nb")), "b")
+      .withColumn("shared",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_raw", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
       .where(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(col("jaccard_raw"), 6).as("jaccard"))
   }
 

@@ -46,6 +46,18 @@ class ContainmentRouteSpec extends SparkSpec {
     assert(rows(forceString = true) === rows(forceString = false))
   }
 
+  test("jaccard_pairs: string-key fallback path is identical") {
+    val exploded = graft.operators.MinHashLsh.explodeShingles(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text", 3)
+    def rows(forceString: Boolean) = graft.operators.SetSimJoin
+      .jaccardPairs(exploded, 0.5, forceStringKeys = forceString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val hashed = rows(forceString = false)
+    assert(rows(forceString = true) === hashed)
+    assert(hashed.nonEmpty, "corpus contains near-duplicates; pairs expected")
+  }
+
   test("rendezvous_route: dropping shard 0 relocates exactly its tenants") {
     val rows = LlmPipeline.rendezvousRoute(spark, dir).collect()
     assert(rows.length === 500)
