@@ -502,6 +502,180 @@ object VectorOps {
     rescored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVFPQ + refine — the full production ANN serving shape, composing
+    * the family's two scale devices: IVF ROUTES (each query probes only
+    * its `nprobe` nearest centroid lists) and PQ COMPRESSES (candidates
+    * in the probed lists are scored by ADC over m small codes, raw
+    * vectors touched only in the exact refine of the shortlist). The
+    * flat-PQ path ([[pqTopK]]) scores every corpus code for every query
+    * — fine as a baseline, but its serving cost is |queries|·|corpus|,
+    * and with a workload-shaped query batch that is quadratic in corpus
+    * growth; here each query's ADC work is ~nprobe·(corpus/nlist), and
+    * nlist grows with the corpus (the seed-centroid convention), so
+    * per-query work stays ~constant and batch serving stays ~linear.
+    *
+    * Determinism: routing uses the SAME exact integer squared-L2 as the
+    * ADC/refine stages (assignment and probe ties break to the lower
+    * centroid id), the codebook is [[pqTopK]]'s seed convention, and the
+    * oracle replays every stage — no RNG anywhere.
+    *
+    * With `nprobe ≥ nlist` every list is probed and the output is
+    * IDENTICAL to flat [[pqTopK]] (spec-pinned — the [[ivfTopK]]
+    * probe-everything anchor), which makes the routing's candidate
+    * restriction the ONLY semantic difference, attested rather than
+    * assumed.
+    */
+  /** The IVFPQ INDEX build: PQ codes + each vector's inverted-list id —
+    * the whole per-corpus state of [[ivfPqTopK]]'s serving path (the
+    * assignment's corpus×nlist scoring is the expensive half; it belongs
+    * in the build-once artifact, never in a serve). Columns: `cand_id`,
+    * `code_0..code_{m-1}`, `cent_id`.
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroidMod: Int, m: Int, cbSize: Int,
+                 dim: Int): DataFrame = {
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("qv"))
+    val cent = corpus.where(col(idCol) % centroidMod === 1)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cv"))
+    def d2c(a: Column, b: Column): Column =
+      dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
+    // inverted lists: nearest centroid per corpus vector (tie → lower id),
+    // one struct-min partial aggregate — the n×nlist frame never shuffles
+    val assigned = cand.crossJoin(broadcast(cent))
+      .select(col("cand_id"),
+        struct(d2c(col("qv"), col("cv")).as("d"), col("cent_id").as("cid"))
+          .as("sc"))
+      .groupBy("cand_id").agg(min(col("sc")).as("sc"))
+      .select(col("cand_id"), col("sc.cid").as("cent_id"))
+    pqEncode(corpus, idCol, vecCol, m, cbSize, dim).join(assigned, "cand_id")
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, centroidMod: Int, nprobe: Int, m: Int,
+                cbSize: Int, dim: Int, shortlist: Int, k: Int,
+                prebuiltIndex: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val cand = corpus.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("qv"))
+    val cent = corpus.where(col(idCol) % centroidMod === 1)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("cv"))
+    // exact integer sq-L2 between two quantized array columns
+    def d2c(a: Column, b: Column): Column =
+      dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
+    val codes = prebuiltIndex.getOrElse(
+      ivfPqIndex(corpus, idCol, vecCol, centroidMod, m, cbSize, dim))
+    val cb = pqCodebook(cand, m, cbSize, sub)
+    def sqNorm(c: Array[Long]): Long = c.map(x => x * x).sum
+    def d2(xs: Column, nx: Column, c: Array[Long]): Column =
+      nx - lit(2L) * dotQ(xs, typedlit(c.toSeq)) + lit(sqNorm(c))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qq"))
+    // probes: each query's nprobe nearest lists (same metric, same ties)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pd"), col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pd", d2c(col("qq"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val lutCols = (0 until m).map { mi =>
+      val qs = slice(col("qq"), mi * sub + 1, sub)
+      val nq = dotQ(qs, qs)
+      array((0 until cbSize).map(j => d2(qs, nq, cb(mi)(j))): _*).as(s"lut_$mi")
+    }
+    val qlut = q.select(col("query_id") +: lutCols: _*)
+    // ADC only inside the probed lists: codes ⋈ (small) probes on the
+    // list id, LUTs broadcast in by query
+    val adc = codes.join(broadcast(probes), "cent_id")
+      .join(broadcast(qlut), "query_id")
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (0 until m).map(mi =>
+          element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+          .as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    val short = adc.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= shortlist).select("query_id", "cand_id")
+    val rescored = cand.join(broadcast(short), "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        (dotQ(col("qv"), col("qv")) - lit(2L) * dotQ(col("qv"), col("qq")) +
+          dotQ(col("qq"), col("qq"))).as("sq_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist"), col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]] (queries = rows with id % queryMod = 0). */
+  def ivfPqTopKSql(table: String, id: String, vec: String, centroidMod: Int,
+                   nprobe: Int, m: Int, cbSize: Int, dim: Int,
+                   shortlist: Int, k: Int, queryMod: Int): String = {
+    val sub = dim / m
+    def sq(v: String, cvi: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> ($v[mi * $sub + i] - $cvi[i]) * ($v[mi * $sub + i] - $cvi[i])))"
+    def sqFull(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH v AS (
+       |  SELECT $id AS vid, ${quantizeSql(vec)} AS qv FROM $table
+       |), c AS (
+       |  SELECT vid AS cent_id, qv AS cv FROM v WHERE vid % $centroidMod = 1
+       |), assign AS (
+       |  SELECT vid AS cand_id, cent_id FROM (
+       |    SELECT v.vid, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vid
+       |        ORDER BY ${sqFull("v.qv", "c.cv")}, c.cent_id) AS rn
+       |    FROM v CROSS JOIN c)
+       |  WHERE rn = 1
+       |), seeds AS (
+       |  SELECT qv, row_number() OVER (ORDER BY vid) - 1 AS j
+       |  FROM v ORDER BY vid LIMIT $cbSize
+       |), cb AS (
+       |  SELECT mi, j, qv[mi * $sub + 1 : (mi + 1) * $sub] AS cv
+       |  FROM seeds CROSS JOIN (SELECT unnest(range($m)) AS mi) s
+       |), enc AS (
+       |  SELECT vid AS cand_id, mi, j AS code FROM (
+       |    SELECT v.vid, cb.mi, cb.j, ${sq("v.qv", "cb.cv")} AS d
+       |    FROM v CROSS JOIN cb)
+       |  QUALIFY row_number() OVER (PARTITION BY vid, mi ORDER BY d, j) = 1
+       |), probes AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT q.vid AS query_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY ${sqFull("q.qv", "c.cv")}, c.cent_id) AS rn
+       |    FROM v q CROSS JOIN c WHERE q.vid % $queryMod = 0)
+       |  WHERE rn <= $nprobe
+       |), lut AS (
+       |  SELECT q.vid AS query_id, cb.mi, cb.j, ${sq("q.qv", "cb.cv")} AS d
+       |  FROM v q CROSS JOIN cb WHERE q.vid % $queryMod = 0
+       |), short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT p.query_id, e.cand_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+       |    FROM enc e
+       |    JOIN assign a ON a.cand_id = e.cand_id
+       |    JOIN probes p ON p.cent_id = a.cent_id
+       |    JOIN lut l ON l.mi = e.mi AND l.j = e.code
+       |      AND l.query_id = p.query_id
+       |    WHERE e.cand_id <> p.query_id
+       |    GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist, cand_id) <= $shortlist
+       |), rescored AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    CAST(${sqFull("vq.qv", "vc.qv")} AS BIGINT) AS sq_dist
+       |  FROM short s
+       |  JOIN v vq ON vq.vid = s.query_id
+       |  JOIN v vc ON vc.vid = s.cand_id
+       |)
+       |SELECT query_id, cand_id, sq_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sq_dist, cand_id) AS INTEGER) AS rank
+       |FROM rescored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[pqTopK]] (queries = rows with id % queryMod = 0). */
   def pqTopKSql(table: String, id: String, vec: String, m: Int, cbSize: Int,
                 dim: Int, shortlist: Int, k: Int, queryMod: Int): String = {

@@ -181,9 +181,16 @@ class PlanSpec extends SparkSpec {
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj >= 2, s"bm25 query/df probes are not broadcast ($bhj BHJ):\n$p")
     assert(!p.contains("CartesianProduct"), s"bm25 plan has a cartesian:\n$p")
-    // the 1-row corpus-stats broadcast is the only permissible nested loop
+    // the 1-row corpus-stats broadcast is the only permissible nested-loop
+    // SHAPE; the MaxScore serve crosses it into three subtrees (per-term
+    // U bounds, seed/θ scoring, final scoring) — all the same bounded
+    // 1-row build side
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 1, s"bm25 has $bnlj nested loops (want ≤1 stats cross):\n$p")
+    assert(bnlj <= 3, s"bm25 has $bnlj nested loops (want ≤3 stats crosses):\n$p")
+    // the stored-index read must be term-pruned: the query terms reach the
+    // postings scan as a pushed In filter (the MapFile seek analog)
+    assert(p.contains("PushedFilters: [In(term"),
+      s"bm25 postings scan is not term-pruned:\n$p")
   }
 
   test("kmeans assignment is map-only: centroid literals, no join, no shuffle") {

@@ -122,6 +122,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall $recall < 0.8 (${truth.size} truth pairs)")
   }
 
+  test("IVFPQ with every list probed equals flat PQ") {
+    // the routing's candidate restriction is the ONLY semantic difference
+    // from pqTopK — with nprobe ≥ nlist the outputs must be identical
+    // (the ivfTopK probe-everything anchor applied to the composed shape)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val flat = rows(VectorOps.pqTopK(emb, queries, "vec_id", "embedding",
+      16, 16, 64, 64, 3))
+    val routed = rows(VectorOps.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", 25, 1 << 20, 16, 16, 64, 64, 3))
+    assert(routed === flat)
+  }
+
+  test("IVFPQ at the catalog probe width returns k rows per query") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") % 5 === 0)
+    val out = VectorOps.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      25, 5, 16, 16, 64, 64, 3).collect()
+    val nq = queries.select("vec_id").distinct().count()
+    assert(out.length == nq * 3, s"${out.length} rows for $nq queries")
+    assert(out.forall(_.getInt(3) <= 3))
+  }
+
   test("k-center picks the farthest-first order on a hand-built geometry") {
     import spark.implicits._
     // seed is min id (1); v4 is v1's antipode (cos −1) → picked second;
