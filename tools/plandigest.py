@@ -12,13 +12,14 @@ changed" from "the environment drifted" with a one-line diff.
 Each line carries TWO hashes: `query fullhash shapehash`.
 
 - fullhash: the strict normalization (everything above).
-- shapehash: additionally normalizes the documented benign AQE
-  strategy-flap class — the runtime BroadcastHashJoin <->
-  BroadcastNestedLoopJoin choice on 1-row/bounded broadcast sides (both
-  join nodes and their BroadcastExchange modes collapse to one token).
-  Rounds 8-11 re-inspected the same ~8 queries every re-pin because this
-  choice flips with AQE's runtime stats while the plan is semantically
-  identical.
+- shapehash: the STRATEGY-INVARIANT normalization — all four join
+  strategy labels (BroadcastHash/BroadcastNestedLoop/SortMerge/
+  ShuffledHash) collapse to one token, broadcast-exchange modes and the
+  bare Sort nodes that exist only as sort-merge scaffolding are dropped.
+  Rounds 8-11 re-inspected the same ~8 queries every re-pin because
+  AQE's runtime strategy choice flips on borderline stats while the
+  plan is semantically identical; join strategy is exactly what AQE is
+  FREE to pick per run, so it does not belong in the regression shape.
 
 --diff classifies: a row whose SHAPE hash moved prints CHANGED (a real
 plan change — inspect it); a row where only the FULL hash moved prints
@@ -54,13 +55,24 @@ VOLATILE = [
     (re.compile(r"Statistics\([^)]*\)"), ""),
 ]
 
-# the benign AQE strategy-flap class: BHJ <-> BNLJ on a broadcast side.
-# Both the join node (with its keys/condition/build-side detail) and the
-# feeding exchange's broadcast mode collapse to one token each.
+# the benign AQE strategy-flap classes: BHJ <-> BNLJ on a broadcast side
+# (1-row/bounded broadcasts) and the borderline SMJ <-> BHJ conversion
+# (the round-6 "teravalidate" class). The shape hash is made
+# STRATEGY-INVARIANT: all four join strategy labels collapse to one
+# token, the broadcast exchange's mode detail is dropped, and the Sort
+# nodes that exist only as SMJ scaffolding are dropped (SortAggregate /
+# TakeOrdered are NOT — only the bare Sort operator). Real structural
+# changes stay visible: scans, pushed filters, shuffle exchanges,
+# aggregates, windows — and a join degrading to CartesianProduct is
+# never normalized (see shape_normalize's refusal below).
 SHAPE = [
-    (re.compile(r"Broadcast(Hash|NestedLoop)Join.*"), "BroadcastJoin"),
+    (re.compile(
+        r"(BroadcastHashJoin|BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin).*"),
+     "Join"),
     (re.compile(r"BroadcastExchange.*"), "BroadcastExchange"),
 ]
+
+_SORT_NODE = re.compile(r"Sort($|\s|\[)")
 
 
 def normalize(text: str) -> str:
@@ -83,6 +95,9 @@ def shape_normalize(norm: str) -> str:
         return norm
     out = []
     for line in norm.splitlines():
+        core = re.sub(r"^[\s:+\-*]+", "", line)
+        if _SORT_NODE.match(core):
+            continue  # SMJ scaffolding; strategy-invariant shape drops it
         for pat, rep in SHAPE:
             line = pat.sub(rep, line)
         out.append(line)
