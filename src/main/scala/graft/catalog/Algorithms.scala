@@ -422,43 +422,52 @@ object Algorithms extends QueryModule {
     * explodes into its |w| single-character-deletion variants indexed by
     * position; two names at ED 1 must either share a deletion variant AT
     * THE SAME POSITION (substitution) or one must equal a variant of the
-    * other (insertion/deletion). Candidates therefore come from two
-    * equi-joins on the variant key — never the all-pairs `levenshtein`
-    * cross join the oracle runs — and a final exact `levenshtein = 1`
-    * check makes the semantics independent of the candidate recipe. At
-    * 100 TB the variant index is |corpus|·avg_len rows joined on short
-    * keys; the quadratic spec is only ever run by the oracle.
+    * other (insertion/deletion). Candidates come from two equi-joins on
+    * the variant STRING — never the all-pairs `levenshtein` cross join
+    * the oracle runs. At 100 TB the variant index is |corpus|·avg_len
+    * rows joined on short keys; the quadratic spec is only ever run by
+    * the oracle.
     *
-    * The join key is `xxhash64(variant)`, not the variant string: the
-    * exact `levenshtein` verification makes hash collisions harmless
-    * (they only ADD candidates, every ED-1 pair is still reached through
-    * its true shared variant), so the variant string never leaves the map
-    * side and the candidate shuffles carry (name, pos, 8-byte key)
-    * instead of (name, pos, ~name-length string) — and because the hash
-    * only shapes the CANDIDATE set, Spark's native codegen hash is fine
-    * here (the PortableHash rule binds result-affecting hashes only).
+    * With string keys the candidate set IS the result — no verification
+    * and no global dedup (round 12; the r11 hashed-key variant needed
+    * both, and the 3 M-row string-pair `distinct` + the collision
+    * machinery cost more than the slightly wider variant-string shuffle
+    * they saved):
+    *   - a same-position variant match means the two names agree
+    *     everywhere except (at most) that position, and `w1 < w2`
+    *     excludes equality — exactly an ED-1 substitution; conversely a
+    *     substitution pair matches ONLY at its single differing
+    *     position, so `subCand` contains each pair exactly once — no
+    *     duplicates, nothing to verify;
+    *   - a variant-equals-name match is exactly an ED-1
+    *     insertion/deletion; it CAN repeat (deleting either of two equal
+    *     adjacent characters yields the same variant: "aab" → "ab"
+    *     twice), so the dedup is applied to the (far smaller) delCand
+    *     leg ONLY;
+    *   - the two legs are disjoint by length parity (substitution pairs
+    *     have equal lengths, insertion/deletion pairs differ by one), so
+    *     the union needs no cross-leg dedup.
     */
   def typoJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.customer(spark, dir)
       .select(col("c_name").as("name")).distinct()
     val variants = names.select(col("name"), explode(expr(
         "transform(sequence(0, length(name)-1), " +
-          "i -> struct(i AS pos, xxhash64(concat(substring(name, 1, i), " +
-          "substring(name, i+2))) AS hv))")).as("d"))
-      .select(col("name"), col("d.pos").as("pos"), col("d.hv").as("hv"))
+          "i -> struct(i AS pos, concat(substring(name, 1, i), " +
+          "substring(name, i+2)) AS vs))")).as("d"))
+      .select(col("name"), col("d.pos").as("pos"), col("d.vs").as("vs"))
     val subCand = variants.as("a").join(variants.as("b"),
         col("a.pos") === col("b.pos") &&
-          col("a.hv") === col("b.hv") &&
+          col("a.vs") === col("b.vs") &&
           col("a.name") < col("b.name"))
       .select(col("a.name").as("w1"), col("b.name").as("w2"))
     val delCand = variants.as("v")
-      .join(names.select(col("name"), xxhash64(col("name")).as("hv")).as("n"),
-        col("v.hv") === col("n.hv"))
+      .join(names.as("n"), col("v.vs") === col("n.name"))
       .where(col("v.name") =!= col("n.name"))
       .select(least(col("v.name"), col("n.name")).as("w1"),
         greatest(col("v.name"), col("n.name")).as("w2"))
-    subCand.union(delCand).distinct()
-      .where(expr("levenshtein(w1, w2) = 1"))
+      .distinct()
+    subCand.union(delCand)
   }
 
   private val typoJoinSql =

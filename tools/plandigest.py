@@ -14,12 +14,17 @@ Each line carries TWO hashes: `query fullhash shapehash`.
 - fullhash: the strict normalization (everything above).
 - shapehash: the STRATEGY-INVARIANT normalization — all four join
   strategy labels (BroadcastHash/BroadcastNestedLoop/SortMerge/
-  ShuffledHash) collapse to one token, broadcast-exchange modes and the
-  bare Sort nodes that exist only as sort-merge scaffolding are dropped.
-  Rounds 8-11 re-inspected the same ~8 queries every re-pin because
-  AQE's runtime strategy choice flips on borderline stats while the
-  plan is semantically identical; join strategy is exactly what AQE is
-  FREE to pick per run, so it does not belong in the regression shape.
+  ShuffledHash, with their build-side/type detail) collapse to one
+  token; broadcast-exchange modes, bare Sort nodes (sort-merge
+  scaffolding) and AQEShuffleRead (runtime coalesce) are dropped; and
+  the surviving operator lines are hashed as a SORTED multiset, because
+  a build-side swap reorders whole subtrees. Rounds 8-11 re-inspected
+  the same ~8 queries every re-pin because AQE's runtime strategy
+  choice flips on borderline stats while the plan is semantically
+  identical; strategy and operator order are exactly what AQE is FREE
+  to pick per run, so they do not belong in the regression shape —
+  added/removed exchanges, scans, aggregates, windows, pushed-filter
+  content, and cartesians (never normalized) remain visible.
 
 --diff classifies: a row whose SHAPE hash moved prints CHANGED (a real
 plan change — inspect it); a row where only the FULL hash moved prints
@@ -96,12 +101,19 @@ def shape_normalize(norm: str) -> str:
     out = []
     for line in norm.splitlines():
         core = re.sub(r"^[\s:+\-*]+", "", line)
-        if _SORT_NODE.match(core):
-            continue  # SMJ scaffolding; strategy-invariant shape drops it
+        if _SORT_NODE.match(core) or core.startswith("AQEShuffleRead"):
+            # SMJ scaffolding / runtime coalesce — strategy artifacts
+            continue
         for pat, rep in SHAPE:
-            line = pat.sub(rep, line)
-        out.append(line)
-    return "\n".join(out)
+            core = pat.sub(rep, core)
+        out.append(core)
+    # SORTED multiset of operator lines, not the tree order: a strategy
+    # flap that swaps build sides reorders the children's whole subtrees,
+    # which no line-local rewrite can absorb. Structural changes that
+    # matter (an extra Exchange, a new scan, a lost pushed filter, a
+    # cartesian) all change line CONTENT or the multiset itself and stay
+    # visible; pure operator reordering is the optimizer's prerogative.
+    return "\n".join(sorted(out))
 
 
 def digest_dir(plans_dir: str) -> dict:
