@@ -78,6 +78,8 @@ object Bm25Store {
           .parquet(s"$r/postings")
         graft.operators.Bm25.rawStats(idx, docs)
           .write.mode("overwrite").parquet(s"$r/stats")
+        // surface in shared_builds (the FrameStore attribution convention)
+        graft.core.Shared.noteBuild("store:bm25_index")
       }
       built.add(r)
     }

@@ -31,8 +31,13 @@ object FrameStore {
       val r = Paths.get(graft.core.Scratch.dir(s"$name-v$version", dir), fp)
         .toString
       if (!built.contains(r)) {
-        if (!Files.exists(Paths.get(r, "_SUCCESS")))
+        if (!Files.exists(Paths.get(r, "_SUCCESS"))) {
           build.write.mode("overwrite").parquet(r)
+          // surface the artifact build in the bench's shared_builds, so a
+          // first-consumer attempt that paid it is attributed instead of
+          // reading as an unexplained max band
+          graft.core.Shared.noteBuild(s"store:$name")
+        }
         built.add(r)
       }
       r
