@@ -40,8 +40,10 @@ object LlmPipeline extends QueryModule {
       |WINDOW w AS (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin
 
   // ---- MinHash-LSH near-dup ----------------------------------------------
-  private val ShingleN = 3
-  private val JaccardThreshold = 0.5
+  // shared with the incremental-dedup composite so the delta-serving path
+  // can never drift from the batch pipeline's definition of "near-dup"
+  private[catalog] val ShingleN = 3
+  private[catalog] val JaccardThreshold = 0.5
 
   /** Verified LSH near-dup pairs, derived once per corpus: the frame feeds
     * [[dedupMinhashLsh]] and [[lshRecallAudit]] (and, at 100 TB, every
@@ -2168,11 +2170,20 @@ object LlmPipeline extends QueryModule {
       col("rk").as("ra"), col("blk"))
     val rhs = ranked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("rk").as("rb"), explode(array(col("blk"), col("blk") - 1)).as("blk"))
+    // The n·W verification pairs dominate the query's CPU, so the exact
+    // distance check is staged: a codegen'd length prefilter first
+    // (|len_a − len_b| ≤ 4 is NECESSARY for edit distance ≤ 4 — each
+    // edit changes length by at most 1), then Spark's BANDED 3-arg
+    // levenshtein, which walks only the ±4 diagonal band and early-exits
+    // (returns −1 iff the distance exceeds the threshold — exactly the
+    // pairs the 2-arg form would have discarded, so the result set is
+    // identical and the oracle keeps plain `levenshtein(...) <= 4`).
     lhs.join(rhs, "blk")
       .where(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= W)
-      .where(expr("levenshtein(sig_a, sig_b) <= 4"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(levenshtein(sig_a, sig_b) AS BIGINT)").as("dist"))
+      .where(abs(length(col("sig_a")) - length(col("sig_b"))) <= 4)
+      .withColumn("dist", expr("CAST(levenshtein(sig_a, sig_b, 4) AS BIGINT)"))
+      .where(col("dist") >= 0L)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   private val sortedNeighborhoodSql =

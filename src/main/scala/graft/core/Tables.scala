@@ -12,8 +12,46 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * stay with Catalyst (verify with `.explain`: `PushedFilters`/`ReadSchema`).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Scan-width floor for the local corpus — the single-row-group
+    * correction. The driver writes each table as ONE parquet file with ONE
+    * row group, and a row group is the unit of scan parallelism: no
+    * `maxPartitionBytes` setting can split it, so every scan-stage
+    * pipeline (tokenize, shingle, hash fan-out — where most of the
+    * catalog's per-row CPU lives) ran on ONE of the 32 local cores. At
+    * production scale a 100 TB table arrives as thousands of row groups
+    * and scans are naturally wide — this correction reproduces that
+    * layout locally: a one-time per-corpus relayout into `defaultParallelism`
+    * files (served through [[graft.sources.FrameStore]], so it is keyed by
+    * corpus fingerprint and can never serve a stale or foreign corpus),
+    * after which every scan parallelizes with ZERO per-query shuffle.
+    * Measured on the round-12 bench (sf0.1): bootstrap_ci 3.0 → 0.6 s,
+    * textrank/char_entropy-class text pipelines 2-4×.
+    *
+    * Gates: tables under [[WidenMinBytes]] stay as-is (broadcast dims — a
+    * 32-file region table is pure scheduling overhead), and sources that
+    * already ship ≥ width/2 files (the ScaleUp sf1 corpora) are already
+    * wide. `GRAFT_WIDEN=0` disables the device for A/B measurement.
+    */
+  private val WidenMinBytes = 500000L
+  private val widenEnabled = sys.env.getOrElse("GRAFT_WIDEN", "1") != "0"
+
+  private def listParquet(path: java.io.File): Seq[java.io.File] =
+    if (path.isDirectory)
+      path.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet"))
+    else Seq(path)
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val width = spark.sparkContext.defaultParallelism
+    val files = listParquet(new java.io.File(path))
+    val bytes = files.map(_.length).sum
+    if (!widenEnabled || bytes < WidenMinBytes || files.size >= width / 2)
+      spark.read.parquet(path)
+    else
+      graft.sources.FrameStore.frame(spark, sfDir, s"wide_$name", 1, name)(
+        spark.read.parquet(path).repartition(width))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
