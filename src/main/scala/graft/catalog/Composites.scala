@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.PortableHash
 import graft.operators.{SimHash, VectorOps}
 
 /** Pipeline-shaped composites: multi-stage queries that CHAIN existing
@@ -1306,8 +1307,194 @@ object Composites extends QueryModule {
        |FROM cen""".stripMargin
   }
 
+  // ---- incremental dedup against a stored corpus index ---------------------
+
+  /** Fixed delta-batch budget — the workload-shaped side of the incremental
+    * contract (the [[graft.sources.Bm25Store]] ndcg_eval precedent): a
+    * production ingest dedups a bounded ARRIVING batch against a growing
+    * committed corpus, so serving cost must track the batch, not the
+    * corpus. 100 docs × [[graft.operators.MinHashLsh.Bands]] = 800 distinct
+    * band keys, inside the 1024 pushed-In-filter threshold
+    * ([[graft.core.GraftSession]]), so the stored-index probe row-group-
+    * prunes instead of scanning.
+    */
+  private[catalog] val IncDeltaDocs = 100
+  private val IncThreshMicro: Long =
+    math.round(LlmPipeline.JaccardThreshold * 1000000L) // same near-dup bar
+
+  /** Incremental dedup — the near-dup pipeline re-shaped for CONTINUOUS
+    * ingest, the missing production counterpart of the batch recipes
+    * (dedup_minhash_lsh re-pairs the WHOLE corpus; a 100 TB pipeline never
+    * does that per arriving batch):
+    *
+    *   1. split: the [[IncDeltaDocs]] docs with the lowest
+    *      (h48(doc_id), doc_id) are "the arriving batch" (a deterministic
+    *      surrogate for an ingest timestamp); everything else is the
+    *      committed corpus.
+    *   2. corpus index, STORED ([[graft.sources.FrameStore]], build-once
+    *      per corpus fingerprint — the MapFileOutputFormat contract):
+    *      `inc_lsh_bands` = the corpus's (band, band_key, id) rows,
+    *      range-sorted on band_key and written with 1 MB row groups so a
+    *      pushed band_key filter prunes at row-group granularity (the
+    *      [[graft.sources.Bm25Store]] postings layout); `inc_lsh_sets` =
+    *      per-doc sorted distinct-shingle arrays for exact verification.
+    *   3. serve: delta docs → shingles → [[graft.operators.MinHashLsh]]
+    *      signatures → band keys (batch-sized work); candidates = pushed-
+    *      In-filtered probe of the stored bands (≤ 800 keys collected —
+    *      the documented bounded-collect class); verify EXACTLY via
+    *      `array_intersect` of the delta's fresh shingle arrays with the
+    *      stored corpus arrays (the containment_pairs verification shape;
+    *      shingles are distinct per doc so the intersect size IS the
+    *      overlap). Integer Jaccard: jm = (10⁶·shared) div (na+nb−shared),
+    *      admitted at jm ≥ [[IncThreshMicro]] — the same bar as
+    *      dedup_minhash_lsh, shared constants so they cannot drift.
+    *
+    * Readout: one row per delta doc — how many committed near-dups it hit,
+    * the best match (highest jm, ties to the lowest corpus id) and its
+    * score; unmatched docs report (0, −1, 0). LSH recall caveats are the
+    * batch pipeline's own (candidates only within shared bands); precision
+    * is 1.0 because verification is exact.
+    *
+    * Scale: the only corpus-linear serving leg is the verification join
+    * against the stored set arrays (a narrow columnar read that AQE
+    * broadcasts the tiny candidate side into); the band probe is pruned,
+    * everything else is batch-sized. The index build is linear but paid
+    * once per corpus version, off the serving path.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MinHashLsh
+    import graft.sources.FrameStore
+    val n = LlmPipeline.ShingleN
+    val hd = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+      PortableHash.h48(col("doc_id").cast("string")).as("h"))
+    val deltaIds = hd.orderBy(col("h"), col("doc_id")).limit(IncDeltaDocs)
+      .select(col("doc_id"))
+    val deltaDocs = hd.join(broadcast(deltaIds), "doc_id")
+    def corpusDocs = hd.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+
+    val smallGroups = Map("parquet.block.size" -> (1 << 20).toString)
+    val storedBands = FrameStore.frame(spark, dir, "inc_lsh_bands", 1,
+      "documents.parquet", smallGroups) {
+      MinHashLsh.bandKeys(MinHashLsh.signatures(
+          MinHashLsh.explodeShingles(corpusDocs, "doc_id", "text", n)))
+        .repartitionByRange(col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+    }
+    val storedSets = FrameStore.frame(spark, dir, "inc_lsh_sets", 1,
+      "documents.parquet") {
+      MinHashLsh.explodeShingles(corpusDocs, "doc_id", "text", n)
+        .groupBy(col("id")).agg(sort_array(collect_set(col("shingle"))).as("sa"))
+    }
+
+    val deltaEx = MinHashLsh.explodeShingles(deltaDocs, "doc_id", "text", n)
+    val deltaBands = MinHashLsh.bandKeys(MinHashLsh.signatures(deltaEx))
+    val deltaSets = deltaEx.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("sa"))
+    // ≤ IncDeltaDocs·Bands rows — the documented bounded-collect class;
+    // the isin literals become the pushed In filter that prunes the store
+    val probeKeys = deltaBands.select(col("band_key")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val cand =
+      if (probeKeys.isEmpty) // degenerate corpus: no shingled delta docs
+        spark.range(0).selectExpr("id AS a", "id AS b")
+      else
+        deltaBands.select(col("band"), col("band_key"), col("id").as("a"))
+          .join(storedBands.where(col("band_key").isin(probeKeys: _*))
+              .select(col("band"), col("band_key"), col("id").as("b")),
+            Seq("band", "band_key"))
+          .select(col("a"), col("b")).distinct()
+    val ver = cand
+      .join(deltaSets.select(col("id").as("a"), col("sa").as("sda")), "a")
+      .join(storedSets.select(col("id").as("b"), col("sa").as("sdb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sda"), col("sdb"))).cast("long").as("shared"),
+        size(col("sda")).cast("long").as("na"),
+        size(col("sdb")).cast("long").as("nb"))
+      .withColumn("jm",
+        expr("(1000000L * shared) div (na + nb - shared)"))
+      .where(col("jm") >= IncThreshMicro)
+    val w = Window.partitionBy(col("a"))
+    val best = ver
+      .withColumn("rn", row_number().over(w.orderBy(desc("jm"), asc("b"))))
+      .withColumn("nm", count(lit(1)).over(w))
+      .where(col("rn") === 1)
+      .select(col("a"), col("nm"), col("b"), col("jm"))
+    deltaIds.join(best, col("doc_id") === col("a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        coalesce(col("b"), lit(-1L)).as("best_match"),
+        coalesce(col("jm"), lit(0L)).as("best_j_micro"))
+  }
+
+  private val incrementalDedupSql = {
+    import graft.operators.MinHashLsh
+    val n = LlmPipeline.ShingleN
+    val h = PortableHash.h48Sql("CAST(doc_id AS VARCHAR)")
+    val w = graft.functions.TextFns.tokensSql("text")
+    val sh = graft.functions.TextFns.shinglesSql("w", n)
+    val perms = (0 until MinHashLsh.NumHashes)
+      .map(i => s"(${i}, ${MinHashLsh.PermA(i)}, ${MinHashLsh.PermB(i)})")
+      .mkString(", ")
+    s"""WITH delta AS (
+       |  SELECT doc_id FROM documents ORDER BY $h, doc_id LIMIT $IncDeltaDocs
+       |), tag AS (
+       |  SELECT d.doc_id, d.text,
+       |    d.doc_id IN (SELECT doc_id FROM delta) AS is_delta
+       |  FROM documents d
+       |), sh AS (
+       |  SELECT doc_id, is_delta, $sh AS shingles
+       |  FROM (SELECT doc_id, is_delta, $w AS w FROM tag)
+       |  WHERE len(w) >= $n
+       |), e AS (
+       |  SELECT doc_id, is_delta, unnest(shingles) AS shingle,
+       |    len(shingles) AS nsh
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, any_value(is_delta) AS is_delta, p.i,
+       |    min((p.a * eh.h32 + p.b) % ${MinHashLsh.P}) AS hv
+       |  FROM (SELECT doc_id, is_delta,
+       |          ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32
+       |        FROM e) eh
+       |  CROSS JOIN (VALUES $perms) p(i, a, b)
+       |  GROUP BY doc_id, p.i
+       |), bands AS (
+       |  SELECT doc_id, any_value(is_delta) AS is_delta,
+       |    i // ${MinHashLsh.RowsPerBand} AS band,
+       |    md5(string_agg(hv::VARCHAR, '|' ORDER BY i)) AS band_key
+       |  FROM sig GROUP BY doc_id, i // ${MinHashLsh.RowsPerBand}
+       |), cand AS (
+       |  SELECT DISTINCT dx.doc_id AS a, cy.doc_id AS b
+       |  FROM bands dx JOIN bands cy
+       |    ON dx.band = cy.band AND dx.band_key = cy.band_key
+       |  WHERE dx.is_delta AND NOT cy.is_delta
+       |), ver AS (
+       |  SELECT c.a, c.b, count(*) AS shared,
+       |    any_value(ea.nsh) AS na, any_value(eb.nsh) AS nb
+       |  FROM cand c
+       |  JOIN e ea ON ea.doc_id = c.a
+       |  JOIN e eb ON eb.doc_id = c.b AND eb.shingle = ea.shingle
+       |  GROUP BY c.a, c.b
+       |), j AS (
+       |  SELECT a, b, (1000000 * shared) // (na + nb - shared) AS jm
+       |  FROM ver
+       |  WHERE (1000000 * shared) // (na + nb - shared) >= $IncThreshMicro
+       |), rk AS (
+       |  SELECT a, b, jm,
+       |    row_number() OVER (PARTITION BY a ORDER BY jm DESC, b ASC) AS rn,
+       |    count(*) OVER (PARTITION BY a) AS nm
+       |  FROM j
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(rk.nm, 0) AS BIGINT) AS n_matches,
+       |  CAST(coalesce(rk.b, -1) AS BIGINT) AS best_match,
+       |  CAST(coalesce(rk.jm, 0) AS BIGINT) AS best_j_micro
+       |FROM delta d
+       |LEFT JOIN (SELECT * FROM rk WHERE rn = 1) rk ON rk.a = d.doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
+    QueryDef("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("resumable_funnel", resumableFunnel, Some(resumableFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
       Some(activeLearningLoopSql)),

@@ -23,16 +23,23 @@ object FrameStore {
 
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Read the stored frame, building it first if absent. */
+  /** Read the stored frame, building it first if absent. `writeOptions`
+    * reach the parquet writer — e.g. a small `parquet.block.size` when the
+    * build is range-sorted on a probe key, so min/max row-group stats give
+    * a pushed filter fine-grained pruning (the [[Bm25Store]] postings
+    * layout, available to any stored frame).
+    */
   def frame(spark: SparkSession, dir: String, name: String, version: Int,
-            sourceTable: String)(build: => DataFrame): DataFrame = {
+            sourceTable: String,
+            writeOptions: Map[String, String] = Map.empty)
+           (build: => DataFrame): DataFrame = {
     val root = synchronized {
       val fp = graft.operators.StageCommit.corpusFingerprint(dir, sourceTable)
       val r = Paths.get(graft.core.Scratch.dir(s"$name-v$version", dir), fp)
         .toString
       if (!built.contains(r)) {
         if (!Files.exists(Paths.get(r, "_SUCCESS"))) {
-          build.write.mode("overwrite").parquet(r)
+          build.write.mode("overwrite").options(writeOptions).parquet(r)
           // surface the artifact build in the bench's shared_builds, so a
           // first-consumer attempt that paid it is attributed instead of
           // reading as an unexplained max band
