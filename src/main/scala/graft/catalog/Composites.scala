@@ -1318,60 +1318,36 @@ object Composites extends QueryModule {
     * ([[graft.core.GraftSession]]), so the stored-index probe row-group-
     * prunes instead of scanning.
     */
-  private[catalog] val IncDeltaDocs = 100
+  private[graft] val IncDeltaDocs = 100
   private val IncThreshMicro: Long =
     math.round(LlmPipeline.JaccardThreshold * 1000000L) // same near-dup bar
 
-  /** Incremental dedup — the near-dup pipeline re-shaped for CONTINUOUS
-    * ingest, the missing production counterpart of the batch recipes
-    * (dedup_minhash_lsh re-pairs the WHOLE corpus; a 100 TB pipeline never
-    * does that per arriving batch):
-    *
-    *   1. split: the [[IncDeltaDocs]] docs with the lowest
-    *      (h48(doc_id), doc_id) are "the arriving batch" (a deterministic
-    *      surrogate for an ingest timestamp); everything else is the
-    *      committed corpus.
-    *   2. corpus index, STORED ([[graft.sources.FrameStore]], build-once
-    *      per corpus fingerprint — the MapFileOutputFormat contract):
-    *      `inc_lsh_bands` = the corpus's (band, band_key, id) rows,
-    *      range-sorted on band_key and written with 1 MB row groups so a
-    *      pushed band_key filter prunes at row-group granularity (the
-    *      [[graft.sources.Bm25Store]] postings layout); `inc_lsh_sets` =
-    *      per-doc sorted distinct-shingle arrays for exact verification.
-    *   3. serve: delta docs → shingles → [[graft.operators.MinHashLsh]]
-    *      signatures → band keys (batch-sized work); candidates = pushed-
-    *      In-filtered probe of the stored bands (≤ 800 keys collected —
-    *      the documented bounded-collect class); verify EXACTLY via
-    *      `array_intersect` of the delta's fresh shingle arrays with the
-    *      stored corpus arrays (the containment_pairs verification shape;
-    *      shingles are distinct per doc so the intersect size IS the
-    *      overlap). Integer Jaccard: jm = (10⁶·shared) div (na+nb−shared),
-    *      admitted at jm ≥ [[IncThreshMicro]] — the same bar as
-    *      dedup_minhash_lsh, shared constants so they cannot drift.
-    *
-    * Readout: one row per delta doc — how many committed near-dups it hit,
-    * the best match (highest jm, ties to the lowest corpus id) and its
-    * score; unmatched docs report (0, −1, 0). LSH recall caveats are the
-    * batch pipeline's own (candidates only within shared bands); precision
-    * is 1.0 because verification is exact.
-    *
-    * Scale: the only corpus-linear serving leg is the verification join
-    * against the stored set arrays (a narrow columnar read that AQE
-    * broadcasts the tiny candidate side into); the band probe is pruned,
-    * everything else is batch-sized. The index build is linear but paid
-    * once per corpus version, off the serving path.
+  /** The deterministic arriving-batch split behind [[incrementalDedup]]:
+    * (delta docs (doc_id, text), delta ids, committed-corpus docs).
     */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.MinHashLsh
-    import graft.sources.FrameStore
-    val n = LlmPipeline.ShingleN
+  private[graft] def incSplit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val hd = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
       PortableHash.h48(col("doc_id").cast("string")).as("h"))
     val deltaIds = hd.orderBy(col("h"), col("doc_id")).limit(IncDeltaDocs)
       .select(col("doc_id"))
     val deltaDocs = hd.join(broadcast(deltaIds), "doc_id")
-    def corpusDocs = hd.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+    val corpusDocs = hd.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+    (deltaDocs, deltaIds, corpusDocs)
+  }
 
+  /** The stored corpus LSH index of [[incrementalDedup]] — (bands, sets),
+    * both [[graft.sources.FrameStore]] artifacts built once per corpus
+    * fingerprint. Shared verbatim by the streaming face
+    * ([[graft.streaming.StreamingOps.incDedupStream]]), so batch and
+    * stream serve from the SAME bytes.
+    */
+  private[graft] def incStoredFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.MinHashLsh
+    import graft.sources.FrameStore
+    val n = LlmPipeline.ShingleN
+    def corpusDocs = incSplit(spark, dir)._3
     val smallGroups = Map("parquet.block.size" -> (1 << 20).toString)
     val storedBands = FrameStore.frame(spark, dir, "inc_lsh_bands", 1,
       "documents.parquet", smallGroups) {
@@ -1385,7 +1361,22 @@ object Composites extends QueryModule {
       MinHashLsh.explodeShingles(corpusDocs, "doc_id", "text", n)
         .groupBy(col("id")).agg(sort_array(collect_set(col("shingle"))).as("sa"))
     }
+    (storedBands, storedSets)
+  }
 
+  /** The serving path of [[incrementalDedup]], factored over an arbitrary
+    * arriving batch so the streaming face replays the IDENTICAL code per
+    * micro-batch: signatures/bands/sets on the batch (batch-sized work), a
+    * pushed-In-filtered probe of the stored bands (the collect is bounded
+    * by batch·Bands keys — the documented bounded-collect class), exact
+    * `array_intersect` verification, one readout row per batch doc.
+    */
+  private[graft] def incServe(spark: SparkSession, deltaDocs: DataFrame,
+                              storedBands: DataFrame,
+                              storedSets: DataFrame): DataFrame = {
+    import graft.operators.MinHashLsh
+    val n = LlmPipeline.ShingleN
+    val deltaIds = deltaDocs.select(col("doc_id"))
     val deltaEx = MinHashLsh.explodeShingles(deltaDocs, "doc_id", "text", n)
     val deltaBands = MinHashLsh.bandKeys(MinHashLsh.signatures(deltaEx))
     val deltaSets = deltaEx.groupBy(col("id"))
@@ -1424,6 +1415,58 @@ object Composites extends QueryModule {
         coalesce(col("nm"), lit(0L)).as("n_matches"),
         coalesce(col("b"), lit(-1L)).as("best_match"),
         coalesce(col("jm"), lit(0L)).as("best_j_micro"))
+  }
+
+  /** Incremental dedup — the near-dup pipeline re-shaped for CONTINUOUS
+    * ingest, the missing production counterpart of the batch recipes
+    * (dedup_minhash_lsh re-pairs the WHOLE corpus; a 100 TB pipeline never
+    * does that per arriving batch):
+    *
+    *   1. split ([[incSplit]]): the [[IncDeltaDocs]] docs with the lowest
+    *      (h48(doc_id), doc_id) are "the arriving batch" (a deterministic
+    *      surrogate for an ingest timestamp); everything else is the
+    *      committed corpus.
+    *   2. corpus index, STORED ([[incStoredFrames]] →
+    *      [[graft.sources.FrameStore]], build-once per corpus fingerprint —
+    *      the MapFileOutputFormat contract):
+    *      `inc_lsh_bands` = the corpus's (band, band_key, id) rows,
+    *      range-sorted on band_key and written with 1 MB row groups so a
+    *      pushed band_key filter prunes at row-group granularity (the
+    *      [[graft.sources.Bm25Store]] postings layout); `inc_lsh_sets` =
+    *      per-doc sorted distinct-shingle arrays for exact verification.
+    *   3. serve ([[incServe]]): delta docs → shingles →
+    *      [[graft.operators.MinHashLsh]]
+    *      signatures → band keys (batch-sized work); candidates = pushed-
+    *      In-filtered probe of the stored bands (≤ 800 keys collected —
+    *      the documented bounded-collect class); verify EXACTLY via
+    *      `array_intersect` of the delta's fresh shingle arrays with the
+    *      stored corpus arrays (the containment_pairs verification shape;
+    *      shingles are distinct per doc so the intersect size IS the
+    *      overlap). Integer Jaccard: jm = (10⁶·shared) div (na+nb−shared),
+    *      admitted at jm ≥ [[IncThreshMicro]] — the same bar as
+    *      dedup_minhash_lsh, shared constants so they cannot drift.
+    *
+    * Readout: one row per delta doc — how many committed near-dups it hit,
+    * the best match (highest jm, ties to the lowest corpus id) and its
+    * score; unmatched docs report (0, −1, 0). LSH recall caveats are the
+    * batch pipeline's own (candidates only within shared bands); precision
+    * is 1.0 because verification is exact.
+    *
+    * Scale: the only corpus-linear serving leg is the verification join
+    * against the stored set arrays (a narrow columnar read that AQE
+    * broadcasts the tiny candidate side into); the band probe is pruned,
+    * everything else is batch-sized. The index build is linear but paid
+    * once per corpus version, off the serving path.
+    *
+    * The streaming face —
+    * [[graft.streaming.StreamingOps.incDedupStream]] — replays [[incServe]]
+    * verbatim per micro-batch against the same stored frames.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (deltaDocs, _, _) = incSplit(spark, dir)
+    val (storedBands, storedSets) = incStoredFrames(spark, dir)
+    incServe(spark, deltaDocs.select(col("doc_id"), col("text")),
+      storedBands, storedSets)
   }
 
   private val incrementalDedupSql = {
