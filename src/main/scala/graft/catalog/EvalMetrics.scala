@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -567,7 +567,7 @@ object EvalMetrics extends QueryModule {
     // is for — ≤ NdcgBudget·5 distinct terms reach the row-group-pruned
     // postings scan at ANY corpus scale
     val ranked = graft.sources.Bm25Store
-      .serve(spark, dir, queries, NdcgK, maxScore = false)
+      .serve(spark, dir, queries, NdcgK, maxScore = Some(false))
       .select(col("query_id"), col("doc_id"), col("rank"))
     // grade relevance: probe the (term-pruned) stored postings with the
     // (small) ranked pairs × query terms — the pairs' terms are all query
@@ -748,13 +748,73 @@ object EvalMetrics extends QueryModule {
     s"CASE ${PoissonCdfMicro.zipWithIndex.map { case (c, k) =>
       s"WHEN $u < $c THEN $k" }.mkString(" ")} ELSE 9 END"
 
+  // ---- perm-family replicate draw (the corpus-sized fan-out path) --------
+  // [[bootstrapCi]] fans every order out B=32 ways; drawing each replicate's
+  // uniform from h48("b:key") costs 32 md5 evaluations PER ROW — the
+  // dominant cost at sf1 (15 M orders × 32). The MinHashLsh device applies
+  // verbatim (operators/MinHashLsh.scala: "ONE md5 per row and N codegen
+  // multiply-adds, measured ~2× on the whole pipeline"): one md5-derived
+  // h32 per row, then u_b = (A_b·h32 + B_b) mod P per replicate — pure
+  // codegen arithmetic, exact in any 64-bit engine (A < 2^31, h32 < 2^32 ⟹
+  // A·h32 + B < 2^63). The Poisson inverse-CDF thresholds are scaled to P
+  // (finer grid than the 10⁶ one, so the draw is BETTER-resolved than the
+  // string-hash scheme it replaces). eval_protocol_pipeline keeps the
+  // string-hash draw: its fan-out is over the small quota-sampled eval set,
+  // where 32 md5s cost nothing.
+  private[catalog] val BootP: Long = 2147483647L // 2^31 − 1, MinHashLsh.P
+  private def permConst(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+  private[catalog] val BootPermA: IndexedSeq[Long] =
+    (0 until BootstrapB).map(b => (permConst(s"boot:a:$b") % (1L << 31)) | 1L)
+  private[catalog] val BootPermB: IndexedSeq[Long] =
+    (0 until BootstrapB).map(b => permConst(s"boot:b:$b") % BootP)
+
+  /** floor(P · P(X ≤ k)) for X ~ Poisson(1), k = 0..8 — [[PoissonCdfMicro]]
+    * on the perm-family grid.
+    */
+  private[catalog] val PoissonCdfP: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var cum = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) p = p / k
+      cum += p
+      math.floor(cum * BootP.toDouble).toLong
+    }
+  }
+
+  /** Poisson(1) weight from a uniform draw u ∈ [0, P) — one nested
+    * when/otherwise chain, all codegen. (An earlier shape inlined the
+    * whole perm family as an exploded 32-struct array literal — one giant
+    * generated expression per row that ran 3× SLOWER than the md5 scheme
+    * it replaced; the sequence-explode + element_at-on-literal-array form
+    * keeps the per-row expression tree tiny.)
+    */
+  private[catalog] def poissonW(u: Column): Column =
+    PoissonCdfP.zipWithIndex.foldRight(lit(9L)) { case ((c, k), acc) =>
+      when(u < c, k.toLong).otherwise(acc)
+    }
+
+  /** DuckDB twin of [[poissonW]] with (a, bb) coming from a VALUES-joined
+    * perm table.
+    */
+  private[catalog] def poissonWSql(h32: String, a: String, bb: String): String =
+    s"CASE ${PoissonCdfP.zipWithIndex.map { case (c, k) =>
+      s"WHEN ($a * $h32 + $bb) % $BootP < $c THEN $k" }.mkString(" ")} ELSE 9 END"
+
   /** 90% confidence interval on the mean order value by POISSON bootstrap
     * — the resampling scheme that actually works distributed (Chamandy et
     * al., "Estimating Uncertainty for Massive Data Streams", Google
     * 2012): instead of drawing n rows with replacement (which needs
     * global coordination), each row enters replicate b with weight
-    * ~Poisson(1), drawn deterministically from the portable hash of
-    * (b, key) through the literal inverse-CDF table [[PoissonCdfMicro]].
+    * ~Poisson(1), drawn deterministically from ONE portable md5-derived
+    * base hash per order pushed through the [[BootPermA]]/[[BootPermB]]
+    * perm family and the literal inverse-CDF table [[PoissonCdfP]] —
+    * 1 md5 + B codegen multiply-adds per row instead of B md5
+    * evaluations (the MinHashLsh device; at sf1 the fan-out is 15 M × 32
+    * rows, so the hash count IS the query's CPU).
     * Shape: a B-way row fan-out (flat map, no shuffle) folded by ONE
     * partial-aggregated groupBy(b) — the shuffle carries B·partitions
     * rows no matter the corpus size — then rank-picks of the 2nd/31st
@@ -767,11 +827,14 @@ object EvalMetrics extends QueryModule {
     val base = Tables.orders(spark, dir).select(col("o_orderkey"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val rep = base
-      .select(col("o_orderkey"), col("cents"),
+      .withColumn("h32", shiftrightunsigned(graft.functions.PortableHash
+        .h48(col("o_orderkey").cast("string")), 16))
+      .select(col("cents"), col("h32"),
         explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
-      .withColumn("u", graft.functions.PortableHash.h48(concat_ws(":",
-        col("b").cast("string"), col("o_orderkey").cast("string"))) % 1000000L)
-      .withColumn("w", expr(poissonCase("u")))
+      .withColumn("u",
+        (element_at(typedLit(BootPermA), col("b") + 1) * col("h32")
+          + element_at(typedLit(BootPermB), col("b") + 1)) % BootP)
+      .select(col("cents"), col("b"), poissonW(col("u")).as("w"))
     val means = rep.groupBy(col("b"))
       .agg(sum(col("w")).as("nw"),
         sum((col("w") * col("cents")).cast(dec)).as("sw"))
@@ -796,16 +859,16 @@ object EvalMetrics extends QueryModule {
   }
 
   private val bootstrapCiSql = {
-    val h = graft.functions.PortableHash.h48Sql(
-      "CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+    val h = graft.functions.PortableHash.h48Sql("CAST(o_orderkey AS VARCHAR)")
+    val perms = (0 until BootstrapB)
+      .map(b => s"($b, ${BootPermA(b)}, ${BootPermB(b)})").mkString(", ")
     s"""WITH base AS (
-       |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    $h // 65536 AS h32
        |  FROM orders
-       |), rep AS (
-       |  SELECT b, cents, $h % 1000000 AS u
-       |  FROM base CROSS JOIN range(0, $BootstrapB) AS t(b)
        |), wt AS (
-       |  SELECT b, cents, ${poissonCaseSql("u")} AS w FROM rep
+       |  SELECT p.b, cents, ${poissonWSql("h32", "p.a", "p.bb")} AS w
+       |  FROM base CROSS JOIN (VALUES $perms) p(b, a, bb)
        |), m AS (
        |  SELECT b, CAST(sum(w) AS BIGINT) AS nw, sum(w::HUGEINT * cents) AS sw
        |  FROM wt GROUP BY b

@@ -113,23 +113,54 @@ object Bm25Store {
     else p.join(broadcast(qTerms), "term")
   }
 
+  /** Auto-routing crossover for [[serve]]: MaxScore's θ/seed/bound stages
+    * are a FIXED handful of extra tiny jobs, while what they save grows
+    * with the postings fan-out ∝ corpus size — so below some corpus size
+    * the pruner is pure overhead. Measured on the workload-shaped batch:
+    * at 5 K docs (sf0.1) MaxScore LOSES ~1–1.5 s per consumer (nothing to
+    * prune); at 50 K docs (sf1) it WINS 3–6× (27 → 9 s serving). The
+    * crossover sits between; 20 K docs splits it with order-of-magnitude
+    * margin both ways — and both paths are exact, so a miss costs only
+    * seconds, never correctness.
+    */
+  val MaxScoreAutoMinDocs = 20000L
+
+  private val n0Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Corpus doc count from the stored 1-row stats artifact (cached per
+    * artifact root — the fingerprint in the root keys the cache to the
+    * exact corpus version).
+    */
+  def corpusDocs(spark: SparkSession, dir: String): Long = {
+    val r = root(spark, dir)
+    n0Cache.computeIfAbsent(r,
+      _ => spark.read.parquet(s"$r/stats").select(col("n0"))
+        .head().getLong(0))
+  }
+
   /** BM25 top-k served entirely from the stored artifact.
     *
-    * `maxScore = true` (the workload-batch default) routes through the
-    * exact MaxScore pruner ([[graft.operators.Bm25.topKMaxScore]]): hot
-    * query terms' corpus-sized fan-out is bounded out once the seed θ is
-    * set — output identical to the naive scorer by the bound argument
-    * (spec-pinned). Pass `maxScore = false` for FIXED-BUDGET audit
-    * batches: their fan-out is already small, so the pruner's extra
-    * θ/seed/bound jobs are pure flat overhead (measured ~3 s on
-    * ndcg_eval's ≤40-query batch vs nothing to save). The caller knows
-    * which batch model it runs — that is the right place for the
-    * decision; both paths are exact.
+    * `maxScore = None` (the default) routes by corpus size: the exact
+    * MaxScore pruner ([[graft.operators.Bm25.topKMaxScore]]) when the
+    * stored stats say ≥ [[MaxScoreAutoMinDocs]] docs — hot query terms'
+    * corpus-sized fan-out is bounded out once the seed θ is set, output
+    * identical to the naive scorer by the bound argument (spec-pinned) —
+    * and the naive scorer below it, where the pruner's extra θ/seed/bound
+    * jobs are pure flat overhead with nothing to save. The stats row is
+    * already part of the artifact, so the decision is free. Callers that
+    * KNOW their batch model still override: fixed-budget audit batches
+    * (ndcg_eval's ≤40 queries) pass `Some(false)` — their fan-out is
+    * small at ANY corpus size (measured ~3 s of pure overhead when routed
+    * through the pruner); specs pass `Some(true)` to pin the pruner's
+    * losslessness on small corpora. Both paths are exact.
     */
   def serve(spark: SparkSession, dir: String, queries: DataFrame,
-            k: Int, maxScore: Boolean = true): DataFrame = {
+            k: Int, maxScore: Option[Boolean] = None): DataFrame = {
     val (tf, st) = (prunedPostings(spark, dir, queries), stats(spark, dir))
-    if (maxScore) graft.operators.Bm25.topKMaxScore(tf, st, queries, k)
+    val useMaxScore =
+      maxScore.getOrElse(corpusDocs(spark, dir) >= MaxScoreAutoMinDocs)
+    if (useMaxScore) graft.operators.Bm25.topKMaxScore(tf, st, queries, k)
     else graft.operators.Bm25.topKStored(tf, st, queries, k)
   }
 }

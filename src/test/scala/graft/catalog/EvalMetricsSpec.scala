@@ -194,21 +194,26 @@ class EvalMetricsSpec extends SparkSpec {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(12), 16)
     }
+    val P = 2147483647L
     val cdf = {
       var p = math.exp(-1.0); var cum = 0.0
-      (0 to 8).map { k => if (k > 0) p = p / k; cum += p; math.floor(cum * 1e6).toLong }
+      (0 to 8).map { k => if (k > 0) p = p / k; cum += p; math.floor(cum * P.toDouble).toLong }
     }
     def pois(u: Long): Long = {
       val i = cdf.indexWhere(u < _)
       if (i < 0) 9L else i.toLong
     }
+    // the perm family, re-derived independently of EvalMetrics' constants
+    val permA = (0 until 32).map(b => (h48(s"boot:a:$b") % (1L << 31)) | 1L)
+    val permB = (0 until 32).map(b => h48(s"boot:b:$b") % P)
     val orders = graft.core.Tables.orders(spark, dir)
       .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val means = (0 until 32).map { b =>
       var nw = BigInt(0); var sw = BigInt(0)
       orders.foreach { case (k, c) =>
-        val w = pois(h48(s"$b:$k") % 1000000L)
+        val h32 = h48(s"$k") >>> 16
+        val w = pois((permA(b) * h32 + permB(b)) % P)
         nw += w; sw += BigInt(w) * c
       }
       if (nw == 0) 0L else (BigInt(1000) * sw / nw).toLong

@@ -50,7 +50,10 @@ class Bm25Spec extends SparkSpec {
       val naive = Bm25.topK(corpus, queries, k).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
         .toSet
-      val pruned = graft.sources.Bm25Store.serve(spark, dir, queries, k)
+      // Some(true) forces the pruner — the auto route would pick the naive
+      // scorer on this tiny corpus, making the losslessness pin vacuous
+      val pruned = graft.sources.Bm25Store
+        .serve(spark, dir, queries, k, maxScore = Some(true))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
         .toSet
