@@ -30,8 +30,10 @@ object Tables {
     *
     * Gates: tables under [[WidenMinBytes]] stay as-is (broadcast dims — a
     * 32-file region table is pure scheduling overhead), and sources that
-    * already ship ≥ width/2 files (the ScaleUp sf1 corpora) are already
-    * wide. `GRAFT_WIDEN=0` disables the device for A/B measurement.
+    * already ship ≥ width/2 files skip the copy (measured by LISTING, not
+    * assumed — the ScaleUp sf1 corpus turns out to coalesce to 1–2 files
+    * per table, so it is widened too). `GRAFT_WIDEN=0` disables the
+    * device for A/B measurement.
     */
   private val WidenMinBytes = 500000L
   private val widenEnabled = sys.env.getOrElse("GRAFT_WIDEN", "1") != "0"
