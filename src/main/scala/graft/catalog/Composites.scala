@@ -301,10 +301,16 @@ object Composites extends QueryModule {
     // per (pool, labeled) pair instead of three — the exact sums are
     // unchanged, so the float tail (sqrt·sqrt, divide, round) is
     // bit-identical to the oracle's per-pair norm recompute
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        VectorOps.quantize(col("embedding")).as("qv"))
-      .withColumn("nq", expr("dot_q(qv, qv)"))
+    // memoized + persisted: the loop body launches ~3 jobs per round
+    // (pool score, acquisition collect, label fold-in), every one of
+    // which would otherwise re-scan parquet and re-quantize — the frame
+    // is (vec_id, label, 64-long qv, nq), small enough to pin columnar
+    val emb = graft.core.Shared.memo(spark, "al_emb_q", dir, persist = true) {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+        .withColumn("nq", expr("dot_q(qv, qv)"))
+    }
     val sU = expr("CAST(round(1000000e0 * (CAST(dot_q(qv, l_qv) AS DOUBLE)" +
       " / (sqrt(CAST(nq AS DOUBLE))" +
       " * sqrt(CAST(l_nq AS DOUBLE))))) AS BIGINT)")
