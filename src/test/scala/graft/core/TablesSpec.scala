@@ -17,6 +17,33 @@ class TablesSpec extends SparkSpec {
       s"ts must be epoch-nanos long, got ${df.schema("ts").dataType}")
   }
 
+  test("widen relayout: content-identical to the raw table, clustered on the leading key") {
+    // sf0.1 documents is above the widen floor (sf0.01's is not), so
+    // Tables.documents serves the relayouted artifact; the raw path must
+    // round-trip row-for-row (multiset equality via exceptAll both
+    // ways), or the device is corrupting every consumer
+    val d01 = "/root/testdata/sf0.1"
+    val wide = Tables.documents(spark, d01)
+    val raw = spark.read.parquet(s"$d01/documents.parquet")
+    assert(wide.count() === raw.count())
+    assert(wide.exceptAll(raw).isEmpty && raw.exceptAll(wide).isEmpty,
+      "widened table is not content-identical to the source")
+    // clustered layout: each output FILE owns a contiguous doc_id range
+    // (range-repartition + sortWithinPartitions on the leading key) —
+    // the property the key-grouped-consumer fix depends on, and what
+    // keeps per-file min/max stats usable for pruning
+    val spans = wide
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length > 1, "relayout produced a single file — not widened")
+    spans.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"file key ranges overlap: $hiA > $loB — not clustered")
+    case _ => ()
+    }
+  }
+
   test("events.ts magnitude is epoch-NANOS, not micros/millis/seconds") {
     // 2020-01-01 .. 2040-01-01 as epoch-nanos. An int64 column that
     // actually stored micros (or a conversion that multiplied wrong)
