@@ -184,8 +184,12 @@ object IoCatalog extends QueryModule {
     // for. The merge below is IDEMPOTENT — the batch derives from the
     // source table, and every batch doc_id is anti-joined out before the
     // union — so re-running against an already-merged table converges.
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
       base.write.mode("overwrite").partitionBy("source").parquet(path)
+      // first-attempt seed write, attributed (the shared_builds
+      // convention) — later attempts merge against the seeded table
+      graft.core.Shared.noteBuild("seed:upsert_partitioned")
+    }
     // gate on the row index WITHIN the source (doc_id div 20): the corpus
     // assigns doc_id ≡ source-index (mod 20), so a raw doc_id % k gate
     // would silently select all-or-nothing per source

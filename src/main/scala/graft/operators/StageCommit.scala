@@ -73,6 +73,12 @@ object StageCommit {
       build.write.mode("overwrite").parquet(dataDir)
       Files.createDirectories(markerPath(root, name).getParent)
       Files.write(markerPath(root, name), Array.emptyByteArray)
+      // surface the stage build in the bench's shared_builds (the
+      // FrameStore/Bm25Store attribution convention) — the first
+      // resumable_funnel attempt PAYS the four stage builds and later
+      // attempts serve committed bytes, so without this note the
+      // build-vs-resume contrast reads as an unexplained attempt band
+      graft.core.Shared.noteBuild(s"stage:$name")
     }
     spark.read.parquet(dataDir)
   }
