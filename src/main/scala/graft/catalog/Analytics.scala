@@ -1260,12 +1260,22 @@ object Analytics extends QueryModule {
     * and the top-`ArK` cut are exact on both engines.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val po = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // basket sets in ONE key shuffle (collect_set dedups p within order,
+    // so no separate distinct pass), materialized once and fanned out
+    // in-stage for BOTH the pair build and the per-part order counts —
+    // the coPurchaseEdges device (Algorithms.scala); the former
+    // (o,p)-distinct + self-join shape paid ~4 pair-volume shuffles and
+    // derived the basket frame three times
+    val sets = graft.core.Materialize(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy(col("o")).agg(collect_set(col("p")).as("ps")))
     val nOrders = Tables.orders(spark, dir).count()
-    val perPart = po.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-    val pairs = po.toDF("o", "a")
-      .join(po.toDF("o", "b"), "o")
+    val perPart = sets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = sets
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
       .where(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= ArMinPairOrders)
