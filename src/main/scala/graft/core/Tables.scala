@@ -63,7 +63,13 @@ object Tables {
       // min/max stats on the key usable for pushdown pruning.
       val raw = spark.read.parquet(path)
       val key = col(raw.columns.head)
-      graft.sources.FrameStore.frame(spark, sfDir, s"wide_$name", 2, name)(
+      // sourceTable is the LISTING PATH under sfDir ("documents.parquet",
+      // the Bm25Store/incStoredFrames convention), not the bare table name:
+      // round 12 passed `name`, corpusFingerprint hashed an empty listing,
+      // and every corpus produced the same constant fingerprint — a corpus
+      // regenerated in place would have kept serving the stale widened copy
+      graft.sources.FrameStore.frame(
+          spark, sfDir, s"wide_$name", 3, s"$name.parquet")(
         raw.repartitionByRange(width, key).sortWithinPartitions(key))
     }
   }

@@ -50,6 +50,14 @@ object StageCommit {
       try s.forEach(p => if (Files.isRegularFile(p)) add(p))
       finally s.close()
     } else if (Files.exists(src)) add(src)
+    // an empty listing would make every corpus hash to the same constant —
+    // exactly the staleness this fingerprint exists to prevent (round-12
+    // advice: Tables passed a bare table name, the listing came back empty,
+    // and the widened artifact could have served a stale corpus). A caller
+    // fingerprinting a non-existent source is always a bug: fail loud.
+    require(entries.nonEmpty,
+      s"corpusFingerprint: nothing to fingerprint at $src — " +
+        "pass the listing path under dir (e.g. \"documents.parquet\")")
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)

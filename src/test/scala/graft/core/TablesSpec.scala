@@ -44,6 +44,23 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("widen artifact is keyed by a REAL corpus fingerprint") {
+    import graft.operators.StageCommit
+    // round-12 advice regression: Tables passed the bare table name as the
+    // fingerprint listing path, so every corpus hashed an empty listing to
+    // the SAME constant — a regenerated corpus would have served the stale
+    // widened copy. Pin the two halves of the fix: distinct corpora get
+    // distinct fingerprints, and fingerprinting a non-existent listing is
+    // a loud failure instead of a silent constant.
+    val a = StageCommit.corpusFingerprint(dir, "documents.parquet")
+    val b = StageCommit.corpusFingerprint("/root/testdata/sf0.01",
+      "documents.parquet")
+    assert(a !== b, "two different corpora produced the same fingerprint")
+    intercept[IllegalArgumentException] {
+      StageCommit.corpusFingerprint(dir, "documents") // the round-12 bug
+    }
+  }
+
   test("events.ts magnitude is epoch-NANOS, not micros/millis/seconds") {
     // 2020-01-01 .. 2040-01-01 as epoch-nanos. An int64 column that
     // actually stored micros (or a conversion that multiplied wrong)
