@@ -1362,20 +1362,28 @@ object Composites extends QueryModule {
         .repartitionByRange(col("band_key"))
         .sortWithinPartitions(col("band_key"))
     }
-    val storedSets = FrameStore.frame(spark, dir, "inc_lsh_sets", 1,
-      "documents.parquet") {
+    // v2 layout (round-13): range-sorted on `id` with 1 MB row groups — the
+    // same pruning layout the bands artifact has on band_key — so incServe's
+    // verification probe pushes the bounded candidate-id set as an In(id)
+    // filter and reads only the row groups holding candidates, instead of
+    // scanning the whole corpus-linear sets artifact per arriving batch
+    val storedSets = FrameStore.frame(spark, dir, "inc_lsh_sets", 2,
+      "documents.parquet", smallGroups) {
       MinHashLsh.explodeShingles(corpusDocs, "doc_id", "text", n)
         .groupBy(col("id")).agg(sort_array(collect_set(col("shingle"))).as("sa"))
+        .repartitionByRange(col("id"))
+        .sortWithinPartitions(col("id"))
     }
     (storedBands, storedSets)
   }
 
   /** The serving path of [[incrementalDedup]], factored over an arbitrary
     * arriving batch so the streaming face replays the IDENTICAL code per
-    * micro-batch: signatures/bands/sets on the batch (batch-sized work), a
-    * pushed-In-filtered probe of the stored bands (the collect is bounded
-    * by batch·Bands keys — the documented bounded-collect class), exact
-    * `array_intersect` verification, one readout row per batch doc.
+    * micro-batch: signatures/bands/sets on the batch (batch-sized work),
+    * pushed-In-filtered probes of the stored bands AND the stored sets
+    * (probe-key collects LIMIT-bounded at the In-pushdown threshold, with
+    * a distributed semi-join fallback past it), exact `array_intersect`
+    * verification, one readout row per batch doc.
     */
   private[graft] def incServe(spark: SparkSession, deltaDocs: DataFrame,
                               storedBands: DataFrame,
@@ -1387,22 +1395,58 @@ object Composites extends QueryModule {
     val deltaBands = MinHashLsh.bandKeys(MinHashLsh.signatures(deltaEx))
     val deltaSets = deltaEx.groupBy(col("id"))
       .agg(sort_array(collect_set(col("shingle"))).as("sa"))
-    // ≤ IncDeltaDocs·Bands rows — the documented bounded-collect class;
-    // the isin literals become the pushed In filter that prunes the store
-    val probeKeys = deltaBands.select(col("band_key")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val cand =
-      if (probeKeys.isEmpty) // degenerate corpus: no shingled delta docs
-        spark.range(0).selectExpr("id AS a", "id AS b")
+    // Probe-key collects are LIMIT-bounded at the In-pushdown threshold
+    // ([[graft.sources.Bm25Store.MaxPruneTerms]] = the session's parquet
+    // inFilterThreshold), not by an assumed batch size: the batch face
+    // sends ≤ IncDeltaDocs·Bands = 800
+    // keys, but the streaming face accepts arbitrary micro-batches, and an
+    // unbounded collect would both flood the driver and silently overflow
+    // the pushdown threshold (losing row-group pruning without saying so).
+    // Within the limit the keys become a pushed In filter that prunes the
+    // range-sorted store at row-group granularity; past it, fall back to a
+    // distributed semi-join against the same store — identical results,
+    // only the pruning device changes (the Bm25Store.prunedPostings
+    // pattern).
+    val inPushdownLimit = graft.sources.Bm25Store.MaxPruneTerms
+    def prunedProbe(store: DataFrame, keyCol: String,
+                    probe: DataFrame): DataFrame = {
+      val keys = probe.select(col(keyCol)).distinct()
+        .limit(inPushdownLimit + 1).collect().map(_.get(0)).toSeq
+      if (keys.size <= inPushdownLimit)
+        store.where(col(keyCol).isin(keys: _*))
       else
-        deltaBands.select(col("band"), col("band_key"), col("id").as("a"))
-          .join(storedBands.where(col("band_key").isin(probeKeys: _*))
+        store.join(probe.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_semi")
+    }
+    val probeIsEmpty = deltaBands.isEmpty // degenerate: no shingled docs
+    val cand =
+      if (probeIsEmpty)
+        spark.range(0).selectExpr("id AS a", "id AS b")
+      else {
+        // bounded (≤ batch·matches); materialized because it feeds both
+        // the b-id probe collect and the verification join — computed once
+        val raw = deltaBands.select(col("band"), col("band_key"), col("id").as("a"))
+          .join(prunedProbe(storedBands, "band_key", deltaBands)
               .select(col("band"), col("band_key"), col("id").as("b")),
             Seq("band", "band_key"))
           .select(col("a"), col("b")).distinct()
+        val m = graft.core.Materialize(raw)
+        // the checkpoint truncates this subplan out of the query's final
+        // executed plan, so the band-probe pushdown is attested through
+        // the PlanTrace side channel (the iterative-operator convention)
+        graft.core.PlanTrace.capture(raw, "incremental_dedup_candprobe")
+        m
+      }
+    // verification reads ONLY the row groups holding candidate ids: the
+    // bounded candidate b-id set is pushed as In(id) into the id-sorted
+    // sets artifact (or the semi-join fallback past the threshold) — the
+    // serving read is probe-sized, not corpus-sized
+    val candSets =
+      if (probeIsEmpty) storedSets.limit(0)
+      else prunedProbe(storedSets, "id", cand.select(col("b").as("id")))
     val ver = cand
       .join(deltaSets.select(col("id").as("a"), col("sa").as("sda")), "a")
-      .join(storedSets.select(col("id").as("b"), col("sa").as("sdb")), "b")
+      .join(candSets.select(col("id").as("b"), col("sa").as("sdb")), "b")
       .select(col("a"), col("b"),
         size(array_intersect(col("sda"), col("sdb"))).cast("long").as("shared"),
         size(col("sda")).cast("long").as("na"),
@@ -1439,12 +1483,19 @@ object Composites extends QueryModule {
     *      range-sorted on band_key and written with 1 MB row groups so a
     *      pushed band_key filter prunes at row-group granularity (the
     *      [[graft.sources.Bm25Store]] postings layout); `inc_lsh_sets` =
-    *      per-doc sorted distinct-shingle arrays for exact verification.
+    *      per-doc sorted distinct-shingle arrays for exact verification,
+    *      range-sorted on `id` with the same 1 MB row groups (round 13)
+    *      so the verification probe prunes exactly like the band probe.
     *   3. serve ([[incServe]]): delta docs → shingles →
     *      [[graft.operators.MinHashLsh]]
     *      signatures → band keys (batch-sized work); candidates = pushed-
-    *      In-filtered probe of the stored bands (≤ 800 keys collected —
-    *      the documented bounded-collect class); verify EXACTLY via
+    *      In-filtered probe of the stored bands; verification reads ONLY
+    *      the row groups holding candidate ids via a pushed In(id) filter
+    *      on the id-sorted sets artifact. Both probe-key collects are
+    *      LIMIT-bounded at the In-pushdown threshold with a distributed
+    *      semi-join fallback past it — an arbitrarily large streaming
+    *      micro-batch can neither flood the driver nor silently lose
+    *      row-group pruning. Verify EXACTLY via
     *      `array_intersect` of the delta's fresh shingle arrays with the
     *      stored corpus arrays (the containment_pairs verification shape;
     *      shingles are distinct per doc so the intersect size IS the
@@ -1458,11 +1509,11 @@ object Composites extends QueryModule {
     * batch pipeline's own (candidates only within shared bands); precision
     * is 1.0 because verification is exact.
     *
-    * Scale: the only corpus-linear serving leg is the verification join
-    * against the stored set arrays (a narrow columnar read that AQE
-    * broadcasts the tiny candidate side into); the band probe is pruned,
-    * everything else is batch-sized. The index build is linear but paid
-    * once per corpus version, off the serving path.
+    * Scale: every serving leg is probe-sized — the band probe and the
+    * verification read are both pushed-In row-group-pruned against their
+    * range-sorted artifacts, everything else is batch-sized. The index
+    * build is linear but paid once per corpus version, off the serving
+    * path.
     *
     * The streaming face —
     * [[graft.streaming.StreamingOps.incDedupStream]] — replays [[incServe]]
@@ -1541,9 +1592,75 @@ object Composites extends QueryModule {
        |LEFT JOIN (SELECT * FROM rk WHERE rn = 1) rk ON rk.a = d.doc_id""".stripMargin
   }
 
+  /** Cross-run audit of the artifact STORE itself (round-13 verdict task
+    * 8): the engine now keeps six fingerprint-keyed per-corpus artifact
+    * families on disk ([[graft.sources.Bm25Store]] postings+stats;
+    * [[graft.sources.FrameStore]] pq_codes / ivfpq_index / inc_lsh_bands
+    * / inc_lsh_sets / typo_variants) — this query forces each family to
+    * its current-fingerprint version (build-or-validate, exactly what a
+    * serving consumer does) and reads ONE census row per artifact from
+    * the stored bytes. Staleness is impossible to observe here by
+    * construction — the accessor resolves through the corpus fingerprint,
+    * so a regenerated corpus makes this row attest the NEW artifact (and
+    * pay its build); what the census checks cross-engine is that every
+    * stored artifact's row count equals the count DERIVED FROM THE BASE
+    * TABLES — a stored index that dropped or duplicated rows (a partial
+    * write served as complete, a bad overwrite) fails the oracle twin.
+    * The widened-table copies (`wide_*`) are excluded: their membership
+    * varies with the scale factor's file sizes, and TablesSpec pins their
+    * content equality directly.
+    */
+  def storeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val (bands, sets) = incStoredFrames(spark, dir)
+    val fams: Seq[(String, DataFrame)] = Seq(
+      "bm25_postings" -> graft.sources.Bm25Store.postings(spark, dir),
+      "bm25_stats" -> graft.sources.Bm25Store.stats(spark, dir),
+      "inc_lsh_bands" -> bands,
+      "inc_lsh_sets" -> sets,
+      "ivfpq_index" -> LlmPipeline.ivfPqIndexStored(spark, dir),
+      "pq_codes" -> LlmPipeline.pqCodesStored(spark, dir),
+      "typo_variants" -> Algorithms.typoVariants(spark, dir))
+    fams.map { case (nm, df) =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(nm).as("artifact"), col("n_rows"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private val storeCensusSql = {
+    import graft.operators.MinHashLsh
+    val n = LlmPipeline.ShingleN
+    val h = PortableHash.h48Sql("CAST(doc_id AS VARCHAR)")
+    val w = graft.functions.TextFns.tokensSql("text")
+    s"""WITH delta AS (
+       |  SELECT doc_id FROM documents ORDER BY $h, doc_id LIMIT $IncDeltaDocs
+       |), cd AS (
+       |  SELECT count(*) AS c
+       |  FROM (SELECT doc_id, $w AS w FROM documents) t
+       |  WHERE len(w) >= $n AND doc_id NOT IN (SELECT doc_id FROM delta)
+       |), bp AS (
+       |  SELECT count(*) AS c FROM (
+       |    SELECT DISTINCT doc_id, term FROM (
+       |      SELECT doc_id, unnest(w) AS term
+       |      FROM (SELECT doc_id, $w AS w FROM documents)))
+       |), tv AS (
+       |  SELECT CAST(sum(length(name)) AS BIGINT) AS c
+       |  FROM (SELECT DISTINCT c_name AS name FROM customer)
+       |)
+       |SELECT 'bm25_postings' AS artifact, (SELECT c FROM bp)::BIGINT AS n_rows
+       |UNION ALL SELECT 'bm25_stats', 1::BIGINT
+       |UNION ALL SELECT 'inc_lsh_bands',
+       |  ((SELECT c FROM cd) * ${MinHashLsh.Bands})::BIGINT
+       |UNION ALL SELECT 'inc_lsh_sets', (SELECT c FROM cd)::BIGINT
+       |UNION ALL SELECT 'ivfpq_index',
+       |  (SELECT count(*) FROM embeddings)::BIGINT
+       |UNION ALL SELECT 'pq_codes', (SELECT count(*) FROM embeddings)::BIGINT
+       |UNION ALL SELECT 'typo_variants', (SELECT c FROM tv)::BIGINT""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("store_census", storeCensus, Some(storeCensusSql)),
     QueryDef("resumable_funnel", resumableFunnel, Some(resumableFunnelSql)),
     QueryDef("active_learning_loop", activeLearningLoop,
       Some(activeLearningLoopSql)),

@@ -765,6 +765,17 @@ object LlmPipeline extends QueryModule {
     * synthetic near-uniform corpus is the limiting factor (same
     * data-pathology note as `ann_ivf`).
     */
+  /** The stored PQ code frame (one row per corpus vector) — accessor
+    * shared by [[annPq]] and the `store_census` audit row.
+    */
+  private[catalog] def pqCodesStored(spark: SparkSession,
+                                     dir: String): DataFrame =
+    graft.sources.FrameStore
+      .frame(spark, dir, "pq_codes", 1, "embeddings.parquet") {
+        VectorOps.pqEncode(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", PqM, PqCbSize, Dim)
+      }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // the corpus code frame is the PQ INDEX — build-once-serve-many in
@@ -773,10 +784,7 @@ object LlmPipeline extends QueryModule {
     // encode is paid once per corpus, every process and bench attempt
     // after that reads the 32×-compressed codes from parquet; the
     // codebook itself is a bounded 16-row collect re-derived per serve
-    val codes = graft.sources.FrameStore
-      .frame(spark, dir, "pq_codes", 1, "embeddings.parquet") {
-        VectorOps.pqEncode(emb, "vec_id", "embedding", PqM, PqCbSize, Dim)
-      }
+    val codes = pqCodesStored(spark, dir)
     VectorOps.pqTopK(emb, emb.where(col("vec_id") % QueryMod === 0),
       "vec_id", "embedding", PqM, PqCbSize, Dim, PqShortlist, LshK,
       prebuilt = Some(codes))
@@ -797,13 +805,21 @@ object LlmPipeline extends QueryModule {
     * assignment or the encode. Flat `ann_pq` stays in the catalog as
     * the exact-ADC baseline; a spec pins probe-everything ≡ flat-PQ.
     */
+  /** The stored IVFPQ index frame (one row per corpus vector: PQ code +
+    * inverted-list assignment) — accessor shared by [[annIvfPq]] and the
+    * `store_census` audit row.
+    */
+  private[catalog] def ivfPqIndexStored(spark: SparkSession,
+                                        dir: String): DataFrame =
+    graft.sources.FrameStore
+      .frame(spark, dir, "ivfpq_index", 1, "embeddings.parquet") {
+        VectorOps.ivfPqIndex(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", IvfCentroidMod, PqM, PqCbSize, Dim)
+      }
+
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val idx = graft.sources.FrameStore
-      .frame(spark, dir, "ivfpq_index", 1, "embeddings.parquet") {
-        VectorOps.ivfPqIndex(emb, "vec_id", "embedding", IvfCentroidMod,
-          PqM, PqCbSize, Dim)
-      }
+    val idx = ivfPqIndexStored(spark, dir)
     VectorOps.ivfPqTopK(emb, emb.where(col("vec_id") % QueryMod === 0),
       "vec_id", "embedding", IvfCentroidMod, IvfNProbe, PqM, PqCbSize, Dim,
       PqShortlist, LshK, prebuiltIndex = Some(idx))

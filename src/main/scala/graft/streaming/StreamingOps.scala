@@ -281,9 +281,10 @@ object StreamingOps {
     * arriving (doc_id, text) docs is deduped against the committed
     * corpus's STORED LSH index by replaying the batch op's serving path
     * verbatim ([[graft.catalog.Composites.incServe]] inside foreachBatch —
-    * full batch semantics per micro-batch, so the pushed-In band probe,
-    * the bounded ≤batch·Bands key collect, and the exact `array_intersect`
-    * verification are the same code, not a streaming re-derivation).
+    * full batch semantics per micro-batch, so the pushed-In band and set
+    * probes, the LIMIT-bounded key collects, and the exact
+    * `array_intersect` verification are the same code, not a streaming
+    * re-derivation).
     * Output rows (doc_id, n_matches, best_match, best_j_micro, batch_id)
     * land under `path` exactly-once: foreachBatch replays the last
     * uncommitted batch after a crash, and each batch dynamic-overwrites
@@ -291,19 +292,24 @@ object StreamingOps {
     * [[routeBatch]] idempotence contract), so a replay replaces its own
     * earlier partial output and never duplicates.
     *
-    * Scale: per-batch work is batch-sized (signatures + ≤batch·Bands probe
-    * keys); the only corpus-linear leg is the narrow stored-set
-    * verification read, and the stored frames are built ONCE per corpus
-    * fingerprint off the serving path — a 100 TB corpus serves a 100-doc
-    * micro-batch without re-pairing anything. The corpus index is re-read
-    * per batch (stream-static semantics), so a refreshed corpus
-    * fingerprint surfaces on the next micro-batch without restart.
+    * Scale: per-batch serving work is probe-sized (signatures + LIMIT-
+    * bounded pushed-In probes of the stored bands AND sets, semi-join
+    * fallback past the pushdown threshold); the stored frames are built
+    * ONCE per corpus fingerprint off the serving path — a 100 TB corpus
+    * serves a 100-doc micro-batch without re-pairing anything. The stored
+    * index ROOT is re-resolved (re-fingerprinted) inside foreachBatch per
+    * micro-batch, so a corpus regenerated in place surfaces on the next
+    * micro-batch without restarting the stream — the first batch that
+    * sees a new fingerprint pays that index build (attributed via the
+    * FrameStore build note), later batches serve the new bytes.
     */
-  def incDedupStream(stream: DataFrame, storedBands: DataFrame,
-                     storedSets: DataFrame, path: String, checkpoint: String)
+  def incDedupStream(stream: DataFrame, corpusDir: String, path: String,
+                     checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (storedBands, storedSets) = graft.catalog.Composites
+          .incStoredFrames(batch.sparkSession, corpusDir)
         incDedupBatch(batch, batchId, storedBands, storedSets, path)
       }
       .option("checkpointLocation", checkpoint)

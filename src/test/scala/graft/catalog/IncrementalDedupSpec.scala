@@ -68,11 +68,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out.exists(_._2 > 0L), "no delta doc matched — vacuous corpus?")
   }
 
-  test("incremental_dedup: the stored-band probe pushes the band_key In filter") {
-    val df = Composites.incrementalDedup(spark, dir)
-    df.write.format("noop").mode("overwrite").save()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: [In(band_key"),
-      "stored-band scan is not pruned by the delta's band keys")
+  test("incremental_dedup: both stored-artifact probes are In-pruned") {
+    // the candidate probe is materialized (checkpoint truncates it out of
+    // the final plan), so its band_key pushdown is attested through the
+    // PlanTrace side channel — the iterative-operator convention
+    val traceDir = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-plans-").toString
+    spark.conf.set(graft.core.PlanTrace.DirKey, traceDir)
+    try {
+      val df = Composites.incrementalDedup(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      // round-13: the verification leg must be probe-sized too — the
+      // candidate b-ids push In(id) into the id-sorted sets artifact
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [In(id"),
+        "stored-sets scan is not pruned by the candidate ids")
+      val probe = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$traceDir/incremental_dedup_candprobe.txt"))
+      assert(probe.contains("PushedFilters: [In(band_key"),
+        "stored-band scan is not pruned by the delta's band keys")
+    } finally spark.conf.unset(graft.core.PlanTrace.DirKey)
   }
 }

@@ -50,13 +50,12 @@ class IncDedupStreamSpec extends SparkSpec with BeforeAndAfterAll {
     val docs = deltaDocs.select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(docs.length === Composites.IncDeltaDocs)
-    val (storedBands, storedSets) = Composites.incStoredFrames(spark, dir)
-
     val in = MemoryStream[(Long, String)]
     val out = fresh("out")
+    // the stream re-resolves the stored index from the corpus dir per
+    // micro-batch (the refreshed-corpus-without-restart contract)
     val q = StreamingOps.incDedupStream(
-      in.toDF().toDF("doc_id", "text"), storedBands, storedSets,
-      out, fresh("ckpt"))
+      in.toDF().toDF("doc_id", "text"), dir, out, fresh("ckpt"))
     try {
       val (b1, b2) = docs.splitAt(docs.length / 2)
       in.addData(b1.toSeq)
