@@ -1100,10 +1100,10 @@ object Analytics extends QueryModule {
     * into the classic 3-digit segment code — the marketing-warehouse
     * rollup this engine's users run weekly. Quintile boundaries are the
     * exact discrete-rank pick (the `percentiles_exact` integer device) at
-    * 20/40/60/80 over the CUSTOMER-level frame (3–4 orders of magnitude
-    * smaller than the fact table; at 100 TB swap the boundary probe to
-    * the binned quantile sketch — assignment is unchanged), broadcast
-    * back as a 1-row bound set; scores are pure comparisons, so no
+    * 20/40/60/80 over the CUSTOMER-level frame, ranked with the
+    * distributed prefix-sum device ([[graft.operators.PrefixRank]],
+    * round 13 — no single-partition window even on the compact frame),
+    * broadcast back as a 1-row bound set; scores are pure comparisons, so no
     * `ntile` remainder-distribution semantics can differ between engines.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
@@ -1114,11 +1114,15 @@ object Analytics extends QueryModule {
         round(sum(col("o_totalprice")), 2).as("m"))
       .withColumn("r", datediff(col("last_day"), lit("1992-01-01")).cast("long"))
       .drop("last_day")
+    // boundary ranks via the distributed prefix-sum device (round 13): the
+    // former bare Window.orderBy (and the whole-frame count window) ranked
+    // the per-customer frame in ONE task — PrefixRank range-partitions on
+    // (metric, custkey) and ranks each slice locally; n arrives as a
+    // broadcast 1-row aggregate
     def bounds(c: String, tag: String) = {
-      val w = Window.orderBy(col(c), col("o_custkey"))
-      val ranked = perCust
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val ranked = graft.operators.PrefixRank
+        .withRowNumber(perCust, "rn", col(c), col("o_custkey"))
+        .crossJoin(broadcast(perCust.agg(count(lit(1)).as("n"))))
       def pick(q: Int) = max(when(
         col("rn") === expr(s"(n * $q + 99) div 100"), col(c)))
       ranked.agg(pick(20).as(s"${tag}1"), pick(40).as(s"${tag}2"),

@@ -645,9 +645,10 @@ object EvalMetrics extends QueryModule {
     * revenue rank — exact integers end-to-end, products in
     * decimal(38,0)/HUGEINT (n·S passes int64 near 10^9 customers of 10^9
     * cents). Shape: per-customer sums are ONE partial-aggregated shuffle;
-    * the rank window runs over that compact |customers|-row table
-    * (single-partition like `skyline_parts` — the documented 100 TB
-    * swap-in is the range-partitioned prefix-sum of `doc_offsets`). Tied
+    * the rank is the distributed prefix-sum device
+    * ([[graft.operators.PrefixRank]], round 13) — range-partitioned on
+    * (x, custkey), each slice ranked locally, no single-partition
+    * exchange anywhere in the plan. Tied
     * revenues make Σi·xᵢ order-free (equal x across a rank block sums to
     * x·Σi however the block is ordered), so cross-engine ranks need no
     * tiebreak contract.
@@ -656,8 +657,12 @@ object EvalMetrics extends QueryModule {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    per.withColumn("i", row_number().over(w))
+    // ascending revenue rank via the distributed prefix-sum device
+    // (round 13): the former bare Window.orderBy ranked the whole
+    // per-customer frame in ONE task — PrefixRank range-partitions on
+    // (x, custkey) and ranks each slice locally
+    graft.operators.PrefixRank
+      .withRowNumber(per, "i", col("x"), col("o_custkey"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
         sum(col("i").cast(dec) * col("x")).as("six"))
       .select(col("n").as("n_customers"), col("s").as("total_cents"),

@@ -169,19 +169,22 @@ object RankStats extends QueryModule {
     * over an integer ≤ 10⁶, correctly rounded identically in both
     * engines. num² ≤ n⁶ bounds exactness at ~2·10⁶ customers;
     * beyond, stage the division (documented lift, same class as
-    * `auc_rank`'s decimal output). Rank windows run over the compact
-    * per-customer frame (one partial-aggregated shuffle to build).
+    * `auc_rank`'s decimal output). Ranks are computed with the
+    * distributed prefix-sum device ([[graft.operators.PrefixRank]]) —
+    * no single-partition window anywhere in the plan.
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("x"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
-    val r2 = (c: String) =>
-      (rank().over(Window.orderBy(col(c))) * 2
-        + count(lit(1)).over(Window.partitionBy(col(c))) - 1)
     val tot = per.agg(count(lit(1)).as("n"))
-    per.withColumn("rx2", r2("x")).withColumn("ry2", r2("y"))
+    // doubled mid-ranks via the distributed prefix-sum device (round 13):
+    // a bare Window.orderBy would rank the whole per-customer frame in ONE
+    // task — PrefixRank range-partitions on the value and ranks each slice
+    // locally, so the plan holds at 100× the customer count
+    graft.operators.PrefixRank.withRank2(
+        graft.operators.PrefixRank.withRank2(per, "x", "rx2"), "y", "ry2")
       .crossJoin(broadcast(tot))
       .select((col("rx2") - (col("n") + 1)).cast(dec).as("cx"),
         (col("ry2") - (col("n") + 1)).cast(dec).as("cy"),
