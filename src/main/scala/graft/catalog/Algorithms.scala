@@ -426,7 +426,10 @@ object Algorithms extends QueryModule {
     * the variant STRING — never the all-pairs `levenshtein` cross join
     * the oracle runs. At 100 TB the variant index is |corpus|·avg_len
     * rows joined on short keys; the quadratic spec is only ever run by
-    * the oracle.
+    * the oracle. The index is a STORED per-corpus artifact
+    * ([[typoVariants]], round 13) — both join legs serve from the same
+    * stored bytes, and the explode is paid once per corpus fingerprint
+    * (`typo_index_build`), off the serving path.
     *
     * With string keys the candidate set IS the result — no verification
     * and no global dedup (round 12; the r11 hashed-key variant needed
@@ -448,14 +451,30 @@ object Algorithms extends QueryModule {
     *     have equal lengths, insertion/deletion pairs differ by one), so
     *     the union needs no cross-leg dedup.
     */
+  /** The FastSS deletion-variant index behind [[typoJoin]], STORED — a
+    * [[graft.sources.FrameStore]] artifact keyed by the customer corpus
+    * fingerprint (round 13; the bm25_index_build prepare/serve split):
+    * the |corpus|·avg_len-row explode is the linear leg the round-12
+    * scale table measured at exponent 0.94, and it is per-corpus derived
+    * state — built once off the serving path, served from stored bytes
+    * by both join legs. `typo_index_build` is the prepare/census row.
+    */
+  private[graft] def typoVariants(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.FrameStore.frame(
+        spark, dir, "typo_variants", 1, "customer.parquet") {
+      Tables.customer(spark, dir)
+        .select(col("c_name").as("name")).distinct()
+        .select(col("name"), explode(expr(
+          "transform(sequence(0, length(name)-1), " +
+            "i -> struct(i AS pos, concat(substring(name, 1, i), " +
+            "substring(name, i+2)) AS vs))")).as("d"))
+        .select(col("name"), col("d.pos").as("pos"), col("d.vs").as("vs"))
+    }
+
   def typoJoin(spark: SparkSession, dir: String): DataFrame = {
+    val variants = typoVariants(spark, dir)
     val names = Tables.customer(spark, dir)
       .select(col("c_name").as("name")).distinct()
-    val variants = names.select(col("name"), explode(expr(
-        "transform(sequence(0, length(name)-1), " +
-          "i -> struct(i AS pos, concat(substring(name, 1, i), " +
-          "substring(name, i+2)) AS vs))")).as("d"))
-      .select(col("name"), col("d.pos").as("pos"), col("d.vs").as("vs"))
     val subCand = variants.as("a").join(variants.as("b"),
         col("a.pos") === col("b.pos") &&
           col("a.vs") === col("b.vs") &&
@@ -475,6 +494,30 @@ object Algorithms extends QueryModule {
       |SELECT a.name AS w1, b.name AS w2
       |FROM names a JOIN names b
       |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1""".stripMargin
+
+  /** Prepare/census row for the stored FastSS variant index: build (or
+    * fingerprint-validate) [[typoVariants]], then report its census from
+    * the STORED rows — the readout attests the artifact itself, not a
+    * recomputation (the bm25_index_build convention).
+    */
+  def typoIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    typoVariants(spark, dir)
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("name")).as("n_names"),
+        countDistinct(col("vs")).as("n_distinct_vs"),
+        max(col("pos")).cast("long").as("max_pos"))
+
+  private val typoIndexBuildSql =
+    """WITH names AS (SELECT DISTINCT c_name AS name FROM customer),
+      |p AS (SELECT name, unnest(range(0, length(name))) AS pos FROM names),
+      |v AS (SELECT name, pos,
+      |  substring(name, 1, pos::INT) || substring(name, pos::INT + 2) AS vs
+      |  FROM p)
+      |SELECT count(*)::BIGINT AS n_variants,
+      |  count(DISTINCT name)::BIGINT AS n_names,
+      |  count(DISTINCT vs)::BIGINT AS n_distinct_vs,
+      |  CAST(max(pos) AS BIGINT) AS max_pos
+      |FROM v""".stripMargin
 
   /** Time-series gap fill: per-user daily totals, with missing days
     * materialized from a per-user `sequence(min_day, max_day)` spine and
@@ -1056,6 +1099,7 @@ object Algorithms extends QueryModule {
     QueryDef("cms_join_size", cmsJoinSize, Some(cmsJoinSizeSql)),
     QueryDef("skyline_parts", skylineParts, Some(skylineSql)),
     QueryDef("typo_join", typoJoin, Some(typoJoinSql)),
+    QueryDef("typo_index_build", typoIndexBuild, Some(typoIndexBuildSql)),
     QueryDef("gap_fill", gapFill, Some(gapFillSql)),
   )
 }
