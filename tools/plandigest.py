@@ -32,6 +32,21 @@ FLAP (the whitelisted broadcast-strategy class — no action needed). A
 diff against an old single-hash digest falls back to full-hash-only
 comparison (every difference prints CHANGED, as before).
 
+Round 13 adds a THIRD hash (xshape): the shape normalization with
+Exchange/exchange-reuse lines ALSO dropped. It exists for exactly one
+ledgered class — AQE's borderline stats-threshold conversions, where a
+runtime size estimate crossing the broadcast threshold adds/removes an
+Exchange on byte-identical code (rounds 8-12 hand-re-inspected the same
+~7 rows every re-pin). A row prints LEDGERED instead of CHANGED only
+when BOTH gates hold: its xshape hash is unchanged (the delta is
+exchange-only — scans, aggregates, windows, pushed filters, join count
+all identical) AND the query is named in the committed allowlist
+(--ledger tools/flap_ledger.txt; names are added only after a human
+inspection concluded the flip is the benign threshold class). An
+exchange delta on an un-ledgered query stays CHANGED — added shuffles
+are sometimes real regressions, so the intrinsic test alone is not
+enough to silence one.
+
 CartesianProduct is NEVER normalized away — a flap into a cartesian is a
 real change by definition, so the shape normalizer refuses to touch any
 plan containing one.
@@ -116,6 +131,18 @@ def shape_normalize(norm: str) -> str:
     return "\n".join(sorted(out))
 
 
+def xshape_normalize(shaped: str) -> str:
+    # the exchange-insensitive shape: drop Exchange / ReusedExchange lines
+    # (hash AND range partitionings — a borderline AQE conversion can
+    # remove either). Everything else — scans, filters, aggregates,
+    # windows, joins (already collapsed), generators — stays.
+    if "CartesianProduct" in shaped:
+        return shaped
+    return "\n".join(
+        l for l in shaped.splitlines()
+        if not l.startswith("Exchange") and not l.startswith("ReusedExchange"))
+
+
 def digest_dir(plans_dir: str) -> dict:
     digests = {}
     for name in sorted(os.listdir(plans_dir)):
@@ -124,8 +151,10 @@ def digest_dir(plans_dir: str) -> dict:
         with open(os.path.join(plans_dir, name)) as f:
             norm = normalize(f.read())
         full = hashlib.md5(norm.encode()).hexdigest()[:16]
-        shape = hashlib.md5(shape_normalize(norm).encode()).hexdigest()[:16]
-        digests[name[:-4]] = (full, shape)
+        shaped = shape_normalize(norm)
+        shape = hashlib.md5(shaped.encode()).hexdigest()[:16]
+        xshape = hashlib.md5(xshape_normalize(shaped).encode()).hexdigest()[:16]
+        digests[name[:-4]] = (full, shape, xshape)
     return digests
 
 
@@ -135,29 +164,56 @@ def load(path: str) -> dict:
         for line in f:
             parts = line.split()
             if len(parts) == 2:          # pre-round-12 single-hash format
-                out[parts[0]] = (parts[1], None)
-            elif len(parts) == 3:
-                out[parts[0]] = (parts[1], parts[2])
+                out[parts[0]] = (parts[1], None, None)
+            elif len(parts) == 3:        # round-12 two-hash format
+                out[parts[0]] = (parts[1], parts[2], None)
+            elif len(parts) == 4:
+                out[parts[0]] = (parts[1], parts[2], parts[3])
     return out
 
 
+def load_ledger(path: str) -> set:
+    names = set()
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.split("#")[0].strip()
+                if line:
+                    names.add(line.split()[0])
+    except FileNotFoundError:
+        pass
+    return names
+
+
 def main() -> int:
-    if len(sys.argv) == 4 and sys.argv[1] == "--diff":
-        old, new = load(sys.argv[2]), load(sys.argv[3])
+    argv = list(sys.argv[1:])
+    ledger = set()
+    if "--ledger" in argv:
+        i = argv.index("--ledger")
+        ledger = load_ledger(argv[i + 1])
+        del argv[i:i + 2]
+    if len(argv) == 3 and argv[0] == "--diff":
+        old, new = load(argv[1]), load(argv[2])
         both = old.keys() & new.keys()
-        changed, flaps = [], []
+        changed, flaps, ledgered = [], [], []
         for q in sorted(both):
-            (of, os_), (nf, ns) = old[q], new[q]
+            (of, os_, ox), (nf, ns, nx) = old[q], new[q]
             if of == nf:
                 continue
             if os_ is not None and ns is not None and os_ == ns:
                 flaps.append(q)
+            elif (ox is not None and nx is not None and ox == nx
+                  and q in ledger):
+                ledgered.append(q)
             else:
                 changed.append(q)
         added = sorted(new.keys() - old.keys())
         removed = sorted(old.keys() - new.keys())
         for q in changed:
             print(f"CHANGED {q}")
+        for q in ledgered:
+            print(f"LEDGERED {q}  (stats-threshold exchange flap, "
+                  "inspected — see flap_ledger)")
         for q in flaps:
             print(f"FLAP    {q}  (benign broadcast-strategy class)")
         for q in added:
@@ -165,15 +221,17 @@ def main() -> int:
         for q in removed:
             print(f"REMOVED {q}")
         print(f"== {len(changed)} changed, {len(flaps)} flaps, "
+              f"{len(ledgered)} ledgered, "
               f"{len(added)} added, {len(removed)} removed, "
-              f"{len(both) - len(changed) - len(flaps)} stable ==")
+              f"{len(both) - len(changed) - len(flaps) - len(ledgered)} "
+              "stable ==")
         return 0
-    if len(sys.argv) == 3:
-        digests = digest_dir(sys.argv[1])
-        with open(sys.argv[2], "w") as f:
-            for q, (full, shape) in sorted(digests.items()):
-                f.write(f"{q} {full} {shape}\n")
-        print(f"wrote {len(digests)} digests to {sys.argv[2]}")
+    if len(argv) == 2:
+        digests = digest_dir(argv[0])
+        with open(argv[1], "w") as f:
+            for q, (full, shape, xshape) in sorted(digests.items()):
+                f.write(f"{q} {full} {shape} {xshape}\n")
+        print(f"wrote {len(digests)} digests to {argv[1]}")
         return 0
     print(__doc__)
     return 1
