@@ -1107,22 +1107,31 @@ object Analytics extends QueryModule {
     * `ntile` remainder-distribution semantics can differ between engines.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val perCust = Tables.orders(spark, dir)
+    // materialized ONCE: the frame feeds seven consumers (three ranked
+    // boundary probes, each also needing the total count, plus the final
+    // scoring pass) — without the checkpoint each bounds() call would
+    // re-run the orders groupBy twice (measured 2.9 s vs 1.3 s at sf0.1)
+    val perCust = graft.core.Materialize(Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max(expr("CAST(o_orderdate AS DATE)")).as("last_day"),
         count(lit(1)).as("f"),
         round(sum(col("o_totalprice")), 2).as("m"))
       .withColumn("r", datediff(col("last_day"), lit("1992-01-01")).cast("long"))
-      .drop("last_day")
+      .drop("last_day"))
     // boundary ranks via the distributed prefix-sum device (round 13): the
     // former bare Window.orderBy (and the whole-frame count window) ranked
     // the per-customer frame in ONE task — PrefixRank range-partitions on
     // (metric, custkey) and ranks each slice locally; n arrives as a
     // broadcast 1-row aggregate
+    val nDf = perCust.agg(count(lit(1)).as("n"))
     def bounds(c: String, tag: String) = {
+      // rank only the (metric, key) projection — the prefix-sum pass
+      // should never carry the other metrics' columns through its
+      // checkpoint and shuffle
       val ranked = graft.operators.PrefixRank
-        .withRowNumber(perCust, "rn", col(c), col("o_custkey"))
-        .crossJoin(broadcast(perCust.agg(count(lit(1)).as("n"))))
+        .withRowNumber(perCust.select(col(c), col("o_custkey")), "rn",
+          col(c), col("o_custkey"))
+        .crossJoin(broadcast(nDf))
       def pick(q: Int) = max(when(
         col("rn") === expr(s"(n * $q + 99) div 100"), col(c)))
       ranked.agg(pick(20).as(s"${tag}1"), pick(40).as(s"${tag}2"),

@@ -174,10 +174,13 @@ object RankStats extends QueryModule {
     * no single-partition window anywhere in the plan.
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.orders(spark, dir)
+    // materialized once: the frame feeds the x-rank pass and the total
+    // count (the y-rank pass chains off the x result), so without the
+    // checkpoint the orders groupBy would run twice
+    val per = graft.core.Materialize(Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("x"),
-        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y")))
     val tot = per.agg(count(lit(1)).as("n"))
     // doubled mid-ranks via the distributed prefix-sum device (round 13):
     // a bare Window.orderBy would rank the whole per-customer frame in ONE
