@@ -1388,6 +1388,149 @@ object LlmPipeline extends QueryModule {
        |    AS n_contaminated
        |FROM documents WHERE doc_id % 97 <> 0 GROUP BY source""".stripMargin
 
+  // ---- shared-span extent (exact-substring dedup signal) ------------------
+  /** Within-doc multiplicity cap for positional grams: a gram occurring
+    * more than this many times inside ONE doc is dropped from the span
+    * match (both engines) — the occ_A×occ_B positional-match product is a
+    * quadratic risk, and hyper-repeated grams ("spam spam spam …") are
+    * exactly where it detonates. Runs through a dropped gram split, so the
+    * reported span is a LOWER bound there — the conservative direction for
+    * a dedup/contamination-extent audit.
+    */
+  private val SpanMaxOcc = 8
+
+  /** Document-frequency cap: a gram carried (post-occ-cap) by more than
+    * this many DOCS is boilerplate (headers, licenses, templates) and is
+    * dropped before pairing — the second quadratic risk (df² pairs per
+    * gram). Both caps together give the pair join a FIXED per-gram budget:
+    * ≤ df²·occ² = (50·8)² positional matches per gram, independent of
+    * corpus size.
+    */
+  private val SpanDfCap = 50
+
+  /** Shared-span EXTENT: for every doc pair sharing a word 8-gram, the
+    * length in tokens of the longest contiguous token run the two docs
+    * share. [[spanDedup]] answers "what fraction of a doc's 8-grams are
+    * owned elsewhere"; this answers "HOW LONG is the longest verbatim
+    * overlap" — the quantity the exact-substring dedup line of work
+    * (suffix-array dedup over training corpora; Lee et al. 2021, public)
+    * acts on, re-expressed relationally: a run of L consecutive matching
+    * 8-gram start positions at one constant positional offset IS a shared
+    * span of L+7 tokens, so longest-span = a gaps-and-islands pass over
+    * matched positions. Downstream policy cuts on span_tokens (e.g. "strip
+    * any shared span ≥ 50 tokens"); filtering pairs that cross a
+    * train/eval split boundary makes it the contamination-extent audit.
+    *
+    * Scale shape: each self-join side pays exactly ONE corpus-sized
+    * exchange — the positional grams repartition on the 48-bit gram hash,
+    * and both cap windows ride that same clustering (hash-partitioning on
+    * `hg` satisfies the (hg, doc_id) window's clustered distribution), so
+    * the join consumes two already-hg-clustered inputs with no further
+    * corpus-sized exchange (the classic two-pass self-join trade, as in
+    * [[decontaminate]]'s two shingle passes: recompute beats a checkpoint
+    * write of the whole exploded frame; AQE broadcasts the build side
+    * while the capped frame fits, sort-merges past that). The pair join's
+    * output is budgeted per gram by the two caps (scaladoc on
+    * [[SpanMaxOcc]]/[[SpanDfCap]]); every post-join exchange — island
+    * window on (a, b, diag), pair rollup — is match-sized, never
+    * corpus-sized.
+    */
+  def dupSpanExtent(spark: SparkSession, dir: String): DataFrame =
+    dupSpanExtentFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[dupSpanExtent]] — unit-tested in DedupSpec. */
+  def dupSpanExtentFrame(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // positional 8-grams WITH multiplicity (runs need every occurrence),
+    // hashed to 48 bits so matching carries 8-byte keys, not ~50-byte
+    // grams. toks materializes before the generator and the gram
+    // expression stays INSIDE it — the explodeShingles/decontaminate shape
+    // (see the InferFiltersFromGenerate note there).
+    val ph = documents
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.ngrams(col("toks"), DecontamN))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PortableHash.h48(col("gram")).as("hg"))
+      .repartition(col("hg"))
+    // cap 1: within-doc occurrence — the (hg, doc_id) window rides the hg
+    // clustering (no new exchange). cap 2: document frequency of the
+    // SURVIVORS — dense_rank over doc_id inside each hg partition counts
+    // distinct docs without a second aggregate pass.
+    val occ = count(lit(1))
+      .over(Window.partitionBy(col("hg"), col("doc_id")))
+    val capped = ph.withColumn("occ", occ)
+      .filter(col("occ") <= SpanMaxOcc)
+    val dr = dense_rank()
+      .over(Window.partitionBy(col("hg")).orderBy(col("doc_id")))
+    val df = max(col("dr")).over(Window.partitionBy(col("hg")))
+    val keep = capped.withColumn("dr", dr).withColumn("df", df)
+      .filter(col("df") <= SpanDfCap)
+      .select(col("doc_id"), col("pos"), col("hg"))
+    // pair matches (a < b): both sides carry the hg clustering, so this is
+    // a sort-merge with zero additional exchanges
+    val a = keep.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("hg"))
+    val b = keep.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("hg"))
+    val m = a.join(b, Seq("hg")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    // gaps-and-islands: consecutive matched positions at one offset are
+    // one island; island size + (N-1) = shared span in tokens
+    val runW = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m.withColumn("island", col("pa") - row_number().over(runW))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + lit(DecontamN - 1L)).as("span_tokens"),
+        sum(col("run")).as("n_matched_grams"))
+  }
+
+  private val dupSpanExtentSql = {
+    val w = graft.functions.TextFns.tokensSql("text")
+    val gs = graft.functions.TextFns.ngramsSql("w", DecontamN)
+    val h = graft.functions.PortableHash.h48Sql("gram")
+    s"""WITH t AS (
+       |  SELECT doc_id, $w AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, $gs AS gs FROM t
+       |), ph AS (
+       |  SELECT doc_id, pos, $h AS hg FROM (
+       |    SELECT doc_id, unnest(gs) AS gram, generate_subscripts(gs, 1) AS pos
+       |    FROM g)
+       |), capped AS (
+       |  SELECT doc_id, pos, hg FROM (
+       |    SELECT doc_id, pos, hg,
+       |      count(*) OVER (PARTITION BY hg, doc_id) AS occ FROM ph)
+       |  WHERE occ <= $SpanMaxOcc
+       |), keep AS (
+       |  SELECT doc_id, pos, hg FROM (
+       |    SELECT doc_id, pos, hg,
+       |      max(dr) OVER (PARTITION BY hg) AS df FROM (
+       |      SELECT doc_id, pos, hg,
+       |        dense_rank() OVER (PARTITION BY hg ORDER BY doc_id) AS dr
+       |      FROM capped))
+       |  WHERE df <= $SpanDfCap
+       |), m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |    a.pos - b.pos AS diag
+       |  FROM keep a JOIN keep b ON a.hg = b.hg AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT doc_a, doc_b, count(*) AS run
+       |  FROM (
+       |    SELECT doc_a, doc_b, diag,
+       |      pa - row_number() OVER (
+       |        PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |    FROM m)
+       |  GROUP BY doc_a, doc_b, diag, island
+       |)
+       |SELECT doc_a, doc_b,
+       |  (max(run) + ${DecontamN - 1})::BIGINT AS span_tokens,
+       |  sum(run)::BIGINT AS n_matched_grams
+       |FROM runs GROUP BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- incremental ingestion dedup ----------------------------------------
   private val IngestN = 8
 
@@ -2858,6 +3001,7 @@ object LlmPipeline extends QueryModule {
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("dup_span_extent", dupSpanExtent, Some(dupSpanExtentSql)),
     QueryDef("ingest_dedup", ingestDedup, Some(ingestDedupSql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalSql)),
     QueryDef("image_decode", imageDecode, Some(imageDecodeSql)),

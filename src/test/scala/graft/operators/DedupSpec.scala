@@ -67,6 +67,45 @@ class DedupSpec extends SparkSpec {
       (0L, 2L, 0L, 0.0), (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0)))
   }
 
+  test("shared-span extent: longest run exact, islands summed, disjoint docs absent") {
+    // a 20-token span S shared verbatim by docs 0 and 1, embedded in
+    // unrelated prefixes/suffixes; doc 2 shares nothing. 13 consecutive
+    // matching 8-gram starts → span = 13 + 7 = 20 tokens.
+    val s = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, (1 to 9).map(i => s"p$i").mkString(" ") + " " + s),
+      (1L, s + " " + (1 to 9).map(i => s"q$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.catalog.LlmPipeline.dupSpanExtentFrame(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 20L, 13L)))
+  }
+
+  test("shared-span extent: two separate shared runs report max span, total grams") {
+    // two shared runs of 10 and 12 tokens (3 and 5 matching 8-gram starts)
+    // separated by doc-unique interludes → span = 12, n_matched_grams = 8
+    val r1 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val r2 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, r1 + " " + (1 to 8).map(i => s"x$i").mkString(" ") + " " + r2),
+      (1L, r2 + " " + (1 to 8).map(i => s"y$i").mkString(" ") + " " + r1))
+      .toDF("doc_id", "text")
+    val out = graft.catalog.LlmPipeline.dupSpanExtentFrame(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 12L, 8L)))
+  }
+
+  test("shared-span extent: boilerplate gram carried by >50 docs is dropped") {
+    // 52 docs all embedding the same 8-token phrase inside unique filler:
+    // df = 52 > 50 → the gram pairs nobody, so no output rows at all
+    val phrase = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = (0 until 52).map(d =>
+      (d.toLong, s"u${d}a u${d}b " + phrase + s" v${d}a v${d}b"))
+      .toDF("doc_id", "text")
+    assert(graft.catalog.LlmPipeline.dupSpanExtentFrame(docs).count() == 0L)
+  }
+
   test("SimHash: same token set → Hamming 0; banded pairs equal brute force") {
     val rnd = new Random(5)
     val vocab = (0 until 12).map(i => s"w$i")
