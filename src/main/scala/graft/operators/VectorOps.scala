@@ -474,7 +474,8 @@ object VectorOps {
     * over quantized integers (|c_j|² was a precomputed literal before;
     * dot_q(c, c) computes the same value). Higher-order functions are
     * eval-mode, but this projection only ever runs over the bounded QUERY
-    * frame — the corpus-sized encode keeps its codegen form.
+    * frame; [[pqEncode]] applies the same device to the corpus-sized
+    * build for the same reason (its inlined form failed identically).
     */
   private def adcLut(qq: Column, mi: Int, sub: Int,
                      cbMi: Array[Array[Long]]): Column = {
