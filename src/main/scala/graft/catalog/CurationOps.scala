@@ -35,34 +35,17 @@ object CurationOps extends QueryModule {
     * and keys ≡7 (mod 9) spawn a new key (+10⁹) insert.
     *
     * Scale shape: ONE window pass partitioned by key (latest-seq-wins is
-    * `row_number` over seq DESC), no join at all — the union of snapshot
-    * and log shuffles once on the key, exactly how a 100 TB MERGE shapes
-    * when the log is a meaningful fraction of the table. (When the log is
+    * `row_number` over seq DESC), no join at all — snapshot and log flow
+    * from a single table scan ([[changeLegs]]) and shuffle once on the
+    * key, exactly how a 100 TB MERGE shapes when the log is a meaningful
+    * fraction of the table. (When the log is
     * tiny relative to the table, [[IoCatalog.upsertPartitioned]]'s
     * touched-partition rewrite is the right tool — these are the two ends
     * of the same maintenance spectrum.) Prices in exact integer cents
     * (`floor(p·100 + 0.5)` — identical IEEE in both engines).
     */
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val snap = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
-      lit(0L).as("seq"), lit("I").as("op"))
-    val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
-      .select(col("k"), col("status"), (col("price_cents") + 111).as("price_cents"),
-        lit(1L).as("seq"), lit("U").as("op"))
-    val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
-      .select(col("k"), col("status"), (col("price_cents") + 222).as("price_cents"),
-        lit(2L).as("seq"), lit("U").as("op"))
-    val del = snap.where(pmod(col("k"), lit(9)) === 4)
-      .select(col("k"), col("status"), col("price_cents"),
-        lit(1L).as("seq"), lit("D").as("op"))
-    val ins = snap.where(pmod(col("k"), lit(9)) === 7)
-      .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
-        (col("price_cents") + 5).as("price_cents"),
-        lit(1L).as("seq"), lit("I").as("op"))
-    val all = snap.unionByName(u1).unionByName(u2)
-      .unionByName(del).unionByName(ins)
+    val all = changeLegs(cdcSnapshot(spark, dir), withSnapshot = true)
     val latest = all
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
@@ -70,6 +53,54 @@ object CurationOps extends QueryModule {
     latest.groupBy(col("status"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price_cents")).as("sum_price_cents"))
+  }
+
+  /** The (k, status, price_cents) snapshot projection the three CDC-family
+    * queries (cdc_apply / ivm_agg / snapshot_diff) all start from.
+    */
+  private[catalog] def cdcSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+
+  /** The deterministic CDC change log shared by cdc_apply / ivm_agg /
+    * snapshot_diff, derived in ONE pass over the snapshot instead of one
+    * scan per leg: each snapshot row emits its legs as a conditional array
+    * of (k, status, price_cents, seq, op) structs that a single generator
+    * explodes — the identical row multiset to the former four union
+    * branches (same mod-9 filters, same arithmetic, same types), but the
+    * table is read once. Four full-table scans per query is exactly the
+    * "passes you don't need" shape at 100 TB (each union branch re-decoded
+    * the whole parquet table); with `withSnapshot` the snapshot itself
+    * rides along as the seq-0 insert leg, making cdc_apply's ENTIRE input
+    * one scan (was five).
+    */
+  private[catalog] def changeLegs(snap: DataFrame,
+      withSnapshot: Boolean): DataFrame = {
+    def leg(k: Column, status: Column, cents: Column,
+            seq: Long, op: String): Column =
+      struct(k.as("k"), status.as("status"), cents.as("price_cents"),
+        lit(seq).as("seq"), lit(op).as("op"))
+    val m9 = pmod(col("k"), lit(9))
+    val legs = Seq(
+      when(m9 === 1,
+        leg(col("k"), col("status"), col("price_cents") + 111, 1L, "U")),
+      when(m9 === 1,
+        leg(col("k"), col("status"), col("price_cents") + 222, 2L, "U")),
+      when(m9 === 4,
+        leg(col("k"), col("status"), col("price_cents"), 1L, "D")),
+      when(m9 === 7,
+        leg(col("k") + 1000000000L, lit("N"), col("price_cents") + 5,
+          1L, "I")))
+    val all =
+      if (withSnapshot)
+        leg(col("k"), col("status"), col("price_cents"), 0L, "I") +: legs
+      else legs
+    snap
+      .select(explode(filter(array(all: _*), c => c.isNotNull)).as("c"))
+      .select(col("c.k").as("k"), col("c.status").as("status"),
+        col("c.price_cents").as("price_cents"), col("c.seq").as("seq"),
+        col("c.op").as("op"))
   }
 
   private val cdcApplySql =
@@ -351,28 +382,12 @@ object CurationOps extends QueryModule {
     * full recomputation.
     */
   def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
-    val snap = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val snap = cdcSnapshot(spark, dir)
     val base = snap.groupBy(col("status"))
       .agg(count(lit(1)).as("bn"), sum(col("price_cents")).as("bc"))
-    // the cdc_apply change log, minus the snapshot itself
-    val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
-      .select(col("k"), col("status"),
-        (col("price_cents") + 111).as("price_cents"),
-        lit(1L).as("seq"), lit("U").as("op"))
-    val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
-      .select(col("k"), col("status"),
-        (col("price_cents") + 222).as("price_cents"),
-        lit(2L).as("seq"), lit("U").as("op"))
-    val del = snap.where(pmod(col("k"), lit(9)) === 4)
-      .select(col("k"), col("status"), col("price_cents"),
-        lit(1L).as("seq"), lit("D").as("op"))
-    val ins = snap.where(pmod(col("k"), lit(9)) === 7)
-      .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
-        (col("price_cents") + 5).as("price_cents"),
-        lit(1L).as("seq"), lit("I").as("op"))
-    val latestLog = u1.unionByName(u2).unionByName(del).unionByName(ins)
+    // the cdc_apply change log, minus the snapshot itself — one scan
+    // ([[changeLegs]]), not one per leg
+    val latestLog = changeLegs(snap, withSnapshot = false)
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
       .where(col("rn") === 1)
@@ -440,25 +455,9 @@ object CurationOps extends QueryModule {
     * as base − touched, a subtraction on the ≤|status| rollup.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val snap = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
-    val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
-      .select(col("k"), col("status"),
-        (col("price_cents") + 111).as("price_cents"),
-        lit(1L).as("seq"), lit("U").as("op"))
-    val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
-      .select(col("k"), col("status"),
-        (col("price_cents") + 222).as("price_cents"),
-        lit(2L).as("seq"), lit("U").as("op"))
-    val del = snap.where(pmod(col("k"), lit(9)) === 4)
-      .select(col("k"), col("status"), col("price_cents"),
-        lit(1L).as("seq"), lit("D").as("op"))
-    val ins = snap.where(pmod(col("k"), lit(9)) === 7)
-      .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
-        (col("price_cents") + 5).as("price_cents"),
-        lit(1L).as("seq"), lit("I").as("op"))
-    val latest = u1.unionByName(u2).unionByName(del).unionByName(ins)
+    val snap = cdcSnapshot(spark, dir)
+    // the shared change log in one scan ([[changeLegs]]), not one per leg
+    val latest = changeLegs(snap, withSnapshot = false)
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
       .where(col("rn") === 1)

@@ -32,6 +32,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.contains("N"))
   }
 
+  test("changeLegs: one-scan log equals the literal four-union change log") {
+    val snap = CurationOps.cdcSnapshot(spark, dir)
+      .withColumnRenamed("price_cents", "pc")
+      .select(col("k"), col("status"), col("pc").as("price_cents"))
+    def unionForm: org.apache.spark.sql.DataFrame = {
+      val u1 = snap.where(pmod(col("k"), lit(9)) === 1)
+        .select(col("k"), col("status"),
+          (col("price_cents") + 111).as("price_cents"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val u2 = snap.where(pmod(col("k"), lit(9)) === 1)
+        .select(col("k"), col("status"),
+          (col("price_cents") + 222).as("price_cents"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val del = snap.where(pmod(col("k"), lit(9)) === 4)
+        .select(col("k"), col("status"), col("price_cents"),
+          lit(1L).as("seq"), lit("D").as("op"))
+      val ins = snap.where(pmod(col("k"), lit(9)) === 7)
+        .select((col("k") + 1000000000L).as("k"), lit("N").as("status"),
+          (col("price_cents") + 5).as("price_cents"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      u1.unionByName(u2).unionByName(del).unionByName(ins)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sorted.toSeq
+    // legs only (ivm_agg / snapshot_diff form)
+    assert(key(CurationOps.changeLegs(snap, withSnapshot = false)) ===
+      key(unionForm))
+    // with the snapshot riding along as the seq-0 insert leg (cdc_apply)
+    val snapLeg = snap.select(col("k"), col("status"), col("price_cents"),
+      lit(0L).as("seq"), lit("I").as("op"))
+    assert(key(CurationOps.changeLegs(snap, withSnapshot = true)) ===
+      key(unionForm.unionByName(snapLeg)))
+    // names and types identical to the union form (nullability flags
+    // differ: legs pass through `when(...)`, so the planner marks them
+    // nullable — values are never null, as the row comparison above pins)
+    assert(CurationOps.changeLegs(snap, withSnapshot = false).schema
+      .map(f => (f.name, f.dataType)) ===
+      unionForm.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("pad_efficiency: caps are powers of two and the slot algebra closes") {
     val rows = CurationOps.padEfficiency(spark, dir).collect()
     assert(rows.nonEmpty)
