@@ -285,14 +285,15 @@ object Composites extends QueryModule {
     * signal), and the summed vote margin (uncertainty mass) — all exact
     * integers.
     *
-    * Scale: per round ONE |pool|×|labeled| broadcast cross-score
-    * (labeled ≤ seed + rounds·batch rows — bounded, never
-    * corpus-sized), a per-pool-vector top-[[AlK]] window, and a
-    * distributed `TakeOrdered` for the batch cut (orderBy+limit — no
-    * global sort materialized). Driver-side state is the labeled ROSTER
-    * (bounded as above) and the ≤[[AlBatch]]-row acquisition — the
-    * bradley_terry bounded-collect class. The DuckDB twin unrolls the
-    * identical [[AlRounds]] rounds as a CTE chain.
+    * Scale: per round ONE map-only pass over the pool — the bounded
+    * labeled roster (≤ seed + rounds·batch rows) enters the plan as a
+    * literal array and each pool vector computes its top-[[AlK]] vote
+    * locally (array HOFs over ≤roster-length arrays; no pair shuffle,
+    * no window) — then a distributed `TakeOrdered` for the batch cut
+    * (orderBy+limit — no global sort materialized). Driver-side state is
+    * the labeled ROSTER (bounded as above) and the ≤[[AlBatch]]-row
+    * acquisition — the bradley_terry bounded-collect class. The DuckDB
+    * twin unrolls the identical [[AlRounds]] rounds as a CTE chain.
     */
   def activeLearningLoop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -301,55 +302,64 @@ object Composites extends QueryModule {
     // per (pool, labeled) pair instead of three — the exact sums are
     // unchanged, so the float tail (sqrt·sqrt, divide, round) is
     // bit-identical to the oracle's per-pair norm recompute
-    // memoized + persisted: the loop body launches ~3 jobs per round
-    // (pool score, acquisition collect, label fold-in), every one of
-    // which would otherwise re-scan parquet and re-quantize — the frame
-    // is (vec_id, label, 64-long qv, nq), small enough to pin columnar
+    // memoized + persisted: every round's acquisition pass would
+    // otherwise re-scan parquet and re-quantize — the frame is
+    // (vec_id, label, 64-long qv, nq), small enough to pin columnar
     val emb = graft.core.Shared.memo(spark, "al_emb_q", dir, persist = true) {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
           VectorOps.quantize(col("embedding")).as("qv"))
         .withColumn("nq", expr("dot_q(qv, qv)"))
     }
-    val sU = expr("CAST(round(1000000e0 * (CAST(dot_q(qv, l_qv) AS DOUBLE)" +
-      " / (sqrt(CAST(nq AS DOUBLE))" +
-      " * sqrt(CAST(l_nq AS DOUBLE))))) AS BIGINT)")
     var labeled: Seq[(Long, Int, Seq[Long], Long)] =
       VectorOps.auditSample(emb, "vec_id", AlSeedBudget)
         .select(col("vec_id"), col("label"), col("qv"), col("nq"))
         .as[(Long, Int, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    // each round is ONE map-only pass + a TakeOrdered: the labeled roster
+    // (bounded: ≤ seed + rounds·batch rows) rides into the plan as a
+    // literal array and every pool row computes its own top-[[AlK]] vote
+    // locally with array HOFs — the former crossJoin → rank-window →
+    // vote-groupBy → majority-window chain shuffled |pool|·|labeled|
+    // scored rows per round and replayed its subtree twice (top1/top2
+    // legs). Exact same integers: the struct sort key (-s_u, l_id)
+    // replays the (s_u DESC, l_id ASC) rank order, the vote sort
+    // (-v, l_label) the (v DESC, l_label ASC) majority order, and the
+    // per-element dot/norm arithmetic is the identical expression tree.
+    // The acquisition collect carries (qv, nq) so the fold-in needs no
+    // second job; still the bradley_terry ≤AlBatch-row bounded class.
     val stats = (1 to AlRounds).map { r =>
       val nLabeled = labeled.size.toLong
-      val lDf = labeled.toDF("l_id", "l_label", "l_qv", "l_nq")
-      val pool = emb.join(broadcast(lDf.select(col("l_id").as("vec_id"))),
+      val lIds = labeled.map(_._1)
+      val pool = emb.join(broadcast(lIds.toDF("vec_id")),
         Seq("vec_id"), "left_anti")
-      val scored = pool.crossJoin(broadcast(lDf))
-        .select(col("vec_id"), col("label"), col("l_id"), col("l_label"),
-          sU.as("s_u"))
-      val wN = Window.partitionBy(col("vec_id"))
-        .orderBy(col("s_u").desc, col("l_id"))
-      val votes = scored.withColumn("rk", row_number().over(wN))
-        .where(col("rk") <= AlK)
-        .groupBy(col("vec_id"), col("label"), col("l_label"))
-        .agg(count(lit(1)).as("v"))
-      val wV = Window.partitionBy(col("vec_id"))
-        .orderBy(col("v").desc, col("l_label"))
-      val ranked = votes.withColumn("vr", row_number().over(wV))
-      val top1 = ranked.where(col("vr") === 1)
+      val top = expr(
+        s"""slice(array_sort(transform(lab, l -> struct(
+           |  -CAST(round(1000000e0 * (CAST(dot_q(qv, l._3) AS DOUBLE)
+           |    / (sqrt(CAST(nq AS DOUBLE))
+           |    * sqrt(CAST(l._4 AS DOUBLE))))) AS BIGINT) AS ns,
+           |  l._1 AS l_id, l._2 AS l_label))), 1, $AlK)""".stripMargin)
+      val acqDf = pool
+        .withColumn("lab", typedLit(labeled))
+        .withColumn("top", top)
+        .withColumn("cnts", expr(
+          "array_sort(transform(array_distinct(transform(top, x -> x.l_label)), " +
+            "lb -> struct(-size(filter(top, x -> x.l_label = lb)) AS nv, lb AS lb)))"))
         .select(col("vec_id"), col("label"),
-          col("l_label").as("maj_label"), col("v").as("v1"))
-      val top2 = ranked.where(col("vr") === 2)
-        .select(col("vec_id"), col("v").as("v2"))
-      val acquired = top1.join(top2, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label"), col("maj_label"),
-          (col("v1") - coalesce(col("v2"), lit(0L))).as("margin"))
+          expr("element_at(cnts, 1).lb").as("maj_label"),
+          expr("CAST(-element_at(cnts, 1).nv AS BIGINT)" +
+            " - IF(size(cnts) > 1, CAST(-element_at(cnts, 2).nv AS BIGINT), 0L)")
+            .as("margin"),
+          col("qv"), col("nq"))
         .orderBy(col("margin").asc, col("vec_id").asc)
         .limit(AlBatch)
-        .as[(Long, Int, Int, Long)].collect().toSeq // ≤ AlBatch rows
-      val ids = acquired.map(_._1)
-      labeled = labeled ++ emb.where(col("vec_id").isin(ids: _*))
-        .select(col("vec_id"), col("label"), col("qv"), col("nq"))
-        .as[(Long, Int, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+      val acquired =
+        acqDf.as[(Long, Int, Int, Long, Seq[Long], Long)].collect().toSeq // ≤ AlBatch rows
+      // the loop's returned frame is a LocalTableScan, so the round body
+      // (where the former pair shuffle lived) is only auditable through
+      // the per-round capture — the Bfs/PageRank convention
+      graft.core.PlanTrace.capture(acqDf, s"active_learning_loop_round$r")
+      labeled = labeled ++
+        acquired.map(a => (a._1, a._2, a._5, a._6)).sortBy(_._1)
       (r.toLong, nLabeled, acquired.size.toLong,
         acquired.count(a => a._3 != a._2).toLong,
         acquired.map(_._4).sum)

@@ -1805,12 +1805,40 @@ object LlmPipeline extends QueryModule {
     * iterations, first-k-by-id init. The cluster column feeds per-topic
     * sampling the way [[stratifiedSample]] feeds per-source sampling.
     */
+  // one quantized (vec_id, qv) copy of the embedding corpus, shared by the
+  // Lloyd fit, the assignment and the silhouette readout — each formerly
+  // paid its own quantize + checkpoint of the same bytes
+  private def kmQv(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Shared.memo(spark, "kmeans_qv", dir) {
+      graft.operators.KMeans.quantizedFrame(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+    }
+
+  /** The fitted centroids as a per-corpus shared artifact (prepare/serve
+    * split): the Lloyd iterations — `KmIters` full corpus passes each — run
+    * once per process inside the memo build and every consumer
+    * (kmeans_cluster, kmeans_silhouette, cluster_sample, semantic_dedup,
+    * cluster_prune) serves from the k-row result. Collecting k = [[KmK]]
+    * rows per call keeps cost attribution honest: a cold attempt pays the
+    * fit inside the memo (visible in `shared_builds`), a warm one pays a
+    * k-row read, and [[graft.core.Shared.clear]] restores the cold path.
+    */
+  private def kmCentroids(spark: SparkSession, dir: String): Array[Array[Long]] = {
+    val df = graft.core.Shared.memo(spark, "kmeans_centroids", dir) {
+      import spark.implicits._
+      val cents = graft.operators.KMeans.fit(kmQv(spark, dir), KmK, KmIters)
+      cents.zipWithIndex.toSeq
+        .map { case (c, j) => (j.toLong, c.toSeq) }.toDF("cid", "cv")
+    }
+    df.orderBy(col("cid")).collect().map(_.getSeq[Long](1).toArray)
+  }
+
   def kmeansCluster(spark: SparkSession, dir: String): DataFrame =
     // memoized: cluster_sample and semantic_dedup re-consume the same
     // assignment instead of re-running Lloyd's iterations
     graft.core.Shared.memo(spark, "kmeans_assignment", dir) {
-      graft.operators.KMeans.cluster(
-        Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+      graft.operators.KMeans.assign(
+        kmQv(spark, dir), kmCentroids(spark, dir))
     }
 
   private val kmeansClusterSql =
@@ -1824,8 +1852,11 @@ object LlmPipeline extends QueryModule {
     * the clustering-side sibling of [[labelSeparation]].
     */
   def kmeansSilhouette(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.KMeans.silhouette(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    // serves from the SAME shared quantized frame + fitted centroids as
+    // [[kmeansCluster]] — formerly re-ran the full Lloyd fit (KmIters
+    // corpus passes) just to audit a clustering that was already computed
+    graft.operators.KMeans.silhouetteFrom(
+      kmQv(spark, dir), kmCentroids(spark, dir))
 
   private val kmeansSilhouetteSql =
     graft.operators.KMeans.silhouetteSql("embeddings", "vec_id", "embedding",

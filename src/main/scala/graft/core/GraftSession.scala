@@ -22,14 +22,15 @@ object GraftSession {
   def builder(cpus: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
-      // engine-native Catalyst extensions (SURVEY §4): two custom codegen
+      // engine-native Catalyst extensions (SURVEY §4): three custom codegen
       // Expressions (fused portable hash md5_hash48; integer dot product
-      // dot_q) plus a SQL registration for Spark's own
-      // BloomFilterMightContain probe
+      // dot_q; vector quantization quantize_q) plus a SQL registration for
+      // Spark's own BloomFilterMightContain probe
       .withExtensions { ext =>
         ext.injectFunction(graft.functions.Md5Hash48.registration)
         ext.injectFunction(graft.functions.BloomProbe.registration)
         ext.injectFunction(graft.functions.DotQ.registration)
+        ext.injectFunction(graft.functions.QuantizeQ.registration)
       }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

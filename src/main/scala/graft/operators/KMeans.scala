@@ -36,6 +36,16 @@ object KMeans {
     assign(v, fit(v, k, iters))
   }
 
+  /** The quantized (vec_id, qv) projection WITHOUT the internal
+    * checkpoint — for callers that materialize/memoize it themselves
+    * ([[graft.catalog.LlmPipeline]] shares ONE copy across the cluster,
+    * silhouette and every downstream consumer instead of each paying its
+    * own quantize + checkpoint).
+    */
+  def quantizedFrame(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      VectorOps.quantize(col(vecCol)).as("qv"))
+
   /** Simplified silhouette audit of the SAME deterministic Lloyd run as
     * [[cluster]]: per point, a = distance to its own (nearest) centroid
     * and b = distance to the second-nearest — because assignment IS
@@ -51,7 +61,14 @@ object KMeans {
   def silhouette(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                  iters: Int): DataFrame = {
     val v = quantized(emb, idCol, vecCol)
-    val cents = fit(v, k, iters)
+    silhouetteFrom(v, fit(v, k, iters))
+  }
+
+  /** The silhouette readout given an already-quantized frame and the
+    * fitted centroids — the serve half of the prepare/serve split: one
+    * map-only distance pass + a k-bounded aggregate, no Lloyd re-run.
+    */
+  def silhouetteFrom(v: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val dot = (a: Column, b: Column) => call_function("dot_q", a, b)
     val nx = dot(col("qv"), col("qv"))
     val entries = cents.zipWithIndex.map { case (c, j) =>
@@ -81,7 +98,7 @@ object KMeans {
     * among seeds; `iters` assign/update rounds. The k·dim sum table is
     * the ONLY driver collect.
     */
-  private def fit(v: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+  def fit(v: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = v.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(cents.length == k,
@@ -107,7 +124,7 @@ object KMeans {
     * (exact integers, so algebraically interchangeable with Σ(xᵢ−cᵢ)² —
     * the oracle uses the latter).
     */
-  private def assign(v: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+  def assign(v: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val dot = (a: Column, b: Column) => call_function("dot_q", a, b)
     val nx = dot(col("qv"), col("qv"))
     val entries = cents.zipWithIndex.map { case (c, j) =>

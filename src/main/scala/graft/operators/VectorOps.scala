@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   val Scale = 1000000L
 
-  /** array<float> → array<long>, component = floor(x · 10^6). */
-  def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * Scale).cast("long"))
+  /** array<float> → array<long>, component = floor(x · 10^6). Native
+    * codegen expression ([[graft.functions.QuantizeQ]]); the former HOF
+    * composition `transform(vec, x => floor(x.cast(double) * Scale))`
+    * computes the identical values through one interpreted lambda call
+    * per element — on corpus-scan projections (this function's only use)
+    * that interpretation tax rides every row of every vector query.
+    */
+  def quantize(vec: Column): Column = call_function("quantize_q", vec)
 
   /** All integer dots go through the native codegen expression
     * ([[graft.functions.DotQ]]) — the HOF composition
