@@ -502,11 +502,14 @@ object Analytics extends QueryModule {
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
-    val t1 = e.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
-    val t2 = e.where(col("event_type") === "click")
+    // t1/t2 are |users|-bounded and each has two consumers (the next
+    // stage's gate + the final left join) — materialized so a reference
+    // does not re-run the earlier stages' corpus scans
+    val t1 = graft.core.Materialize(e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("first_view_us")))
+    val t2 = graft.core.Materialize(e.where(col("event_type") === "click")
       .join(t1, "user_id").where(col("ts_us") > col("first_view_us"))
-      .groupBy("user_id").agg(min("ts_us").as("first_click_us"))
+      .groupBy("user_id").agg(min("ts_us").as("first_click_us")))
     val t3 = e.where(col("event_type") === "purchase")
       .join(t2, "user_id").where(col("ts_us") > col("first_click_us"))
       .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
@@ -1284,6 +1287,10 @@ object Analytics extends QueryModule {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .groupBy(col("o")).agg(collect_set(col("p")).as("ps")))
     val nOrders = Tables.orders(spark, dir).count()
+    // both rule-side joins consume this (a and b) — deliberately NOT
+    // materialized: the two references canonicalize identically, so the
+    // planner already shares one exchange (ReusedExchange in the captured
+    // plan); a checkpoint would only add a job boundary
     val perPart = sets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairs = sets
@@ -1559,33 +1566,44 @@ object Analytics extends QueryModule {
     * device — a conditional pick at a computed rank, no float
     * interpolation), MAD is the same pick over |cv − med|, and the flag
     * is |cv − med| > 3·MAD in int64 — bit-identical across engines.
-    * Cost shape: two rank windows partitioned by event_type plus
-    * broadcast joins of the per-group scalars; the binned-histogram
-    * sketch (`approx_quantiles`) is the documented 100 TB swap-in for
-    * the rank windows.
+    * Cost shape: ONE corpus pass rolls up to exact (type, cents) cells —
+    * bounded by the value domain, not the corpus — and both rank picks
+    * become cumulative-count walks over the materialized cells (the
+    * k-th smallest of the multiset IS the first cell whose running count
+    * reaches k, so this is the exact-integer form of the binned-histogram
+    * swap-in the former corpus-sized rank windows documented; those
+    * windows, and the 13 per-reference re-scans of events, are gone).
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.events(spark, dir).select(
-      col("event_type"), round(col("value") * 100).cast("long").as("cv"))
-    val n = c.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // the single corpus-sized pass: exact value-domain-bounded cells,
+    // materialized so the five downstream readers re-read a few rows
+    val cells = graft.core.Materialize(
+      Tables.events(spark, dir).select(
+        col("event_type"), round(col("value") * 100).cast("long").as("cv"))
+        .groupBy(col("event_type"), col("cv")).agg(count(lit(1)).as("cnt")))
+    val n = cells.groupBy("event_type").agg(sum(col("cnt")).as("n"))
     val w1 = Window.partitionBy(col("event_type")).orderBy(col("cv"))
-    val med = c.withColumn("rn", row_number().over(w1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = cells.withColumn("cum", sum(col("cnt")).over(w1))
       .join(broadcast(n), "event_type")
-      .where(col("rn") === expr("(n + 1) div 2"))
-      .select(col("event_type"), col("cv").as("med_cents"))
-    val dev = c.join(broadcast(med), "event_type")
-      .select(col("event_type"), col("cv"),
-        abs(col("cv") - col("med_cents")).as("ad"))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("cv")).as("med_cents"))
+    // |cv − med| cells: distinct cv can collide on ad, so re-sum
+    val dev = cells.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("cv") - col("med_cents")).as("ad"), col("cnt"))
+      .groupBy(col("event_type"), col("ad")).agg(sum(col("cnt")).as("cnt"))
     val w2 = Window.partitionBy(col("event_type")).orderBy(col("ad"))
-    val mad = dev.withColumn("rn", row_number().over(w2))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.withColumn("cum", sum(col("cnt")).over(w2))
       .join(broadcast(n), "event_type")
-      .where(col("rn") === expr("(n + 1) div 2"))
-      .select(col("event_type"), col("ad").as("mad_cents"))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("ad")).as("mad_cents"))
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("ad") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
-          .as("n_outliers"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col("ad") > lit(3) * col("mad_cents"), col("cnt"))
+          .otherwise(0L)).as("n_outliers"))
       .join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
       .select(col("event_type"), col("n"), col("med_cents"),
         col("mad_cents"), col("n_outliers"))

@@ -450,7 +450,10 @@ object Composites extends QueryModule {
   def splitHygienePipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val hits = LlmPipeline.decontamHits(docs).withColumn("hit", lit(1))
-    val base = docs.filter(col("doc_id") % 97 =!= 0)
+    // materialized: narrow (no text) but derived by the corpus
+    // tokenize+md5+decontam probe, and BOTH the leaky-key census and the
+    // final fold rollup consume it — each reference re-ran that pass
+    val base = graft.core.Materialize(docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long")
           .as("n_tokens"),
@@ -460,7 +463,7 @@ object Composites extends QueryModule {
       .withColumn("fold",
         when(col("hit").isNotNull, lit(-1L))
           .otherwise(graft.functions.PortableHash.h48(
-            col("doc_id").cast("string")) % ShFolds))
+            col("doc_id").cast("string")) % ShFolds)))
     val leakyKeys = base.where(col("fold") >= 0)
       .groupBy(col("content_key"))
       .agg(countDistinct(col("fold")).as("nf"))
@@ -520,13 +523,18 @@ object Composites extends QueryModule {
     * supply by construction — the spec pins it.
     */
   def tokenBudgetPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val alloc = MixtureOps.waterfillBudget(spark, dir)
-      .select(col("source"), col("supply"), col("alloc"))
+    // materialized: |sources| rows, but each reference re-runs the
+    // waterfill's own corpus tokenize (two consumers: selection gate,
+    // final readout join)
+    val alloc = graft.core.Materialize(MixtureOps.waterfillBudget(spark, dir)
+      .select(col("source"), col("supply"), col("alloc")))
     val h = graft.functions.PortableHash.h48(col("doc_id").cast("string"))
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val picked = Tables.documents(spark, dir)
+    // materialized: consumed by the packer AND the census join — each
+    // reference would re-run the corpus tokenize + per-source window
+    val picked = graft.core.Materialize(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long")
           .as("n_tokens"),
@@ -534,6 +542,7 @@ object Composites extends QueryModule {
       .withColumn("cum", sum(col("n_tokens")).over(wSrc))
       .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
       .where(col("cum") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("n_tokens")))
     val pk = LlmPipeline.packShards(
       picked.select(col("doc_id"), col("n_tokens")))
     val cen = pk.join(picked.select(col("doc_id"), col("source")), "doc_id")
@@ -821,19 +830,28 @@ object Composites extends QueryModule {
       .explodeShingles(docs, "doc_id", "text", LlmPipeline.DecontamN)
       .select(col("id"),
         graft.functions.PortableHash.h48(col("shingle")).as("hs"))
-    val compromised = sh.filter(col("id") % 97 =!= 0)
-      .join(broadcast(sh.filter(col("id") % 97 === 0)
-        .select(col("id").as("doc_id"), col("hs")).distinct()), "hs")
-      .select(col("doc_id")).distinct()
+    // the eval-side shingle hashes are a pushed-filter (1/97) pass with a
+    // bounded result — materialized so the broadcast build is not a second
+    // full tokenize; compromised (≤ pool docs) is materialized because its
+    // two consumers (clean anti-join, census) would each re-run the
+    // corpus-side shingle join
+    val evalHs = graft.core.Materialize(sh.filter(col("id") % 97 === 0)
+      .select(col("id").as("doc_id"), col("hs")).distinct())
+    val compromised = graft.core.Materialize(
+      sh.filter(col("id") % 97 =!= 0)
+        .join(broadcast(evalHs), "hs")
+        .select(col("doc_id")).distinct())
     val pool = docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
     val clean = pool.join(compromised, Seq("doc_id"), "left_anti")
     val sel = LlmPipeline
       .quotaSample(clean.select(col("source"), col("doc_id")), EpQuota, EpSeed)
       .join(clean, Seq("doc_id", "source"))
-    val graded = sel.select(col("doc_id"),
+    // ≤ |sources|·quota rows; two consumers (bootstrap fan-out, point
+    // accuracy) would each replay the screen+selection subtree
+    val graded = graft.core.Materialize(sel.select(col("doc_id"),
       when((TextAnalysis.classifierScore > 0) === (col("lang") === "en"), 1L)
-        .otherwise(0L).as("correct"))
+        .otherwise(0L).as("correct")))
     val rep = graded
       .select(col("doc_id"), col("correct"),
         explode(sequence(lit(0), lit(EvalMetrics.BootstrapB - 1))).as("b"))
@@ -968,9 +986,11 @@ object Composites extends QueryModule {
         centroids = Some(baseCent
           .where(col("vec_id") % LlmPipeline.IvfCentroidMod === 1)))
       .select(col("query_id"), col("cand_id"))
-    val exact = VectorOps
+    // materialized (≤ budget·k rows): two consumers (hit join + census)
+    // would each re-run the queries×corpus brute-force leg
+    val exact = graft.core.Materialize(VectorOps
       .bruteForceTopK(emb, queries, "vec_id", "embedding", LlmPipeline.LshK)
-      .select(col("query_id"), col("cand_id"))
+      .select(col("query_id"), col("cand_id")))
     val hits = ivf.join(exact, Seq("query_id", "cand_id"))
     emb.agg(sum(when(col("vec_id") % ArDeltaMod =!= 0, 1L).otherwise(0L))
           .as("n_base"),

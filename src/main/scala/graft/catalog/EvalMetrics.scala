@@ -558,17 +558,23 @@ object EvalMetrics extends QueryModule {
     */
   def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val queries = VectorOps.auditSample(docs, "doc_id", NdcgBudget)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(
-          graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term"))
+    // ≤ budget·5 rows with THREE consumers (serve, grade pairs, pruned
+    // postings) — materialized so each reference reads the frame instead
+    // of re-running the sampled tokenize
+    val queries = graft.core.Materialize(
+      VectorOps.auditSample(docs, "doc_id", NdcgBudget)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            graft.functions.TextFns.tokens(col("text")), 1, 5))).as("term")))
     // served from the STORED index ([[graft.sources.Bm25Store]]): the
     // fixed-budget audit batch is exactly the shape the term-pruned read
     // is for — ≤ NdcgBudget·5 distinct terms reach the row-group-pruned
     // postings scan at ANY corpus scale
-    val ranked = graft.sources.Bm25Store
+    // ≤ budget·k rows, two consumers (grade pairs + the graded rollup) —
+    // each reference would re-serve from the stored index
+    val ranked = graft.core.Materialize(graft.sources.Bm25Store
       .serve(spark, dir, queries, NdcgK, maxScore = Some(false))
-      .select(col("query_id"), col("doc_id"), col("rank"))
+      .select(col("query_id"), col("doc_id"), col("rank")))
     // grade relevance: probe the (term-pruned) stored postings with the
     // (small) ranked pairs × query terms — the pairs' terms are all query
     // terms, so the pruned frame covers every possible match
@@ -1050,9 +1056,12 @@ object EvalMetrics extends QueryModule {
   def mrrEval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val labels = emb.select(col("vec_id"), col("label"))
-    val topk = graft.operators.VectorOps.bruteForceTopK(emb,
-      graft.operators.VectorOps.auditSample(emb, "vec_id", MrrBudget),
-      "vec_id", "embedding", MrrK)
+    // materialized (≤ budget·k rows): two consumers (first-hit rollup +
+    // query census) would each re-run the queries×corpus brute-force leg
+    val topk = graft.core.Materialize(
+      graft.operators.VectorOps.bruteForceTopK(emb,
+        graft.operators.VectorOps.auditSample(emb, "vec_id", MrrBudget),
+        "vec_id", "embedding", MrrK))
     val firstHit = topk
       .join(labels.toDF("vec_id", "q_label"),
         col("vec_id") === col("query_id"))

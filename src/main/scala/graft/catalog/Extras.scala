@@ -378,10 +378,20 @@ object Extras extends QueryModule {
     val orphanedOrders = orders.select(col("o_custkey"))
       .join(cust.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
-    report("lineitem.quantity_in_1_50", cnt,
-        viol(!col("l_quantity").between(1, 50)), li)
-      .unionAll(report("lineitem.price_positive", cnt,
-        viol(col("l_extendedprice") <= 0), li))
+    // the two lineitem conditional rules share ONE scan (a single fused
+    // aggregate exploded to two report rows) — separate report() calls
+    // were two full passes of the widest table
+    li.agg(cnt.cast("long").as("n"),
+        viol(!col("l_quantity").between(1, 50)).cast("long").as("v_qty"),
+        viol(col("l_extendedprice") <= 0).cast("long").as("v_price"))
+      .select(explode(array(
+        struct(lit("lineitem.quantity_in_1_50").as("rule"),
+          col("n").as("n_checked"), col("v_qty").as("n_violations")),
+        struct(lit("lineitem.price_positive").as("rule"),
+          col("n").as("n_checked"), col("v_price").as("n_violations"))))
+        .as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
       .unionAll(report("lineitem.orderkey_resolves", lit(0),
         cnt, orphanedLi).withColumn("n_checked",
           lit(null).cast("long")))

@@ -207,8 +207,11 @@ object LlmPipeline extends QueryModule {
   def minhashEstAudit(spark: SparkSession, dir: String): DataFrame = {
     val K = MinHashLsh.NumHashes
     val pairs = exactPairsShared(spark, dir).select(col("doc_a"), col("doc_b"))
-    val ex = MinHashLsh.explodeShingles(
-      Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    // materialized: FOUR consumers (sizes, both overlap-join sides, the
+    // signature build) — each reference re-ran the corpus tokenize +
+    // shingle explode; one derive + narrow re-reads instead
+    val ex = graft.core.Materialize(MinHashLsh.explodeShingles(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN))
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val withOverlap = pairs
       .join(ex.select(col("id").as("doc_a"), col("shingle")), "doc_a")
@@ -555,9 +558,12 @@ object LlmPipeline extends QueryModule {
   def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = VectorOps.auditSample(emb, "vec_id", AnnAuditBudget)
-    val exact = VectorOps
+    // materialized (≤ budget·k rows): the exact leg has two consumers
+    // (hit join + census) and each reference would re-run the whole
+    // queries×corpus brute-force pass
+    val exact = graft.core.Materialize(VectorOps
       .bruteForceTopK(emb, queries, "vec_id", "embedding", LshK)
-      .select(col("query_id"), col("cand_id"))
+      .select(col("query_id"), col("cand_id")))
     val lsh = VectorOps
       .srpTopK(emb, queries, "vec_id", "embedding", AnnRows, AnnBands, Dim,
         LshK)
@@ -627,14 +633,17 @@ object LlmPipeline extends QueryModule {
     val emb = Tables.embeddings(spark, dir)
     val trunc = emb.select(col("vec_id"),
       slice(col("embedding"), 1, TruncDim).as("embedding"))
-    val full = VectorOps.bruteForceTopK(emb,
+    // each leg is a |queries|×|corpus| brute-force pass with a ≤
+    // budget·k-row result; materialized because `full` has two consumers
+    // (hit join + census) and every reference would re-run the whole leg
+    val full = graft.core.Materialize(VectorOps.bruteForceTopK(emb,
         VectorOps.auditSample(emb, "vec_id", TruncBudget), "vec_id",
         "embedding", TruncK)
-      .select(col("query_id"), col("cand_id"))
-    val narrow = VectorOps.bruteForceTopK(trunc,
+      .select(col("query_id"), col("cand_id")))
+    val narrow = graft.core.Materialize(VectorOps.bruteForceTopK(trunc,
         VectorOps.auditSample(trunc, "vec_id", TruncBudget), "vec_id",
         "embedding", TruncK)
-      .select(col("query_id"), col("cand_id"))
+      .select(col("query_id"), col("cand_id")))
     val hits = narrow.join(full, Seq("query_id", "cand_id"))
     full.agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_full"))
@@ -1071,18 +1080,26 @@ object LlmPipeline extends QueryModule {
     * AQE skew handling applies.
     */
   def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"),
-        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // materialized: the corpus tokenize+explode is the dominant pass and
+    // tf has three consumers (df table, N, weights) — each reference
+    // would otherwise re-tokenize every document (12 corpus scans in the
+    // former plan; one tokenize pass now)
+    val tf = graft.core.Materialize(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("id")).as("n_docs"))
-    val wts = tf.join(dfT, "term").crossJoin(broadcast(n))
+    // materialized: consumed by the norm rollup and BOTH sides of the
+    // inverted-index self-join
+    val wts = graft.core.Materialize(tf.join(dfT, "term")
+      .crossJoin(broadcast(n))
       .where(col("df") * 4 <= col("n_docs"))
       .select(col("id"), col("term"),
         (col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))))
           .cast("long")).as("w"))
-      .where(col("w") > 0)
+      .where(col("w") > 0))
     val norms = wts.groupBy(col("id")).agg(sum(col("w") * col("w")).as("nrm"))
     val dots = wts.toDF("a_id", "term", "wa")
       .join(wts.toDF("b_id", "term", "wb"), Seq("term"))

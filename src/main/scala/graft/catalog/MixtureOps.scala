@@ -87,12 +87,16 @@ object MixtureOps extends QueryModule {
     val ex = docs
       .select(col("doc_id"), isTarget.as("is_target"),
         explode(TextFns.tokens(col("text"))).as("term"))
-    val raw = ex.groupBy("term").agg(count(lit(1)).as("tf_r"))
-    val tgt = ex.where(col("is_target"))
-      .groupBy("term").agg(count(lit(1)).as("tf_t_raw"))
-    val counts = raw.join(tgt, Seq("term"), "left")
-      .select(col("term"), col("tf_r"),
-        coalesce(col("tf_t_raw"), lit(0L)).as("tf_t"))
+    // raw and target counts in ONE conditional aggregate (they were two
+    // separate term rollups + a vocabulary join — a whole extra corpus
+    // tokenize pass); sum(when) ≡ the left-join + coalesce(tf_t, 0).
+    // Vocabulary-sized and consumed twice (totals + scoring), so
+    // materialized; the token-level frame is deliberately NOT checkpointed
+    // (its bytes exceed the documents themselves — re-tokenizing the
+    // per-doc scoring pass is the cheaper side of that trade at any scale)
+    val counts = graft.core.Materialize(ex.groupBy("term")
+      .agg(count(lit(1)).as("tf_r"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tf_t")))
     val totals = counts.agg(sum("tf_r").as("r_total"), sum("tf_t").as("t_total"),
       count(lit(1)).as("v"))
     val scored = counts.crossJoin(broadcast(totals))

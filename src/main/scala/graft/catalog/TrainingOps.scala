@@ -359,25 +359,37 @@ object TrainingOps extends QueryModule {
     * measures empirical coverage of `center ± q95` — the distribution-free
     * "is this interval honest" audit run before anyone ships a predictor's
     * error bars. All math in exact integer cents/permille. Scale shape:
-    * the quantile is NOT a per-type global sort — residuals roll up to
-    * (type, residual) cells first (bounded by the value domain, not the
-    * corpus) and the q95 pick is a window over those cells, so the only
-    * corpus-sized passes are two partial-agg rollups.
+    * ONE corpus pass rolls BOTH halves up to (type, half, cents) cells —
+    * bounded by the value domain, not the corpus — and center, residual
+    * histogram, q95 pick and coverage all derive from the materialized
+    * cells; the quantile is never a per-type global sort (the former
+    * per-reference dataflow re-executed the calibration subtree once per
+    * consumer: 15 parquet scans of events where one suffices).
     */
   def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(col("event_type"),
-      col("event_id"),
-      expr("CAST(round(value * 100e0) AS BIGINT)").as("cents"))
-    val cal = ev.where(col("event_id") % 2 === 0)
-    val hold = ev.where(col("event_id") % 2 === 1)
+    // the single corpus-sized pass: value-domain-bounded (type, half,
+    // cents) cells. Materialized so every downstream aggregate re-reads
+    // the few cell rows instead of re-running the scan+rollup per
+    // reference (mc alone had three consumers)
+    val cells = graft.core.Materialize(
+      Tables.events(spark, dir).select(col("event_type"),
+        (col("event_id") % 2).as("half"),
+        expr("CAST(round(value * 100e0) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("half"), col("cents"))
+        .agg(count(lit(1)).as("cnt")))
+    val cal = cells.where(col("half") === 0)
+    val hold = cells.where(col("half") === 1)
+    // center = (Σ cents) div n over calibration ROWS ≡ Σ(cents·cnt) div Σcnt
     val mc = cal.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_cal"), sum(col("cents")).as("sc"))
+      .agg(sum(col("cnt")).as("n_cal"),
+        sum(col("cents") * col("cnt")).as("sc"))
       .withColumn("center", expr("sc div n_cal"))
       .select(col("event_type"), col("n_cal"), col("center"))
     // residual histogram: (type, r) cells — value-domain-bounded
     val hist = cal.join(broadcast(mc), "event_type")
-      .select(col("event_type"), abs(col("cents") - col("center")).as("r"))
-      .groupBy(col("event_type"), col("r")).agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), abs(col("cents") - col("center")).as("r"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("r")).agg(sum(col("cnt")).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val q95 = hist.withColumn("cum", sum(col("cnt")).over(w))
@@ -390,9 +402,9 @@ object TrainingOps extends QueryModule {
       .agg(max(col("n_cal")).as("n_cal"),
         max(col("center")).as("center"),
         max(col("q95_cents")).as("q95_cents"),
-        count(lit(1)).as("n_eval"),
-        sum((abs(col("cents") - col("center")) <= col("q95_cents"))
-          .cast("long")).as("n_within"))
+        sum(col("cnt")).as("n_eval"),
+        sum(when(abs(col("cents") - col("center")) <= col("q95_cents"),
+          col("cnt")).otherwise(lit(0L))).as("n_within"))
       .withColumn("coverage_pm", expr("(1000 * n_within) div n_eval"))
       .select(col("event_type"), col("n_cal"), col("center"),
         col("q95_cents"), col("n_eval"), col("n_within"), col("coverage_pm"))
@@ -1096,10 +1108,13 @@ object TrainingOps extends QueryModule {
       expr("ts div 86400000000000").as("day"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val origins = bounds.select(explode(array(lit(40L), lit(60L), lit(80L)))
-      .as("origin_pct"), col("d0"), col("d1"))
-      .withColumn("t", expr("d0 + ((d1 - d0) * origin_pct) div 100"))
-      .select(col("origin_pct"), col("t"))
+    // 3 rows, two broadcast consumers — materialized so each reference
+    // does not re-run the full-scan min/max bounds aggregate
+    val origins = graft.core.Materialize(
+      bounds.select(explode(array(lit(40L), lit(60L), lit(80L)))
+        .as("origin_pct"), col("d0"), col("d1"))
+        .withColumn("t", expr("d0 + ((d1 - d0) * origin_pct) div 100"))
+        .select(col("origin_pct"), col("t")))
     // event-level census per origin
     val census = ev.crossJoin(broadcast(origins))
       .withColumn("split",
